@@ -1,0 +1,67 @@
+import numpy as np
+import pyarrow.compute as pc
+
+from asterixdb_analytics_ray.sources.transcripts import (
+    SCHEMA,
+    TranscriptSpec,
+    transcripts_chunk,
+    turns_per_conv,
+)
+
+
+def test_schema_matches_input_hint():
+    t = transcripts_chunk(42, 0, 10, 8)
+    assert t.schema.equals(SCHEMA)
+
+
+def test_deterministic_and_chunk_independent():
+    full = transcripts_chunk(42, 0, 30, 8)
+    a = transcripts_chunk(42, 0, 17, 8)
+    b = transcripts_chunk(42, 17, 30, 8)
+    import pyarrow as pa
+
+    assert pa.concat_tables([a, b]).equals(full)
+    assert transcripts_chunk(42, 0, 30, 8).equals(full)
+
+
+def test_turn_idx_dense_and_ts_increasing():
+    t = transcripts_chunk(42, 0, 40, 8).to_pandas()
+    for conv, g in t.groupby("conv_id"):
+        idx = g["turn_idx"].to_numpy()
+        assert (idx == np.arange(len(idx))).all()
+        ts = g["ts"].to_numpy()
+        assert (np.diff(ts).astype("int64") > 0).all()
+
+
+def test_turn_counts_in_range():
+    nt = turns_per_conv(42, np.arange(1000))
+    assert nt.min() >= 4 and nt.max() <= 16
+
+
+def test_tool_turns_have_tools():
+    t = transcripts_chunk(42, 0, 200, 12)
+    is_tool_role = pc.equal(t["role"], "tool")
+    assert pc.all(pc.equal(is_tool_role, pc.is_valid(t["tool"]))).as_py()
+    # Zipf skew: the most popular tool dominates
+    vc = pc.value_counts(t["tool"]).to_pylist()
+    counts = sorted((v["counts"] for v in vc), reverse=True)
+    assert counts[0] >= 3 * counts[-1]
+
+
+def test_distributed_generation_matches_local(ray_session):
+    from asterixdb_analytics_ray.sources.transcripts import transcripts_dataset
+
+    spec = TranscriptSpec(n_convs=25, seed=42)
+    ds = transcripts_dataset(spec, convs_per_block=7)
+    got = (
+        ds.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        transcripts_chunk(spec.seed, 0, spec.n_convs, spec.n_tools)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
