@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine's input (per BASELINE.json ``input_hint``) is a transcript Parquet
+table ``(conv_id, turn_idx, role, text, tool, ts)``. The driver's sf dirs
+don't ship that table, so each query deterministically synthesises it for the
+given sf (seeded, cached under /tmp — see
+``asterixdb_analytics_ray/sources/transcripts.py``) and the oracle SQL reads
+the SAME generated parquet via ``read_parquet('<path>')``. Iterative
+algorithms are oracled as programmatically unrolled CTE chains
+(``asterixdb_analytics_ray/sql_oracle.py``).
 """
 
 from __future__ import annotations
@@ -18,27 +18,243 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_GRAPH_CACHE: dict[str, Any] = {}
+_SF_ORACLE = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    from asterixdb_analytics_ray.sources.transcripts import ensure_transcripts
+
+    return ensure_transcripts(sf_dir)
+
+
+def _graph(sf_dir: str):
+    """Build (and cache per sf_dir) the LinkGraph + common edge views."""
+    if sf_dir in _GRAPH_CACHE:
+        return _GRAPH_CACHE[sf_dir]
+    import ray.data
+
+    from asterixdb_analytics_ray.graph import build_link_graph
+
+    path = _transcripts_path(sf_dir)
+    g = build_link_graph(ray.data.read_parquet(path))
+    views = {
+        "graph": g,
+        "directed": g.directed().materialize(),
+        "undirected": g.undirected().materialize(),
+        "oriented": g.oriented().materialize(),
+    }
+    _GRAPH_CACHE[sf_dir] = views
+    return views
+
+
+def _q_transcript_roundtrip(sf_dir: str):
+    """Per-turn text equality invariant: engine read → select → return."""
+    import ray.data
+
+    return (
+        ray.data.read_parquet(_transcripts_path(sf_dir))
+        .select_columns(["conv_id", "turn_idx", "text"])
+    )
+
+
+def _q_nodes(sf_dir: str):
+    return _graph(sf_dir)["graph"].node_table
+
+
+def _q_edge_counts(sf_dir: str):
+    import pyarrow as pa
+
+    g = _graph(sf_dir)["graph"]
+    return g.edges.groupby("kind").count().map_batches(
+        lambda t: pa.table({"kind": t["kind"], "n_edges": t["count()"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_out_degrees(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.degrees import out_degrees_ds
+
+    return out_degrees_ds(_graph(sf_dir)["directed"])
+
+
+def _q_top_degree(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.degrees import out_degrees_ds
+
+    return (
+        out_degrees_ds(_graph(sf_dir)["directed"])
+        .sort(["out_degree", "v"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+    from asterixdb_analytics_ray.sql_oracle import PR_SUPERSTEPS, ROUND_DECIMALS
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = pagerank_dense(
+        views["directed"], g.n_nodes, g.out_degrees(), supersteps=PR_SUPERSTEPS
+    )
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64),
+            "rank": np.round(res.state["rank"], ROUND_DECIMALS),
+        }
+    )
+
+
+def _q_connected_components(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.components import (
+        connected_components_dense,
+    )
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = connected_components_dense(views["undirected"], g.n_nodes)
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64),
+            "component": res.state["label"],
+        }
+    )
+
+
+def _q_label_propagation(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+    from asterixdb_analytics_ray.sql_oracle import LP_ROUNDS
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    labels = label_propagation_dense(views["undirected"], g.n_nodes, rounds=LP_ROUNDS)
+    return pa.table(
+        {"v": np.arange(g.n_nodes, dtype=np.int64), "label": labels}
+    )
+
+
+def _q_triangle_count(sf_dir: str):
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.triangles import triangle_count
+
+    views = _graph(sf_dir)
+    per_vertex, _total = triangle_count(views["oriented"], views["graph"].n_nodes)
+    return per_vertex
+
+
+def _q_triangle_total(sf_dir: str):
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.triangles import triangle_count
+
+    views = _graph(sf_dir)
+    _per_vertex, total = triangle_count(views["oriented"], views["graph"].n_nodes)
+    return pa.table({"total_triangles": [total]})
+
+
+def _q_sssp(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.sssp import sssp_dense
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = sssp_dense(views["directed"], g.n_nodes, source=0)
+    dist = res.state["dist"]
+    finite = np.isfinite(dist)
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64)[finite],
+            "dist": dist[finite].astype(np.int64),
+        }
+    )
+
+
+def _q_events_bipartite_degree(sf_dir: str):
+    """Bipartite user→event_type degree over the driver's events table."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    return (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .count()
+        .groupby("user_id")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"user_id": t["user_id"], "n_event_types": t["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: transcripts → link graph → PageRank,
+    returned as (v, kind, key, rank) joined with the node dictionary."""
+    views = _graph("/root/testdata/sf0.001")
+    g = views["graph"]
+    ranks = _q_pagerank("/root/testdata/sf0.001")
+    nodes = g.node_table
+    out = nodes.to_pandas()
+    out["rank"] = ranks["rank"].to_numpy()
+    out = out.rename(columns={"node_id": "v"})
+    return out[["v", "kind", "key", "rank"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcript_roundtrip": _q_transcript_roundtrip,
+        "nodes": _q_nodes,
+        "edge_counts": _q_edge_counts,
+        "out_degrees": _q_out_degrees,
+        "top_degree": _q_top_degree,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "label_propagation": _q_label_propagation,
+        "triangle_count": _q_triangle_count,
+        "triangle_total": _q_triangle_total,
+        "sssp": _q_sssp,
+        "events_bipartite_degree": _q_events_bipartite_degree,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from asterixdb_analytics_ray import sql_oracle as so
+
+    p = _transcripts_path(_SF_ORACLE)  # generate eagerly so SQL can read it
+    return {
+        "transcript_roundtrip": so.transcript_roundtrip_sql(p),
+        "nodes": so.nodes_sql(p),
+        "edge_counts": so.edge_counts_sql(p),
+        "out_degrees": so.out_degrees_sql(p),
+        "top_degree": so.top_degree_sql(p),
+        "pagerank": so.pagerank_sql(p),
+        "connected_components": so.connected_components_sql(p),
+        "label_propagation": so.label_propagation_sql(p),
+        "triangle_count": so.triangles_sql(p),
+        "triangle_total": so.triangle_total_sql(p),
+        "sssp": so.sssp_sql(p),
+        "events_bipartite_degree": so.events_bipartite_degree_sql(),
+    }

@@ -287,20 +287,20 @@ def build_link_graph(
     )
     ref = ray.put(nd)
 
-    class Encode:
-        def __init__(self):
-            self.nd: NodeDict = ray.get(ref)
+    # plain tasks, not an actor pool: the broadcast dictionary is a zero-copy
+    # shared-memory read per task, and a pool pinning `concurrency` CPUs can
+    # starve concurrent stages on small clusters
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        nd_local: NodeDict = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "src": _lookup_series(nd_local, batch["src_kind"], batch["src_key"]),
+                "dst": _lookup_series(nd_local, batch["dst_kind"], batch["dst_key"]),
+                "kind": batch["kind"].to_numpy(),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "src": _lookup_series(self.nd, batch["src_kind"], batch["src_key"]),
-                    "dst": _lookup_series(self.nd, batch["dst_kind"], batch["dst_key"]),
-                    "kind": batch["kind"].to_numpy(),
-                }
-            )
-
-    edges = pairs.map_batches(Encode, batch_format="pandas", concurrency=4).materialize()
+    edges = pairs.map_batches(encode, batch_format="pandas").materialize()
     return LinkGraph(
         edges=edges, n_nodes=nd.n, node_dict_ref=ref, node_table=nd.to_table()
     )

@@ -1,0 +1,232 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Every Ray pipeline exposed in ``__ray_entry__.queries()`` has an equivalent
+ANSI-SQL formulation here, runnable by DuckDB over the SAME generated
+transcript parquet (iterative algorithms are expressed as programmatically
+unrolled iteration CTEs — fixed supersteps exactly like the engine).
+
+The shared prelude derives the node dictionary and edge table relationally:
+``dense_rank() OVER (ORDER BY kind, key) - 1`` reproduces the engine's
+sorted-dictionary id assignment bit-for-bit (ASCII binary collation both
+sides). See ``asterixdb_analytics_ray/graph.py``.
+
+Floating-point note: PageRank sums in a different order than numpy, so both
+sides round to 9 decimals (abs FP noise is ≲1e-15 here; the correctness gate
+itself is allclose 1e-6).
+"""
+
+from __future__ import annotations
+
+PR_SUPERSTEPS = 10  # reference default ITERATIONS=10 ⇒ 9 applies
+CC_MAX_ITERS = 30  # ≥ graph diameter (turn chains ≤ 16 hops; conv-tool core ~8)
+LP_ROUNDS = 5
+SSSP_ITERS = 30
+ROUND_DECIMALS = 9
+
+
+def prelude(transcripts_path: str) -> str:
+    """CTEs: transcripts → pairs → node dictionary → int64 edge table."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT * FROM read_parquet('{transcripts_path}')),
+conv_tool AS MATERIALIZED (SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL),
+reply AS MATERIALIZED (
+  SELECT conv_id,
+         conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS src_key,
+         conv_id || ':' || lpad(CAST(nxt AS VARCHAR), 4, '0') AS dst_key
+  FROM (SELECT conv_id, turn_idx,
+               lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+        FROM t)
+  WHERE nxt IS NOT NULL
+),
+tool_cooc AS MATERIALIZED (
+  SELECT DISTINCT x.tool AS tool_a, y.tool AS tool_b
+  FROM conv_tool x JOIN conv_tool y
+    ON x.conv_id = y.conv_id AND x.tool < y.tool
+),
+node_keys AS MATERIALIZED (
+  SELECT 'conv' AS kind, conv_id AS key FROM conv_tool
+  UNION
+  SELECT 'tool', tool FROM conv_tool
+  UNION
+  SELECT 'turn', src_key FROM reply
+  UNION
+  SELECT 'turn', dst_key FROM reply
+  UNION
+  SELECT 'tool', tool_a FROM tool_cooc
+  UNION
+  SELECT 'tool', tool_b FROM tool_cooc
+),
+nodes AS MATERIALIZED (
+  SELECT CAST(dense_rank() OVER (ORDER BY kind, key) - 1 AS BIGINT) AS node_id,
+         kind, key
+  FROM node_keys
+),
+edges AS MATERIALIZED (
+  SELECT ns.node_id AS src, nd.node_id AS dst, 'conv_tool' AS kind
+  FROM conv_tool ct
+  JOIN nodes ns ON ns.kind = 'conv' AND ns.key = ct.conv_id
+  JOIN nodes nd ON nd.kind = 'tool' AND nd.key = ct.tool
+  UNION ALL
+  SELECT ns.node_id, nd.node_id, 'reply'
+  FROM reply r
+  JOIN nodes ns ON ns.kind = 'turn' AND ns.key = r.src_key
+  JOIN nodes nd ON nd.kind = 'turn' AND nd.key = r.dst_key
+  UNION ALL
+  SELECT ns.node_id, nd.node_id, 'tool_cooc'
+  FROM tool_cooc tc
+  JOIN nodes ns ON ns.kind = 'tool' AND ns.key = tc.tool_a
+  JOIN nodes nd ON nd.kind = 'tool' AND nd.key = tc.tool_b
+),
+und AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst
+),
+ori AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+  GROUP BY 1, 2
+),
+verts AS MATERIALIZED (SELECT node_id AS v FROM nodes),
+nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def nodes_sql(p: str) -> str:
+    return prelude(p) + "SELECT node_id, kind, key FROM nodes"
+
+
+def edge_counts_sql(p: str) -> str:
+    return prelude(p) + "SELECT kind, count(*) AS n_edges FROM edges GROUP BY kind"
+
+
+def out_degrees_sql(p: str) -> str:
+    return (
+        prelude(p)
+        + "SELECT src AS v, count(*) AS out_degree FROM edges GROUP BY src"
+    )
+
+
+def top_degree_sql(p: str, k: int = 10) -> str:
+    return (
+        prelude(p)
+        + "SELECT src AS v, count(*) AS out_degree FROM edges GROUP BY src "
+        f"ORDER BY out_degree DESC, v ASC LIMIT {k}"
+    )
+
+
+def pagerank_sql(p: str, supersteps: int = PR_SUPERSTEPS) -> str:
+    parts = [prelude(p)]
+    parts.append(", r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts)\n")
+    for i in range(1, supersteps):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         0.15/(SELECT n FROM nv) + 0.85*coalesce(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r.rank / d.outdeg) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.v JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) m ON m.v = verts.v)
+"""
+        )
+    parts.append(
+        f"SELECT v, round(rank, {ROUND_DECIMALS}) AS rank FROM r{supersteps - 1}"
+    )
+    return "".join(parts)
+
+
+def connected_components_sql(p: str, iters: int = CC_MAX_ITERS) -> str:
+    parts = [prelude(p)]
+    parts.append(", c0 AS MATERIALIZED (SELECT v, v AS label FROM verts)\n")
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+  SELECT s.v, least(s.label, coalesce(m.ml, s.label)) AS label
+  FROM {prev} s LEFT JOIN (
+    SELECT u.dst AS v, min(s2.label) AS ml
+    FROM und u JOIN {prev} s2 ON u.src = s2.v
+    GROUP BY u.dst) m ON m.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v, label AS component FROM c{iters}")
+    return "".join(parts)
+
+
+def label_propagation_sql(p: str, rounds: int = LP_ROUNDS) -> str:
+    parts = [prelude(p)]
+    parts.append(", l0 AS MATERIALIZED (SELECT v, v AS label FROM verts)\n")
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT s.v, coalesce(w.lbl, s.label) AS label
+  FROM {prev} s LEFT JOIN (
+    SELECT v, lbl FROM (
+      SELECT u.dst AS v, s2.label AS lbl, count(*) AS c,
+             row_number() OVER (PARTITION BY u.dst
+                                ORDER BY count(*) DESC, s2.label ASC) AS rn
+      FROM und u JOIN {prev} s2 ON u.src = s2.v
+      GROUP BY u.dst, s2.label)
+    WHERE rn = 1) w ON w.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def triangles_sql(p: str) -> str:
+    return (
+        prelude(p)
+        + """SELECT e1.a AS v, count(*) AS triangles
+FROM ori e1
+JOIN ori e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b
+GROUP BY e1.a"""
+    )
+
+
+def triangle_total_sql(p: str) -> str:
+    return (
+        prelude(p)
+        + """SELECT count(*) AS total_triangles
+FROM ori e1
+JOIN ori e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b"""
+    )
+
+
+def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
+    parts = [prelude(p)]
+    parts.append(
+        f", d0 AS MATERIALIZED (SELECT v, CASE WHEN v = {source} THEN 0.0 ELSE 1e300 END AS dist FROM verts)\n"
+    )
+    for i in range(1, iters + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT s.v, least(s.dist, coalesce(m.md, s.dist)) AS dist
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS v, min(s2.dist + 1.0) AS md
+    FROM edges e JOIN {prev} s2 ON e.src = s2.v
+    GROUP BY e.dst) m ON m.v = s.v)
+"""
+        )
+    parts.append(
+        f"SELECT v, CAST(dist AS BIGINT) AS dist FROM d{iters} WHERE dist < 1e299"
+    )
+    return "".join(parts)
+
+
+def transcript_roundtrip_sql(p: str) -> str:
+    return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
+
+
+def events_bipartite_degree_sql() -> str:
+    """Uses the driver's pre-registered ``events`` view (no /tmp dependency)."""
+    return (
+        "SELECT user_id, count(*) AS n_event_types FROM "
+        "(SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id"
+    )

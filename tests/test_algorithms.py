@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+
+from asterixdb_analytics_ray.oracle import (
+    connected_components_numpy,
+    label_propagation_numpy,
+    sssp_numpy,
+    triangles_numpy,
+)
+from asterixdb_analytics_ray.pipelines.components import (
+    connected_components_dataset,
+    connected_components_dense,
+)
+from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+from asterixdb_analytics_ray.pipelines.reachability import reachability_dense
+from asterixdb_analytics_ray.pipelines.sssp import sssp_dense
+from asterixdb_analytics_ray.pipelines.triangles import triangle_count, triangles_table
+from asterixdb_analytics_ray.sources.micrographs import (
+    as_dataset,
+    clique7,
+    two_components,
+    webmap20,
+)
+
+
+def _sym(src, dst):
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    keep = s != d
+    pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _orient(src, dst):
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+@pytest.mark.parametrize("maker", [webmap20, clique7, two_components])
+def test_cc_dense_exact(maker):
+    src, dst, n = maker()
+    s, d = _sym(src, dst)
+    res = connected_components_dense(as_dataset(s, d), n)
+    want = connected_components_numpy(src, dst, n)
+    assert (res.state["label"] == want).all()
+
+
+def test_cc_dense_on_transcript_graph(tiny_graph):
+    g = tiny_graph
+    und = g.undirected().materialize()
+    e = und.to_pandas()
+    res = connected_components_dense(und, g.n_nodes)
+    want = connected_components_numpy(
+        e["src"].to_numpy(), e["dst"].to_numpy(), g.n_nodes
+    )
+    assert (res.state["label"] == want).all()
+    # sanity: more than one component (tool-less conv chains are isolated)
+    assert len(np.unique(want)) > 1
+
+
+def test_cc_dataset_matches_dense():
+    src, dst, n = two_components()
+    s, d = _sym(src, dst)
+    ds = as_dataset(s, d)
+    dense = connected_components_dense(ds, n)
+    got = (
+        connected_components_dataset(ds, n, num_partitions=4)
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert (got["component"].to_numpy() == dense.state["label"]).all()
+
+
+@pytest.mark.parametrize("maker", [webmap20, clique7])
+def test_lp_dense_matches_numpy(maker):
+    src, dst, n = maker()
+    s, d = _sym(src, dst)
+    got = label_propagation_dense(as_dataset(s, d), n, rounds=5)
+    want = label_propagation_numpy(src, dst, n, rounds=5)
+    assert (got == want).all()
+
+
+def test_triangles_exact_clique7():
+    src, dst, n = clique7()
+    a, b = _orient(src, dst)
+    per_vertex, total = triangle_count(as_dataset(a, b), n, num_partitions=4)
+    want_counts, want_total = triangles_numpy(src, dst, n)
+    assert total == want_total
+    got = triangles_table(per_vertex, n)
+    assert (got["triangles"].to_numpy() == want_counts).all()
+    assert want_total > 0
+
+
+def test_triangles_on_transcript_graph(tiny_graph):
+    g = tiny_graph
+    ori = g.oriented().materialize()
+    e = ori.to_pandas()
+    per_vertex, total = triangle_count(ori, g.n_nodes, num_partitions=4)
+    _, want_total = triangles_numpy(
+        e["src"].to_numpy(), e["dst"].to_numpy(), g.n_nodes
+    )
+    assert total == want_total
+
+
+def test_sssp_dense_webmap():
+    src, dst, n = webmap20()
+    res = sssp_dense(as_dataset(src, dst), n, source=0)
+    want = sssp_numpy(src, dst, n, source=0)
+    got = res.state["dist"]
+    assert np.array_equal(got, want)  # inf-safe exact compare
+
+
+def test_reachability():
+    src, dst, n = two_components()
+    ds = as_dataset(src, dst)
+    ok, _ = reachability_dense(ds, n, source=0, dest=5)
+    assert ok
+    no, _ = reachability_dense(ds, n, source=0, dest=7)
+    assert not no
+    same, _ = reachability_dense(ds, n, source=3, dest=3)
+    assert same

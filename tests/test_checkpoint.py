@@ -1,0 +1,76 @@
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from asterixdb_analytics_ray.bsp import BSPConfig
+from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+from asterixdb_analytics_ray.sources.micrographs import as_dataset, webmap20
+from asterixdb_analytics_ray.state import checkpoint as ckpt
+
+
+@pytest.fixture()
+def webmap_ds():
+    src, dst, n = webmap20()
+    return as_dataset(src, dst), np.bincount(src, minlength=n), n
+
+
+def test_checkpoint_write_read_roundtrip(tmp_path):
+    state = {"rank": np.random.default_rng(0).random(100)}
+    man = ckpt.write_dense_checkpoint(
+        str(tmp_path), 4, "pagerank", state, {"delta": 0.5}, num_partitions=8
+    )
+    assert man.superstep == 4
+    assert len(man.partitions) == 8
+    assert sum(p.rows for p in man.partitions) == 100
+    got, man2 = ckpt.read_dense_checkpoint(str(tmp_path), 4)
+    np.testing.assert_array_equal(got["rank"], state["rank"])
+    assert man2.metrics["delta"] == 0.5
+
+
+def test_checkpoint_lineage_detects_corruption(tmp_path):
+    state = {"rank": np.arange(50, dtype=np.float64)}
+    ckpt.write_dense_checkpoint(str(tmp_path), 2, "pagerank", state, {}, 4)
+    victim = os.path.join(str(tmp_path), "step=00002", "part-0001.parquet")
+    # rewrite partition 1 with different content (same schema)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(victim)
+    bad = t.set_column(1, "rank", pa.array(np.zeros(t.num_rows)))
+    pq.write_table(bad, victim)
+    with pytest.raises(IOError, match="lineage"):
+        ckpt.read_dense_checkpoint(str(tmp_path), 2)
+
+
+def test_incomplete_checkpoint_ignored(tmp_path):
+    state = {"rank": np.arange(10, dtype=np.float64)}
+    ckpt.write_dense_checkpoint(str(tmp_path), 2, "pagerank", state, {}, 2)
+    ckpt.write_dense_checkpoint(str(tmp_path), 4, "pagerank", state, {}, 2)
+    # simulate a crash mid-write of step 6: dir exists, no manifest
+    os.makedirs(os.path.join(str(tmp_path), "step=00006"))
+    assert ckpt.list_checkpoints(str(tmp_path)) == [2, 4]
+
+
+def test_pagerank_kill_resume_identical(tmp_path, webmap_ds, ray_session):
+    ds, outdeg, n = webmap_ds
+    full = pagerank_dense(ds, n, outdeg, supersteps=10)
+
+    ckdir = str(tmp_path / "ck")
+    cfg = BSPConfig(checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg)
+    steps = ckpt.list_checkpoints(ckdir)
+    assert steps == [2, 4, 6, 8, 10]
+
+    # "kill" after superstep 6: later checkpoints lost
+    for s in (8, 10):
+        shutil.rmtree(os.path.join(ckdir, f"step={s:05d}"))
+
+    cfg2 = BSPConfig(checkpoint_dir=ckdir, checkpoint_every=2, resume=True)
+    res = pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg2)
+    # resumed mid-iteration: first replayed apply is superstep 7
+    assert res.rounds[0].superstep == 7
+    assert res.supersteps == 10
+    np.testing.assert_allclose(res.state["rank"], full.state["rank"], atol=1e-15)
+    assert ckpt.list_checkpoints(ckdir) == [2, 4, 6, 8, 10]

@@ -1,0 +1,113 @@
+"""Replicates the driver's correctness gate locally at sf0.001: run each
+``__ray_entry__.queries()`` entry and its DuckDB oracle SQL side-by-side,
+compare row count, column names, and order-insensitive values."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import os
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _oracle_sql_for(entrymod, name: str) -> str:
+    """Rebuild the oracle SQL against the sf0.001 transcripts (the shipped
+    oracle_sql() hardcodes the driver's sf0.01 path)."""
+    from asterixdb_analytics_ray import sql_oracle as so
+    from asterixdb_analytics_ray.sources.transcripts import ensure_transcripts
+
+    p = ensure_transcripts(SF_DIR)
+    builders = {
+        "transcript_roundtrip": so.transcript_roundtrip_sql,
+        "nodes": so.nodes_sql,
+        "edge_counts": so.edge_counts_sql,
+        "out_degrees": so.out_degrees_sql,
+        "top_degree": so.top_degree_sql,
+        "pagerank": so.pagerank_sql,
+        "connected_components": so.connected_components_sql,
+        "label_propagation": so.label_propagation_sql,
+        "triangle_count": so.triangles_sql,
+        "triangle_total": so.triangle_total_sql,
+        "sssp": so.sssp_sql,
+    }
+    if name == "events_bipartite_degree":
+        return so.events_bipartite_degree_sql()
+    return builders[name](p)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype(np.int64)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype(np.float64).round(9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+QUERY_NAMES = [
+    "transcript_roundtrip",
+    "nodes",
+    "edge_counts",
+    "out_degrees",
+    "top_degree",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_total",
+    "sssp",
+    "events_bipartite_degree",
+]
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(entrymod, duck, name):
+    got = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    want = _normalize(duck.execute(_oracle_sql_for(entrymod, name)).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_entry_smoke(entrymod):
+    out = entrymod.entry()
+    assert len(out) > 0
+    assert list(out.columns) == ["v", "kind", "key", "rank"]
+    assert out["rank"].sum() > 0
