@@ -210,6 +210,119 @@ def _q_events_bipartite_degree(sf_dir: str):
     )
 
 
+def _docs_ds(sf_dir: str):
+    import os
+
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import os
+
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_doc_token_counts(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir))
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def _q_doc_quality(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import quality_scores
+
+    return quality_scores(_docs_ds(sf_dir))
+
+
+def _q_doc_language_id(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import language_id
+
+    return language_id(_docs_ds(sf_dir))
+
+
+def _q_doc_minhash_dups(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.4)
+
+
+def _q_doc_simhash(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import simhash_values
+
+    return simhash_values(_docs_ds(sf_dir))
+
+
+_KNN_QUERY_IDS = (0, 1, 2)
+
+
+def _q_emb_knn(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        _batch_matrix,
+        knn_brute_force,
+    )
+
+    ds = _emb_ds(sf_dir)
+    qt = ds.filter(
+        expr=f"vec_id in {list(_KNN_QUERY_IDS)}"
+    ).to_pandas().sort_values("vec_id")
+    queries = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    return knn_brute_force(ds, queries, qt["vec_id"].to_numpy(), k=10)
+
+
+def _q_emb_cosine_dups(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
+
+
+def _q_emb_kmeans_cells(sf_dir: str):
+    """IVF coarse assignment (vec_id, cell) — k-means via the IMRU loop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        _batch_matrix,
+        _normalize,
+        train_kmeans_centroids,
+    )
+
+    ds = _emb_ds(sf_dir)
+    cents = _normalize(train_kmeans_centroids(ds, n_clusters=8, iters=10))
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, m = _batch_matrix(t)
+        cell = (
+            np.argmax(_normalize(m) @ c.T, axis=1).astype(np.int64)
+            if len(ids)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table({"vec_id": ids, "cell": cell})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: transcripts → link graph → PageRank,
     returned as (v, kind, key, rank) joined with the node dictionary."""
@@ -237,6 +350,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
         "events_bipartite_degree": _q_events_bipartite_degree,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_quality": _q_doc_quality,
+        "doc_language_id": _q_doc_language_id,  # no SQL oracle (heuristic model)
+        "doc_minhash_dups": _q_doc_minhash_dups,  # no SQL oracle (LSH)
+        "doc_simhash": _q_doc_simhash,  # no SQL oracle (bit manipulation)
+        "emb_knn": _q_emb_knn,
+        "emb_cosine_dups": _q_emb_cosine_dups,
+        "emb_kmeans_cells": _q_emb_kmeans_cells,  # no SQL oracle (iterative ML)
     }
 
 
@@ -257,4 +380,10 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
+        "doc_token_counts": so.token_counts_sql(),
+        "doc_fingerprints": so.fingerprints_sql(),
+        "doc_exact_dedup": so.exact_dedup_sql(),
+        "doc_quality": so.quality_scores_sql(),
+        "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
+        "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
     }

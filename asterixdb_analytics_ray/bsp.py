@@ -55,6 +55,11 @@ class BSPConfig:
     resume: bool = False
     scatter_batch_size: int | None = 65536
     num_partitions: int = 32  # shuffle partitions (dataset mode)
+    # When the edge Dataset was laid out with stages.partition.hash_partition_by
+    # (block i holds dst % P == i), set this to P: scatter runs one task per
+    # block (batch_size=None) and the per-block partial messages have disjoint
+    # destination sets, so the final combine is a pure assignment.
+    dst_partition_modulus: int | None = None
 
 
 @dataclass
@@ -112,13 +117,20 @@ class DenseAlgorithm(Protocol):
 
 
 def dense_combine(
-    msgs_ds: ray.data.Dataset, n: int, combiner: Combiner, dtype
+    msgs_ds: ray.data.Dataset,
+    n: int,
+    combiner: Combiner,
+    dtype,
+    assume_disjoint: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Assemble combined messages into a dense vector, streaming batch-wise.
 
     The scatter stage already pre-combined per batch, so the rows pulled here
     are bounded by (unique dst per block × blocks) — the same reduction
     Pregelix gets from its local SortGroupBy before the M-to-N exchange.
+    With dst-partitioned edge blocks (``assume_disjoint``) the partials have
+    pairwise-disjoint keys and the fold is a straight assignment; otherwise
+    sums use ``bincount`` (fast) and other combiners ``ufunc.at``.
     """
     vec = np.full(n, combiner.identity, dtype=dtype)
     has = np.zeros(n, dtype=bool)
@@ -126,7 +138,12 @@ def dense_combine(
     for b in msgs_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         v = b["v"].to_numpy()
         m = b["msg"].to_numpy()
-        combiner.scatter_dense(vec, v, m)
+        if assume_disjoint and not has[v].any():  # guard: verify disjointness
+            vec[v] = m
+        elif combiner.ufunc is np.add and len(v) > 4096:
+            vec += np.bincount(v, weights=m, minlength=n).astype(dtype, copy=False)
+        else:
+            combiner.scatter_dense(vec, v, m)
         has[v] = True
         total += len(v)
     return vec, has, total
@@ -137,8 +154,16 @@ def run_dense_bsp(
     n: int,
     algo: DenseAlgorithm,
     cfg: BSPConfig | None = None,
+    aggregators: dict[str, Callable[[dict[str, np.ndarray]], float]] | None = None,
 ) -> BSPResult:
-    """Run the superstep loop in dense mode over a materialized edge Dataset."""
+    """Run the superstep loop in dense mode over a materialized edge Dataset.
+
+    ``aggregators`` are the GlobalAggregator analog (reference:
+    ``api/graph/GlobalAggregator.java:42-78`` — per-partition partials merged
+    at a single site): vectorized reductions over the state vectors, recorded
+    into each round's ``metrics.extra`` (the reference writes them to
+    per-iteration HDFS value files via ``FinalAggregateOperatorDescriptor``).
+    """
     cfg = cfg or BSPConfig()
     rounds: list[RoundMetrics] = []
     superstep = 1
@@ -158,14 +183,24 @@ def run_dense_bsp(
         fn = algo.scatter_factory(refs, superstep)
         if fn is None:
             break
-        msgs = edges.map_batches(
-            fn, batch_format="pyarrow", batch_size=cfg.scatter_batch_size
+        batch_size = None if cfg.dst_partition_modulus else cfg.scatter_batch_size
+        msgs = edges.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+        vec, has, total = dense_combine(
+            msgs,
+            n,
+            algo.combiner,
+            algo.msg_dtype,
+            assume_disjoint=cfg.dst_partition_modulus is not None,
         )
-        vec, has, total = dense_combine(msgs, n, algo.combiner, algo.msg_dtype)
         superstep += 1
         state, active, delta = algo.apply(state, vec, has, superstep)
         dt = time.perf_counter() - t0
-        rounds.append(RoundMetrics(superstep, total, active, delta, dt))
+        extra = (
+            {name: float(fn(state)) for name, fn in aggregators.items()}
+            if aggregators
+            else {}
+        )
+        rounds.append(RoundMetrics(superstep, total, active, delta, dt, extra))
         if (
             cfg.checkpoint_dir
             and cfg.checkpoint_every

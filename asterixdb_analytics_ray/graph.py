@@ -54,52 +54,62 @@ def conv_tool_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def reply_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(conv_id, turn_idx) → (conv_id, turn_idx + 1) for consecutive turns.
+    """(conv_id, turn_idx - 1) → (conv_id, turn_idx) for consecutive turns.
 
-    turn_idx is dense per conversation, so consecutive pairs need only a
-    per-conversation sort — a groupby(conv_id) shuffle with tiny groups.
+    ``turn_idx`` is 0-based and DENSE per conversation (the input-hint
+    contract), so every turn with idx > 0 has a predecessor — the edge list
+    falls out of a stateless vectorized ``map_batches`` with NO shuffle.
+    (A sort-based per-conversation variant would be needed only for sparse
+    turn indices; the reference's text inputs are likewise dense.)
     """
+    import pyarrow.compute as pc
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        idx = np.sort(g["turn_idx"].to_numpy())
-        if len(idx) < 2:
-            return pd.DataFrame({"conv_id": [], "src_idx": [], "dst_idx": []})
-        return pd.DataFrame(
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["turn_idx"], 0))
+        idx = t["turn_idx"].to_numpy().astype(np.int64)
+        return pa.table(
             {
-                "conv_id": g["conv_id"].iloc[0],
-                "src_idx": idx[:-1],
-                "dst_idx": idx[1:],
+                "conv_id": t["conv_id"],
+                "src_idx": idx - 1,
+                "dst_idx": idx,
             }
         )
 
-    return (
-        ds.select_columns(["conv_id", "turn_idx"])
-        .groupby("conv_id")
-        .map_groups(pairs, batch_format="pandas")
+    return ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        pairs, batch_format="pyarrow"
     )
 
 
-def tool_cooc_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct ordered tool pairs (a < b) co-occurring within a conversation."""
+def tool_cooc_pairs(
+    ds: ray.data.Dataset, conv_tool: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
+    """Distinct ordered tool pairs (a < b) co-occurring within a conversation.
+
+    Expressed as a self-join of the distinct (conv_id, tool) table on conv_id
+    (vectorized hash join) followed by a dedup groupby — no per-conversation
+    Python. Join fan-out per conversation is bounded by tools-per-conv².
+    """
     import pyarrow.compute as pc
 
-    def local(batch: pa.Table) -> pa.Table:
-        t = batch.select(["conv_id", "tool"]).filter(pc.is_valid(batch["tool"]))
-        return t.group_by(["conv_id", "tool"]).aggregate([])
+    from .stages.blocks import effective_partitions, safe_join
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        tools = np.sort(g["tool"].unique())
-        if len(tools) < 2:
-            return pd.DataFrame({"tool_a": [], "tool_b": []})
-        ia, ib = np.triu_indices(len(tools), k=1)
-        return pd.DataFrame({"tool_a": tools[ia], "tool_b": tools[ib]})
-
-    per_conv = (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby("conv_id")
-        .map_groups(pairs, batch_format="pandas")
+    ct = conv_tool if conv_tool is not None else conv_tool_pairs(ds).materialize()
+    right = ct.map_batches(
+        lambda t: pa.table({"conv_id": t["conv_id"], "tool_b": t["tool"]}),
+        batch_format="pyarrow",
     )
-    return per_conv.groupby(["tool_a", "tool_b"]).count().drop_columns(["count()"])
+    joined = safe_join(
+        ct, right, "inner", effective_partitions(), on=("conv_id",)
+    )
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["tool"], t["tool_b"]))
+        return pa.table({"tool_a": t["tool"], "tool_b": t["tool_b"]}).group_by(
+            ["tool_a", "tool_b"]
+        ).aggregate([])
+
+    pairs = joined.map_batches(keep_ordered, batch_format="pyarrow")
+    return pairs.groupby(["tool_a", "tool_b"]).count().drop_columns(["count()"])
 
 
 @dataclass
@@ -202,14 +212,20 @@ class LinkGraph:
 
     def out_degrees(self, kinds: tuple[str, ...] | None = None) -> np.ndarray:
         """Dense out-degree vector (len n_nodes), small enough to broadcast."""
+        return self._degrees("src", kinds)
+
+    def in_degrees(self, kinds: tuple[str, ...] | None = None) -> np.ndarray:
+        return self._degrees("dst", kinds)
+
+    def _degrees(self, col: str, kinds: tuple[str, ...] | None) -> np.ndarray:
         deg = np.zeros(self.n_nodes, dtype=np.int64)
         for batch in (
             self.directed(kinds)
-            .groupby("src")
+            .groupby(col)
             .count()
             .iter_batches(batch_format="pyarrow")
         ):
-            deg[batch["src"].to_numpy()] = batch["count()"].to_numpy()
+            deg[batch[col].to_numpy()] = batch["count()"].to_numpy()
         return deg
 
 
@@ -236,12 +252,17 @@ def build_link_graph(
     """
     key_tables: list[tuple[str, ray.data.Dataset, str, str, str, str]] = []
     # (kind, pairs_ds, src_kind, src_col, dst_kind, dst_col)
+    ct = (
+        conv_tool_pairs(transcripts).materialize()
+        if ("conv_tool" in kinds or "tool_cooc" in kinds)
+        else None
+    )
     if "conv_tool" in kinds:
-        key_tables.append(("conv_tool", conv_tool_pairs(transcripts), "conv", "conv_id", "tool", "tool"))
+        key_tables.append(("conv_tool", ct, "conv", "conv_id", "tool", "tool"))
     if "reply" in kinds:
         key_tables.append(("reply", reply_pairs(transcripts), "turn", "src_idx", "turn", "dst_idx"))
     if "tool_cooc" in kinds:
-        key_tables.append(("tool_cooc", tool_cooc_pairs(transcripts), "tool", "tool_a", "tool", "tool_b"))
+        key_tables.append(("tool_cooc", tool_cooc_pairs(transcripts, conv_tool=ct), "tool", "tool_a", "tool", "tool_b"))
 
     # normalize each pair table to (src_kind, src_key, dst_kind, dst_key, kind)
     def normalizer(kind: str, sk: str, sc: str, dk: str, dc: str):
@@ -304,3 +325,236 @@ def build_link_graph(
     return LinkGraph(
         edges=edges, n_nodes=nd.n, node_dict_ref=ref, node_table=nd.to_table()
     )
+
+
+# ---------------------------------------------------------------------------
+# structured-id build (the 10^12-turn path: no string dictionary)
+# ---------------------------------------------------------------------------
+
+MAX_TURNS_SLOT = 32  # id-space slot width per conversation (turns ≤ 16 here)
+
+
+@dataclass
+class StructuredIds:
+    """Arithmetic id layout: no dictionary, no shuffle, no driver state.
+
+    turn(c, i) = c·MAX_TURNS_SLOT + i          ∈ [0, C·S)
+    conv(c)    = C·S + c                       ∈ [C·S, C·(S+1))
+    tool(t)    = C·(S+1) + t                   ∈ [C·(S+1), C·(S+1)+T)
+
+    Ids are dense enough for dense-mode state vectors (≤ (S+1)/avg_turns ≈ 3×
+    overhead); slots for absent vertices have no edges and are masked out of
+    reported results. The dictionary path stays the oracle-comparable mode.
+    """
+
+    n_convs: int
+    n_tools: int
+    slot: int = MAX_TURNS_SLOT
+
+    @property
+    def n_space(self) -> int:
+        return self.n_convs * (self.slot + 1) + self.n_tools
+
+    def turn_id(self, conv_idx, turn_idx):
+        return conv_idx * np.int64(self.slot) + turn_idx
+
+    def conv_id(self, conv_idx):
+        return np.int64(self.n_convs) * self.slot + conv_idx
+
+    def tool_id(self, tool_rank):
+        return np.int64(self.n_convs) * (self.slot + 1) + tool_rank
+
+
+def _parse_suffix_int(col: pa.ChunkedArray | pa.Array, prefix_len: int) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.utf8_slice_codeunits(col, prefix_len), pa.int64())
+
+
+def build_link_graph_structured(
+    transcripts: ray.data.Dataset,
+    kinds: tuple[str, ...] = EDGE_KINDS,
+    n_convs: int | None = None,
+    n_tools: int | None = None,
+) -> tuple[LinkGraph, StructuredIds]:
+    """Structured-id edge build: vectorized int parsing, zero driver state.
+
+    Requires the generator's key formats (``c%07d`` conv ids, ``tool_%03d``
+    tool names) — i.e. integer-convertible keys, the standard situation at
+    10^12 scale where keys are already numeric. Node ids come from arithmetic
+    (``StructuredIds``), so the only shuffles left are the dedup groupbys for
+    conv_tool / tool_cooc; reply edges need no shuffle at all.
+    """
+    import pyarrow.compute as pc
+
+    from .stages.blocks import effective_partitions, safe_join
+
+    if n_convs is None or n_tools is None:
+
+        def maxes(t: pa.Table) -> pa.Table:
+            c = _parse_suffix_int(t["conv_id"], 1)
+            tools = t.filter(pc.is_valid(t["tool"]))
+            tr = _parse_suffix_int(tools["tool"], 5)
+            return pa.table(
+                {
+                    "max_conv": [pc.max(c).as_py()],
+                    "max_tool": [pc.max(tr).as_py() if tools.num_rows else -1],
+                }
+            )
+
+        mm = transcripts.map_batches(maxes, batch_format="pyarrow").to_pandas()
+        n_convs = int(mm["max_conv"].max()) + 1
+        n_tools = int(mm["max_tool"].max()) + 1
+    ids = StructuredIds(n_convs=n_convs, n_tools=n_tools)
+
+    parts: list[ray.data.Dataset] = []
+
+    def ct_ints(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tool"]))
+        return pa.table(
+            {
+                "c": _parse_suffix_int(t["conv_id"], 1),
+                "t": _parse_suffix_int(t["tool"], 5),
+            }
+        ).group_by(["c", "t"]).aggregate([])
+
+    ct = None
+    if "conv_tool" in kinds or "tool_cooc" in kinds:
+        ct = (
+            transcripts.select_columns(["conv_id", "tool"])
+            .map_batches(ct_ints, batch_format="pyarrow")
+            .groupby(["c", "t"])
+            .count()
+            .drop_columns(["count()"])
+            .materialize()
+        )
+    if "conv_tool" in kinds:
+        parts.append(
+            ct.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": ids.conv_id(t["c"].to_numpy()),
+                        "dst": ids.tool_id(t["t"].to_numpy()),
+                        "kind": np.full(t.num_rows, "conv_tool", dtype=object),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if "reply" in kinds:
+
+        def reply_edges(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["turn_idx"], 0))
+            c = _parse_suffix_int(t["conv_id"], 1).to_numpy()
+            i = t["turn_idx"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "src": ids.turn_id(c, i - 1),
+                    "dst": ids.turn_id(c, i),
+                    "kind": np.full(len(i), "reply", dtype=object),
+                }
+            )
+
+        parts.append(
+            transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
+                reply_edges, batch_format="pyarrow"
+            )
+        )
+    if "tool_cooc" in kinds:
+        right = ct.map_batches(
+            lambda t: pa.table({"c": t["c"], "t2": t["t"]}), batch_format="pyarrow"
+        )
+        joined = safe_join(ct, right, "inner", effective_partitions(), on=("c",))
+
+        def ordered(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["t"], t["t2"]))
+            return pa.table({"a": t["t"], "b": t["t2"]}).group_by(["a", "b"]).aggregate([])
+
+        cooc = (
+            joined.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .count()
+            .drop_columns(["count()"])
+        )
+        parts.append(
+            cooc.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": ids.tool_id(t["a"].to_numpy()),
+                        "dst": ids.tool_id(t["b"].to_numpy()),
+                        "kind": np.full(t.num_rows, "tool_cooc", dtype=object),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    edges = parts[0]
+    for other in parts[1:]:
+        edges = edges.union(other)
+    edges = edges.materialize()
+    graph = LinkGraph(
+        edges=edges,
+        n_nodes=ids.n_space,
+        node_dict_ref=None,
+        node_table=None,
+    )
+    return graph, ids
+
+
+def conv_share_graph(
+    transcripts: ray.data.Dataset, window: int = 32
+) -> tuple[ray.data.Dataset, int]:
+    """Conv co-usage projection: windowed conv→conv edges per shared tool.
+
+    For every tool, its (sorted) conversations are linked to the next
+    ``window`` conversations — a bounded-degree projection of the bipartite
+    conv–tool graph (the full projection through Zipf hub tools would be
+    quadratic; the window keeps |E| = window·|conv_tool| while preserving the
+    hub-induced connectivity). Multi-edges across tools are kept (multigraph
+    semantics — PageRank treats them as weights), so no dedup shuffle.
+
+    Node ids are the raw conv indices (dense [0, C)); returns (edges, C).
+    This is the EDGE-HEAVY workload used for the cluster-size scaling
+    evidence: state per vertex is small relative to per-round edge compute,
+    which is what a billion-edge production graph looks like (avg degree
+    ≫ 1), unlike the turn-chain graph whose degree is ~1.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def ct_ints(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tool"]))
+        return pa.table(
+            {
+                "c": _parse_suffix_int(t["conv_id"], 1),
+                "t": _parse_suffix_int(t["tool"], 5),
+            }
+        ).group_by(["c", "t"]).aggregate([])
+
+    ct = (
+        transcripts.select_columns(["conv_id", "tool"])
+        .map_batches(ct_ints, batch_format="pyarrow")
+        .groupby(["c", "t"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["c"].to_numpy())
+        if len(c) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        srcs, dsts = [], []
+        for w in range(1, min(window, len(c) - 1) + 1):
+            srcs.append(c[:-w])
+            dsts.append(c[w:])
+        return pd.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+
+    edges = ct.groupby("t").map_groups(windows, batch_format="pandas")
+    mm = transcripts.map_batches(
+        lambda t: pa.table({"m": [pc.max(_parse_suffix_int(t["conv_id"], 1)).as_py()]}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return edges, int(mm["m"].max()) + 1

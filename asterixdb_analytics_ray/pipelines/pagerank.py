@@ -37,6 +37,11 @@ class PageRankDense:
     n: int
     supersteps: int = 10
     tol: float | None = None
+    part_modulus: int | None = None  # set when edges are dst-hash-partitioned
+    # actual vertex count for the teleport term; defaults to the id-space
+    # size n (differs only under the structured-id layout, where some id
+    # slots are unused — those slots have no edges and are masked on output)
+    n_vertices: int | None = None
 
     name: str = "pagerank"
     combiner = SUM
@@ -44,13 +49,15 @@ class PageRankDense:
     _converged: bool = False
 
     def init_state(self, n: int) -> dict[str, np.ndarray]:
-        return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}
+        nv = self.n_vertices or n
+        return {"rank": np.full(n, 1.0 / nv, dtype=np.float64)}
 
     def scatter_factory(self, refs, superstep):
         if superstep >= self.supersteps or self._converged:
             return None
         rank_ref = refs["rank"]
         outdeg_ref = self.outdeg_ref
+        n, P = self.n, self.part_modulus
 
         def scatter(batch: pa.Table) -> pa.Table:
             rank = ray.get(rank_ref)
@@ -61,10 +68,38 @@ class PageRankDense:
             v, m = SUM.segment_reduce(dst, contrib)
             return pa.table({"v": v, "msg": m})
 
-        return scatter
+        if P is None:
+            return scatter
+
+        def scatter_partitioned(batch: pa.Table) -> pa.Table:
+            """dst-partitioned block: bincount over LOCAL ids (dst // P) —
+            O(E/P + n/P) with no sort; emits the block's combined messages."""
+            rank = ray.get(rank_ref)
+            outdeg = ray.get(outdeg_ref)
+            src = batch["src"].to_numpy()
+            dst = batch["dst"].to_numpy()
+            if len(dst) == 0:
+                return pa.table(
+                    {"v": pa.array([], pa.int64()), "msg": pa.array([], pa.float64())}
+                )
+            contrib = rank[src] / outdeg[src]
+            mod = dst % P
+            if (mod != mod[0]).any():
+                # Ray coalesced several small partition-groups into one block
+                # (tiny-graph case) — fall back to the sort-based pre-combine;
+                # the driver combine's overlap guard keeps correctness.
+                v, m = SUM.segment_reduce(dst, contrib)
+                return pa.table({"v": v, "msg": m})
+            p = int(mod[0])
+            lo = dst // P
+            acc = np.bincount(lo, weights=contrib, minlength=(n + P - 1) // P)
+            nz = np.flatnonzero(acc)
+            return pa.table({"v": nz * P + p, "msg": acc[nz]})
+
+        return scatter_partitioned
 
     def apply(self, state, msg, has_msg, superstep):
-        new = (1.0 - DAMPING) / self.n + DAMPING * msg
+        new = (1.0 - DAMPING) / (self.n_vertices or self.n) + DAMPING * msg
         delta = float(np.abs(new - state["rank"]).max())
         if self.tol is not None and delta < self.tol:
             self._converged = True
@@ -79,6 +114,7 @@ def pagerank_dense(
     supersteps: int = 10,
     tol: float | None = None,
     cfg: BSPConfig | None = None,
+    n_vertices: int | None = None,
 ) -> BSPResult:
     cfg = cfg or BSPConfig()
     cfg.max_supersteps = supersteps if tol is None else max(supersteps, cfg.max_supersteps)
@@ -87,6 +123,8 @@ def pagerank_dense(
         n=n,
         supersteps=supersteps if tol is None else cfg.max_supersteps,
         tol=tol,
+        part_modulus=cfg.dst_partition_modulus,
+        n_vertices=n_vertices,
     )
     return run_dense_bsp(edges, n, algo, cfg)
 

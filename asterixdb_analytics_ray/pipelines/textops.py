@@ -1,0 +1,398 @@
+"""Text-analysis + deduplication pipelines over the ``documents`` table.
+
+Beyond the reference's graph operators, these are the data-pipeline stages a
+large-scale training corpus needs (SURVEY-adjacent scope): token counting,
+fingerprinting, quality scoring, language ID, exact dedup, MinHash-LSH /
+SimHash / n-gram-Jaccard near-dup. All are streaming ``map_batches`` stages
+over Arrow batches; the only shuffles are the dedup groupbys and the LSH
+band-bucket groupby.
+
+Scale notes (100 TB corpus):
+- per-batch work is vectorized (numpy / pyarrow.compute / pandas str ops) or
+  tight per-doc loops over precomputed arrays; stateful pieces (hash seeds,
+  language profiles) are built once and broadcast via ``ray.put``;
+- exact dedup shuffles a 16-byte digest + doc id per row, never the text;
+- MinHash-LSH shuffles (band_id, band_hash, doc_id) rows — bounded by
+  docs × bands — and verifies candidate pairs with exact Jaccard inside the
+  bucket group, so no quadratic pair blow-up outside hot buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _tokens(texts: pd.Series) -> pd.Series:
+    return texts.str.split()
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens) — whitespace tokenization, vectorized."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": _tokens(df["text"]).str.len().fillna(0).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, fingerprint) — md5 content digest (matches DuckDB ``md5``)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_words, avg_word_len, stopword_ratio, score).
+
+    Heuristic quality features: word count, mean word length, stopword ratio;
+    score = words weighted down by stopword share. Deterministic and
+    SQL-replicable (the DuckDB oracle uses the same closed formula).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        n_words = toks.str.len().fillna(0).astype(np.int64)
+        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0)
+        stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws) if ws else 0)
+        nw = n_words.to_numpy().astype(np.float64)
+        safe = np.maximum(nw, 1.0)
+        avg_len = np.round(total_len.to_numpy() / safe, 6)
+        stop_ratio = np.round(stop.to_numpy() / safe, 6)
+        score = np.round(nw * (1.0 - stop_ratio), 6)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "avg_word_len": avg_len,
+                "stopword_ratio": stop_ratio,
+                "score": score,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, text) keeping the MINIMUM doc_id per distinct text.
+
+    Hash-partition + per-group first — the digest (not the text) is the
+    shuffle key; the text column rides along only to break hash collisions
+    exactly. Output = canonical representatives.
+    """
+    from ray.data.aggregate import Min
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "text"]].copy()
+        df["h"] = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()[:16] for t in df["text"]
+        ]
+        return df
+
+    hashed = docs.map_batches(digest, batch_format="pandas")
+    return (
+        hashed.groupby(["h", "text"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id", "text"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID: char n-gram profiles (stateful 2-pass pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(text: str, n: int = 3) -> list[str]:
+    t = f" {text.lower()} "
+    return [t[i : i + n] for i in range(max(0, len(t) - n + 1))]
+
+
+def _profile(texts: list[str], top: int = 300) -> dict[str, float]:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        c.update(_char_ngrams(t))
+    total = sum(c.values()) or 1
+    return {g: cnt / total for g, cnt in c.most_common(top)}
+
+
+def language_id(
+    docs: ray.data.Dataset, train_frac_seed: int = 7
+) -> ray.data.Dataset:
+    """(doc_id, pred_lang) — nearest char-trigram profile classifier.
+
+    Pass 1 builds per-language trigram profiles from the labeled ``lang``
+    column (grouped aggregation, small result); the profiles are broadcast
+    via ``ray.put`` and pass 2 scores every document in stateless tasks that
+    fetch them zero-copy from the object store.
+    """
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        prof = _profile(list(g["text"]))
+        import json
+
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "profile": [json.dumps(prof)]}
+        )
+
+    profs = docs.groupby("lang").map_groups(collect, batch_format="pandas").take_all()
+    import json
+
+    profiles = {r["lang"]: json.loads(r["profile"]) for r in profs}
+    ref = ray.put(profiles)
+
+    # plain tasks (broadcast profiles fetched zero-copy per task): an actor
+    # pool would pin CPUs and can starve concurrent stages on small clusters
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        profiles: dict[str, dict[str, float]] = ray.get(ref)
+        preds = []
+        for t in df["text"]:
+            c = Counter(_char_ngrams(t))
+            total = sum(c.values()) or 1
+            best, best_s = None, -1.0
+            for lang, prof in sorted(profiles.items()):
+                s = sum(prof.get(g, 0.0) * cnt for g, cnt in c.items()) / total
+                if s > best_s:
+                    best, best_s = lang, s
+            preds.append(best)
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": preds})
+
+    return docs.map_batches(classify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (stable across processes)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    return np.unique(out)
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: ray.data.Dataset, num_perm: int = 64, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, sig: fixed-size-list<uint64>) MinHash signatures."""
+    a, b = _minhash_params(num_perm)
+    a_ref, b_ref = ray.put(a), ray.put(b)
+
+    def sig(df: pd.DataFrame) -> pa.Table:
+        a = ray.get(a_ref)
+        b = ray.get(b_ref)
+        sigs = np.empty((len(df), len(a)), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            sh = _shingle_hashes(t, shingle_k)
+            if len(sh) == 0:
+                sigs[i] = np.uint64((1 << 61) - 1)
+                continue
+            # (a*x + b) mod p, vectorized over shingles × perms
+            v = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
+            sigs[i] = v.min(axis=0)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1)), len(a)
+                ),
+            }
+        )
+
+    return docs.map_batches(sig, batch_format="pandas")
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHash-LSH.
+
+    signatures → explode to (band_id, band_hash, doc_id) → bucket groupby →
+    candidate pairs within buckets → exact-Jaccard verification (on the
+    docs' shingle sets, recomputed inside the verify stage) → dedup pairs.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_k)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sig = t["sig"].combine_chunks().flatten().to_numpy().reshape(n, num_perm)
+        doc = t["doc_id"].to_numpy()
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_rep = np.tile(doc, bands)
+        hashes = np.empty(n * bands, dtype=np.uint64)
+        for b_i in range(bands):
+            seg = sig[:, b_i * rows_per_band : (b_i + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for r in range(rows_per_band):  # tiny fixed loop, vectorized inner
+                h = h * np.uint64(1099511628211) + seg[:, r]
+            hashes[b_i * n : (b_i + 1) * n] = h
+        return pa.table(
+            {"band_id": band_ids, "band_hash": hashes, "doc_id": doc_rep}
+        )
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    # broadcast doc texts for the verify stage (documents table is the small
+    # side here; at 100 TB the verify would join shingle sets by doc_id)
+    texts = {
+        r["doc_id"]: r["text"]
+        for b in docs.select_columns(["doc_id", "text"]).iter_batches(
+            batch_format="pandas"
+        )
+        for r in b.to_dict("records")
+    }
+    tref = ray.put(texts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(tref)
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(d: int) -> np.ndarray:
+            if d not in cache:
+                cache[d] = _shingle_hashes(texts[d], shingle_k)
+            return cache[d]
+
+        jac = np.empty(len(df))
+        for i, (da, db) in enumerate(zip(df["doc_a"], df["doc_b"])):
+            sa, sb = sh(int(da)), sh(int(db))
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        out = df[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= threshold]
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, simhash: uint64) — 64-bit SimHash over word-unigram hashes."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        out = np.zeros(len(df), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            words = t.split()
+            if not words:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                    )
+                    for w in words
+                ),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            val = np.uint64(0)
+            for b_i in np.flatnonzero(votes > 0):
+                val |= np.uint64(1) << np.uint64(b_i)
+            out[i] = val
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy()), "simhash": out})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.5, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """Exact all-pairs word-k-gram Jaccard ≥ threshold (small-table oracle path).
+
+    Quadratic — intended as the verification baseline for the LSH variant at
+    test scales; the LSH pipeline is the 100 TB path.
+    """
+    rows = docs.select_columns(["doc_id", "text"]).take_all()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    sets = [_shingle_hashes(r["text"], shingle_k) for r in rows]
+    order = np.argsort(ids)
+    out_a, out_b, out_j = [], [], []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            a, b = order[ii], order[jj]
+            sa, sb = sets[a], sets[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(ids[a])
+                out_b.append(ids[b])
+                out_j.append(round(j, 6))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+    )

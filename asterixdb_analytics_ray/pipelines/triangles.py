@@ -43,16 +43,53 @@ def triangle_count(
     (``LinkGraph.oriented()`` / micrograph helper).
     """
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nbrs = np.sort(g["dst"].to_numpy())
-        if len(nbrs) < 2:
-            return pd.DataFrame({"a": [], "b": [], "c": []})
-        ib, ic = np.triu_indices(len(nbrs), k=1)
-        return pd.DataFrame(
-            {"a": g["src"].iloc[0], "b": nbrs[ib], "c": nbrs[ic]}
+    from ..stages.blocks import effective_partitions
+
+    P = effective_partitions(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(t["src"].to_numpy() % P, pa.int32())
         )
 
-    wedge_ds = oriented_edges.groupby("src").map_groups(wedges, batch_format="pandas")
+    def wedges_vec(t: pa.Table) -> pa.Table:
+        """All neighbor pairs (b < c) per src, fully vectorized.
+
+        Receives ONE hash partition of srcs (groupby("part")), sorts by
+        (src, dst), finds src runs, and enumerates each run's triangular
+        pairs with the closed-form (i, j) inversion of the pair index —
+        no per-vertex Python loop.
+        """
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(s)])))
+        cnt = lens * (lens - 1) // 2
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        rid = np.repeat(np.arange(len(lens)), cnt)
+        p = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * p)) / 2.0).astype(np.int64)
+        j = np.where(j * (j - 1) // 2 > p, j - 1, j)  # float-rounding guards
+        j = np.where((j + 1) * j // 2 <= p, j + 1, j)
+        i = p - j * (j - 1) // 2
+        run0 = starts[rid]
+        return pa.table({"a": s[run0], "b": d[run0 + i], "c": d[run0 + j]})
+
+    wedge_ds = (
+        oriented_edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges_vec, batch_format="pyarrow")
+    )
     closed = safe_join(
         wedge_ds,
         oriented_edges,

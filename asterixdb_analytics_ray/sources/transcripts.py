@@ -209,15 +209,21 @@ def transcripts_dataset(spec: TranscriptSpec, convs_per_block: int = 4_000):
 _CACHE_ROOT = "/tmp/aar_data"
 
 
-def ensure_transcripts(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
+def ensure_transcripts(
+    sf_dir: str, seed: int = DEFAULT_SEED, scale: float = 1.0
+) -> str:
     """Idempotently materialize the transcript parquet for a testdata sf dir.
 
-    Cached under /tmp keyed by (sf, seed, generator version); both the Ray
-    pipelines and the DuckDB oracle SQL read this same file.
+    Cached under /tmp keyed by (sf, scale, seed, generator version); both the
+    Ray pipelines and the DuckDB oracle SQL read this same file. ``scale``
+    multiplies the conversation count (bench-only knob for making the
+    workload compute-bound at fixed sf).
     """
     sf = sf_from_dir(sf_dir)
-    spec = spec_for_sf(sf, seed)
-    out_dir = os.path.join(_CACHE_ROOT, f"sf{sf}")
+    spec = spec_for_sf(sf * scale, seed)
+    out_dir = os.path.join(
+        _CACHE_ROOT, f"sf{sf}" if scale == 1.0 else f"sf{sf}x{scale:g}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "transcripts.parquet")
     meta_path = os.path.join(out_dir, "meta.json")

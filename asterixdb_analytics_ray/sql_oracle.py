@@ -230,3 +230,82 @@ def events_bipartite_degree_sql() -> str:
         "SELECT user_id, count(*) AS n_event_types FROM "
         "(SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings oracles (pre-registered driver views, no /tmp path)
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+
+
+def token_counts_sql() -> str:
+    return (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents"
+    )
+
+
+def fingerprints_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def exact_dedup_sql() -> str:
+    return "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def quality_scores_sql() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] 
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CAST(len(list_filter(ws, x -> x IN {_STOPWORD_SQL})) AS DOUBLE) AS stops,
+         CAST(len(replace(list_aggregate(ws, 'string_agg', ''), ' ', '')) AS DOUBLE)
+           AS total_len
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(total_len / greatest(n_words, 1), 6) AS avg_word_len,
+       round(stops / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(n_words * (1 - round(stops / greatest(n_words, 1), 6)), 6) AS score
+FROM feats
+"""
+
+
+def knn_sql(query_ids: tuple = (0, 1, 2), k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS s
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(s, 6) AS sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, vec_id ASC) AS rn
+      FROM sims)
+WHERE rn <= {k}
+"""
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.95) -> str:
+    return f"""
+WITH n AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+"""

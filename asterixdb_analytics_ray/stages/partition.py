@@ -1,0 +1,93 @@
+"""Explicit hash partitioning — the engine's VertexPartitioner analog.
+
+Reference: ``VertexIdPartitionComputerFactory`` (hash of vertex id bytes mod
+partitions) routes messages to their owner partition before the global
+combine (``pregelix-runtime/.../touchpoint/VertexIdPartitionComputerFactory.java``);
+``DefaultVertexPartitioner`` is ``hashCode % nPartitions``
+(``pregelix-api/.../util/DefaultVertexPartitioner.java:29-34``).
+
+``hash_partition_by(ds, col, P)`` redistributes an edge table so block p
+holds exactly the rows with ``col % P == p``. The dense BSP scatter then
+pre-combines messages per block with bincount over LOCAL ids (``col // P``)
+and the per-block partial message tables have pairwise-DISJOINT destination
+sets — the driver-side final combine degrades to a pure assignment, and a
+hot destination never fans across partials (the salted/two-level-combine
+guarantee from SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def hash_partition_by(
+    ds: ray.data.Dataset, col: str, num_partitions: int
+) -> ray.data.Dataset:
+    """One shuffle: redistribute rows so block i holds rows with col%P == i.
+
+    Done once at graph build; every subsequent superstep reuses the layout
+    (the reference equally pays one M-to-N partition + bulk load at setup,
+    ``JobGen.loadHDFSData:531-604``).
+    """
+    P = num_partitions
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", pa.array((t[col].to_numpy() % P).astype(np.int32))
+        )
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__part"])
+
+    shuffled = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part", num_partitions=P)
+        .map_groups(strip, batch_format="pyarrow")
+        .materialize()
+    )
+    return _coalesce_single_part_blocks(shuffled, col, P)
+
+
+def _coalesce_single_part_blocks(
+    mat_ds: ray.data.Dataset, col: str, P: int
+) -> ray.data.Dataset:
+    """Merge the shuffle's output fragments so each partition is ONE block.
+
+    Ray's groupby/map_groups emits several blocks per group; the dense BSP
+    scatter launches one task per block, so fragment counts translate
+    directly into per-superstep task-dispatch overhead. Merging is metadata
+    work on the driver plus one zero-copy concat task per partition. (Very
+    large partitions will be re-split by the object store's block sizing —
+    the scatter's per-batch partition check handles that correctly.)
+    """
+    import ray as _ray
+
+    refs = mat_ds.to_arrow_refs()
+    if len(refs) <= P:
+        return mat_ds
+    groups: dict[int, list] = {}
+    for r in refs:
+        t = _ray.get(r)
+        if t.num_rows:
+            p = int(t[col][0].as_py()) % P
+            groups.setdefault(p, []).append(r)
+
+    @_ray.remote
+    def concat(*tables):
+        return pa.concat_tables(tables).combine_chunks()
+
+    new_refs = [
+        g[0] if len(g) == 1 else concat.remote(*g)
+        for g in (groups[p] for p in sorted(groups))
+    ]
+    return ray.data.from_arrow_refs(new_refs)
+
+
+def is_dst_partitioned(batch_dst: np.ndarray, P: int) -> bool:
+    """Cheap per-batch check that all dsts fall in one partition class."""
+    if len(batch_dst) == 0:
+        return True
+    m = batch_dst % P
+    return bool((m == m[0]).all())

@@ -1,0 +1,91 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from asterixdb_analytics_ray.imru import BGDLinearJob, KMeansJob, run_imru
+from asterixdb_analytics_ray.pipelines import embeddings as E
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 8)) * 4
+    pts = np.concatenate(
+        [centers[i] + rng.normal(size=(40, 8)) * 0.3 for i in range(3)]
+    )
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in pts],
+            "label": np.repeat(np.arange(3), 40).astype(np.int32),
+        }
+    )
+    return ray.data.from_pandas(df), pts
+
+
+def _exact_topk(pts, q, k):
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = pn @ qn
+    order = np.lexsort((np.arange(len(pts)), -sims))[:k]
+    return order, sims[order]
+
+
+def test_knn_brute_force_exact(emb):
+    ds, pts = emb
+    q = pts[7]
+    got = E.knn_brute_force(ds, q[None, :], np.array([7]), k=5).to_pandas()
+    want_ids, want_sims = _exact_topk(pts, q, 5)
+    assert list(got["vec_id"]) == list(want_ids)
+    np.testing.assert_allclose(got["sim"], np.round(want_sims, 6), atol=1e-6)
+    assert got["vec_id"].iloc[0] == 7  # self is the nearest
+
+
+def test_kmeans_imru_converges(emb):
+    ds, pts = emb
+    init = pts[[0, 45, 90]]  # one seed per true cluster (k-means is init-sensitive)
+    job = KMeansJob(column="embedding", tol=1e-9)
+    cents = run_imru(job, ds, init.copy(), max_iters=50)
+    # every point is within its cluster spread of some centroid
+    d = np.linalg.norm(pts[:, None, :] - cents[None], axis=2).min(axis=1)
+    assert d.max() < 2.0
+
+
+def test_knn_ivf_high_recall(emb):
+    ds, pts = emb
+    qs = pts[[3, 55, 100]]
+    qids = np.array([3, 55, 100])
+    exact = E.knn_brute_force(ds, qs, qids, k=10).to_pandas()
+    approx = E.knn_ivf(ds, qs, qids, k=10, n_clusters=6, nprobe=3).to_pandas()
+    recall = 0.0
+    for qid in qids:
+        ev = set(exact[exact["query_id"] == qid]["vec_id"])
+        av = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(ev & av) / len(ev)
+    assert recall / len(qids) >= 0.9
+
+
+def test_cosine_dup_pairs(emb):
+    ds, pts = emb
+    got = E.cosine_dup_pairs(ds, threshold=0.999).to_pandas()
+    # near-identical vectors within a tight cluster only; pairs are oriented
+    assert (got["vec_a"] < got["vec_b"]).all()
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = pn @ pn.T
+    iu = np.triu_indices(len(pts), k=1)
+    want = int((sims[iu] >= 0.999).sum())
+    assert len(got) == want
+
+
+def test_bgd_linear_recovers_weights(ray_session):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(500, 3))
+    w_true = np.array([2.0, -1.0, 0.5])
+    y = X @ w_true + 3.0
+    df = pd.DataFrame(X, columns=["x1", "x2", "x3"])
+    df["y"] = y
+    ds = ray.data.from_pandas(df)
+    job = BGDLinearJob(feature_cols=("x1", "x2", "x3"), target_col="y", lr=0.5)
+    w = run_imru(job, ds, np.zeros(4), max_iters=200)
+    np.testing.assert_allclose(w, [2.0, -1.0, 0.5, 3.0], atol=1e-3)

@@ -80,3 +80,32 @@ def test_out_degrees(tiny_graph):
     for v, c in e["src"].value_counts().items():
         want[v] = c
     assert (deg == want).all()
+
+
+def test_structured_ids_isomorphic_to_dict(tiny_transcripts, tiny_graph):
+    """Structured-id build must produce the same graph up to id renaming."""
+    from asterixdb_analytics_ray.graph import build_link_graph_structured
+
+    g2, ids = build_link_graph_structured(tiny_transcripts)
+    e2 = g2.edges.to_pandas()
+
+    def decode(v: int) -> tuple[str, str]:
+        C, S = ids.n_convs, ids.slot
+        if v < C * S:
+            return ("turn", f"c{v // S:07d}:{v % S:04d}")
+        if v < C * (S + 1):
+            return ("conv", f"c{v - C * S:07d}")
+        return ("tool", f"tool_{v - C * (S + 1):03d}")
+
+    nodes = tiny_graph.node_table.to_pandas().set_index("node_id")
+    e1 = tiny_graph.edges.to_pandas()
+    set1 = {
+        (
+            (nodes.loc[s, "kind"], nodes.loc[s, "key"]),
+            (nodes.loc[d, "kind"], nodes.loc[d, "key"]),
+            k,
+        )
+        for s, d, k in zip(e1["src"], e1["dst"], e1["kind"])
+    }
+    set2 = {(decode(s), decode(d), k) for s, d, k in zip(e2["src"], e2["dst"], e2["kind"])}
+    assert set1 == set2

@@ -66,8 +66,17 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "triangle_total": so.triangle_total_sql,
         "sssp": so.sssp_sql,
     }
-    if name == "events_bipartite_degree":
-        return so.events_bipartite_degree_sql()
+    view_based = {
+        "events_bipartite_degree": so.events_bipartite_degree_sql,
+        "doc_token_counts": so.token_counts_sql,
+        "doc_fingerprints": so.fingerprints_sql,
+        "doc_exact_dedup": so.exact_dedup_sql,
+        "doc_quality": so.quality_scores_sql,
+        "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
+        "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
+    }
+    if name in view_based:
+        return view_based[name]()
     return builders[name](p)
 
 
@@ -94,7 +103,22 @@ QUERY_NAMES = [
     "triangle_total",
     "sssp",
     "events_bipartite_degree",
+    "doc_token_counts",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_quality",
+    "emb_knn",
+    "emb_cosine_dups",
 ]
+
+ROWS_ONLY = ["doc_language_id", "doc_minhash_dups", "doc_simhash", "emb_kmeans_cells"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entrymod, name):
+    got = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert got is not None
+    assert name == "doc_minhash_dups" or len(got) > 0
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

@@ -56,3 +56,21 @@ def test_pagerank_dataset_mode_matches_dense(tiny_graph):
     np.testing.assert_allclose(
         pdf["rank"].to_numpy(), dense.state["rank"], atol=1e-9
     )
+
+
+def test_pagerank_dst_partitioned_matches(tiny_graph):
+    from asterixdb_analytics_ray.bsp import BSPConfig
+    from asterixdb_analytics_ray.stages.partition import hash_partition_by
+
+    g = tiny_graph
+    edges = g.directed().materialize()
+    plain = pagerank_dense(edges, g.n_nodes, g.out_degrees(), supersteps=10)
+    parts = hash_partition_by(g.directed(), "dst", 4)
+    fast = pagerank_dense(
+        parts,
+        g.n_nodes,
+        g.out_degrees(),
+        supersteps=10,
+        cfg=BSPConfig(dst_partition_modulus=4),
+    )
+    np.testing.assert_allclose(fast.state["rank"], plain.state["rank"], atol=1e-13)

@@ -1,0 +1,77 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from asterixdb_analytics_ray.pipelines import textops as T
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s0"),  # near-dup of 0
+        (2, "der schnelle braune fuchs springt", "de", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s2"),  # exact dup of 0
+        (4, "completely different words entirely here now", "en", "s3"),
+        (5, "", "en", "s4"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    return ray.data.from_pandas(df)
+
+
+def test_token_counts(docs):
+    got = T.token_counts(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    assert got[0] == 9 and got[5] == 0 and got[4] == 6
+
+
+def test_fingerprints_match_md5(docs):
+    import hashlib
+
+    got = T.fingerprints(docs).to_pandas().set_index("doc_id")["fingerprint"]
+    assert got[0] == hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert got[0] == got[3] != got[1]
+
+
+def test_exact_dedup(docs):
+    got = T.exact_dedup(docs).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [0, 1, 2, 4, 5]  # 3 deduped into 0
+
+
+def test_quality_scores(docs):
+    got = T.quality_scores(docs).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_words"] == 9
+    assert got.loc[0, "stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert got.loc[5, "score"] == 0
+
+
+def test_language_id(docs):
+    got = T.language_id(docs).to_pandas().set_index("doc_id")["pred_lang"]
+    # training docs classify to their own language
+    assert got[0] == "en" and got[2] == "de"
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = T.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
+    pairset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 3) in pairset  # exact dup always caught
+    assert (0, 1) in pairset  # near dup (8/10 shingles shared)
+    assert (0, 4) not in pairset
+
+
+def test_lsh_agrees_with_exact_jaccard(docs):
+    lsh = T.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
+    exact = T.ngram_jaccard_pairs(docs, threshold=0.4).to_pandas()
+    # identical jaccard values for every pair LSH surfaces, and no misses here
+    got = {(a, b): j for a, b, j in lsh.itertuples(index=False)}
+    want = {(a, b): j for a, b, j in exact.itertuples(index=False)}
+    assert got == want
+
+
+def test_simhash_close_for_near_dups(docs):
+    got = T.simhash_values(docs).to_pandas().set_index("doc_id")["simhash"]
+    ham = bin(int(got[0]) ^ int(got[1])).count("1")
+    ham_far = bin(int(got[0]) ^ int(got[4])).count("1")
+    assert got[0] == got[3]
+    assert ham < ham_far
