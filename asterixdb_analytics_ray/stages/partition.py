@@ -91,3 +91,49 @@ def is_dst_partitioned(batch_dst: np.ndarray, P: int) -> bool:
         return True
     m = batch_dst % P
     return bool((m == m[0]).all())
+
+
+@ray.remote
+def _split_block(t: "pa.Table", col: str, P: int) -> dict:
+    """Split one Arrow block by col % P; returns {part: ObjectRef(sub-table)}.
+
+    Sub-tables are ray.put inside the task so only tiny ref dicts reach the
+    driver — block data never leaves the object store.
+    """
+    import ray as _ray
+
+    mod = t[col].to_numpy() % P
+    out = {}
+    for p in np.unique(mod):
+        out[int(p)] = _ray.put(t.filter(pa.array(mod == p)))
+    return out
+
+
+@ray.remote
+def _concat_tables(*tables: "pa.Table") -> "pa.Table":
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def partition_table_refs(
+    mat_ds: ray.data.Dataset, col: str, P: int
+) -> dict[int, "ray.ObjectRef"]:
+    """Explicit all-to-all: {partition p: ObjectRef of its complete table}.
+
+    B split tasks + ≤P concat tasks — a hash shuffle built from raw tasks,
+    used by the sharded BSP runner where each partition must be ONE
+    contiguous table owned by one ref (Ray Data's groupby emits blocks that
+    may pack several partition-groups together). All row data stays in the
+    object store end to end.
+    """
+    import ray as _ray
+
+    block_refs = mat_ds.to_arrow_refs()
+    split_maps = _ray.get([_split_block.remote(r, col, P) for r in block_refs])
+    per_part: dict[int, list] = {}
+    for d in split_maps:
+        for p, tref in d.items():
+            per_part.setdefault(p, []).append(tref)
+    return {
+        p: (refs[0] if len(refs) == 1 else _concat_tables.remote(*refs))
+        for p, refs in per_part.items()
+    }

