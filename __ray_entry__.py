@@ -323,6 +323,22 @@ def _q_emb_kmeans_cells(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: synthetic binary media → actor-pool feature
+    extraction (decode stubbed — no image/audio libs in this container)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+    from asterixdb_analytics_ray.sources.transcripts import sf_from_dir
+
+    n = max(50, int(round(5_000 * sf_from_dir(sf_dir))))
+    media = ray.data.from_arrow(synthetic_media(n))
+    return extract_features(media, concurrency=2, batch_size=32)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: transcripts → link graph → PageRank,
     returned as (v, kind, key, rank) joined with the node dictionary."""
@@ -360,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,  # no SQL oracle (iterative ML)
+        "media_features": _q_media_features,  # no SQL oracle (binary decode stub)
     }
 
 

@@ -1,0 +1,161 @@
+"""Multimodal columns — binary media payloads through actor-pool stages.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as stateful ``map_batches``
+stages (codec/model loaded once per actor in ``__init__``). The decode
+libraries (PIL / cv2 / torchaudio) are NOT in this container, so the codec
+itself is STUBBED behind an import-try with a deterministic fake — the
+Ray-side plumbing (schema, batch sizing, actor signature, output layout) is
+real and tested, and swapping the stub for a real codec touches only
+``_decode_payload``.
+
+Schema:
+    media(item_id: int64, media_type: string, payload: binary, meta: string)
+Feature output:
+    (item_id: int64, width: int32, height: int32,
+     features: fixed_size_list<float>[FEATURE_DIM])
+Frame-sample output (video): one row per sampled frame
+    (item_id, frame_idx: int32, payload: binary)
+
+Binary columns must stay in ``batch_format="pyarrow"`` end to end (pandas
+would object-box them); large payloads want a SMALL ``batch_size`` so
+batch × concurrency fits worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+FEATURE_DIM = 32
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("payload", pa.binary()),
+        ("meta", pa.string()),
+    ]
+)
+
+
+def synthetic_media(n_items: int, seed: int = 9) -> pa.Table:
+    """Deterministic fake media blobs (seeded pseudo-random bytes + metadata)."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n_items, dtype=np.int64)
+    types = np.where(ids % 3 == 0, "video", np.where(ids % 3 == 1, "image", "audio"))
+    payloads = [rng.integers(0, 256, size=256 + 16 * int(i), dtype=np.uint8).tobytes() for i in ids]
+    metas = [
+        json.dumps({"width": 64 + int(i) % 64, "height": 48 + int(i) % 48, "frames": 8})
+        for i in ids
+    ]
+    return pa.table(
+        {
+            "item_id": pa.array(ids),
+            "media_type": pa.array(types.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
+def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
+    """STUB decoder. Real implementation would be e.g.::
+
+        from PIL import Image; import io
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.float32)
+
+    The deterministic fake hashes the payload into a FEATURE_DIM vector so
+    outputs are stable across processes and parallelism levels.
+    """
+    try:  # pragma: no cover - decode libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real decode path not wired in this sandbox; see docstring"
+        )
+    except ImportError:
+        pass
+    digest = hashlib.shake_256(payload).digest(FEATURE_DIM * 4)
+    return np.frombuffer(digest, dtype="<u4").astype(np.float64) / float(2**32)
+
+
+class FeatureExtract:
+    """Actor-pool stage: decode → fixed-size feature vector per item.
+
+    ``__init__`` is the once-per-actor model/codec load point (here it only
+    precomputes the stub's normalization constants).
+    """
+
+    def __init__(self):
+        self.dim = FEATURE_DIM
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = np.empty((t.num_rows, self.dim), dtype=np.float64)
+        widths = np.empty(t.num_rows, dtype=np.int32)
+        heights = np.empty(t.num_rows, dtype=np.int32)
+        payloads = t["payload"].to_pylist()
+        metas = t["meta"].to_pylist()
+        for i, (p, m) in enumerate(zip(payloads, metas)):
+            meta = json.loads(m) if m else {}
+            feats[i] = _decode_payload(p, meta)
+            widths[i] = meta.get("width", 0)
+            heights[i] = meta.get("height", 0)
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), self.dim
+                ),
+            }
+        )
+
+
+def extract_features(
+    media: ray.data.Dataset, concurrency: int = 2, batch_size: int = 64
+) -> ray.data.Dataset:
+    """media table → feature table via the actor pool (small batches: binary
+    payloads are large; batch × concurrency must fit worker heaps)."""
+    return media.map_batches(
+        FeatureExtract,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: ray.data.Dataset, every: int = 4, batch_size: int = 64
+) -> ray.data.Dataset:
+    """Video rows → one row per sampled frame (stub slices the payload; a real
+    codec would seek keyframes). Non-video rows are dropped."""
+    import pyarrow.compute as pc
+
+    def frames(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["media_type"], "video"))
+        ids, idxs, chunks = [], [], []
+        for i in range(t.num_rows):
+            meta = json.loads(t["meta"][i].as_py() or "{}")
+            payload = t["payload"][i].as_py()
+            n_frames = int(meta.get("frames", 1))
+            size = max(1, len(payload) // max(1, n_frames))
+            for f in range(0, n_frames, every):
+                ids.append(t["item_id"][i].as_py())
+                idxs.append(f)
+                chunks.append(payload[f * size : (f + 1) * size])
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "payload": pa.array(chunks, pa.binary()),
+            }
+        )
+
+    return media.map_batches(frames, batch_format="pyarrow", batch_size=batch_size)

@@ -111,7 +111,13 @@ QUERY_NAMES = [
     "emb_cosine_dups",
 ]
 
-ROWS_ONLY = ["doc_language_id", "doc_minhash_dups", "doc_simhash", "emb_kmeans_cells"]
+ROWS_ONLY = [
+    "doc_language_id",
+    "doc_minhash_dups",
+    "doc_simhash",
+    "emb_kmeans_cells",
+    "media_features",
+]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
