@@ -181,6 +181,67 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_reachability(sf_dir: str):
+    """Bidirectional reachability 0 ↔ max-id (ReachabilityVertex semantics)."""
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.reachability import reachability_dense
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    dest = g.n_nodes - 1
+    reachable, _res = reachability_dense(
+        views["directed"], g.n_nodes, source=0, dest=dest
+    )
+    return pa.table(
+        {
+            "source": pa.array([0], pa.int64()),
+            "dest": pa.array([dest], pa.int64()),
+            "reachable": pa.array([1 if reachable else 0], pa.int64()),
+        }
+    )
+
+
+def _q_max_clique(sf_dir: str):
+    """Largest cliques of the undirected transcript graph (MaximalClique
+    aggregator deliverable); members flattened to a csv string column."""
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.maxclique import largest_cliques
+
+    views = _graph(sf_dir)
+    t = largest_cliques(views["oriented"])
+    return pa.table(
+        {
+            "size": t["size"],
+            "members": pa.array(
+                [",".join(map(str, m)) for m in t["members"].to_pylist()]
+            ),
+        }
+    )
+
+
+def _q_graph_sample(sf_dir: str):
+    """Seeded BFS sampling to a 30% fill rate (GraphSampleVertex semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.sampling import graph_sample_dense
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    selected, _rounds = graph_sample_dense(
+        views["undirected"], g.n_nodes, seeds=np.array([0]), target_fraction=0.3
+    )
+    return pa.table({"v": np.flatnonzero(selected).astype(np.int64)})
+
+
+def _q_doc_ngram_jaccard(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.4)
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -365,7 +426,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
+        "reachability": _q_reachability,
+        "max_clique": _q_max_clique,  # no SQL oracle (clique search)
+        "graph_sample": _q_graph_sample,  # no SQL oracle (iterative fill-rate)
         "events_bipartite_degree": _q_events_bipartite_degree,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # no SQL oracle (set similarity)
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -396,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": so.triangles_sql(p),
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
+        "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),

@@ -220,6 +220,43 @@ def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
     return "".join(parts)
 
 
+def reachability_sql(p: str, source: int = 0, iters: int = CC_MAX_ITERS) -> str:
+    """Bidirectional reachability (ReachabilityVertex semantics): bit 1
+    propagates source→ along forward edges, bit 2 dest→ along reverse edges;
+    reachable ⟺ some vertex holds both bits. Dest = max node id."""
+    parts = [prelude(p)]
+    parts.append(
+        f", q AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS s, "
+        "(SELECT max(v) FROM verts) AS d)\n"
+    )
+    parts.append(
+        ", b0 AS MATERIALIZED (SELECT v, v = (SELECT s FROM q) AS r1, "
+        "v = (SELECT d FROM q) AS r2 FROM verts)\n"
+    )
+    for i in range(1, iters + 1):
+        prev = f"b{i - 1}"
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+  SELECT s.v,
+         s.r1 OR coalesce(f.hit, FALSE) AS r1,
+         s.r2 OR coalesce(bk.hit, FALSE) AS r2
+  FROM {prev} s
+  LEFT JOIN (SELECT e.dst AS v, bool_or(s2.r1) AS hit
+             FROM edges e JOIN {prev} s2 ON e.src = s2.v GROUP BY e.dst) f
+    ON f.v = s.v
+  LEFT JOIN (SELECT e.src AS v, bool_or(s2.r2) AS hit
+             FROM edges e JOIN {prev} s2 ON e.dst = s2.v GROUP BY e.src) bk
+    ON bk.v = s.v)
+"""
+        )
+    parts.append(
+        "SELECT (SELECT s FROM q) AS source, (SELECT d FROM q) AS dest, "
+        "CAST(max(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS reachable FROM b{iters}"
+    )
+    return "".join(parts)
+
+
 def transcript_roundtrip_sql(p: str) -> str:
     return f"SELECT conv_id, turn_idx, text FROM read_parquet('{p}')"
 

@@ -41,21 +41,25 @@ DAMPING = 0.85
 def _prep_block(block: pa.Table, P: int, outdeg: np.ndarray) -> dict:
     """Per-partition static cache: decomposed src/dst ids + 1/outdeg gather.
 
-    Built once (the CSR-analog); every superstep reuses it zero-copy.
+    Built once (the CSR-analog); every superstep reuses it zero-copy. ALL
+    arrays are stored sorted by owning src shard, so the per-round kernel is
+    pure contiguous passes (slice-gather → multiply → bincount) with no
+    permutation scatter: bincount doesn't care about edge order, and the
+    dst/inv_out columns were permuted here, once, at load time.
     """
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()
     smod = (src % P).astype(np.int64)
-    # group edge positions by owning src shard so the per-round gather is a
-    # P-sliced contiguous pass (O(E/P) per task, not O(E) per shard)
+    # group edges by owning src shard so the per-round gather is a P-sliced
+    # contiguous pass (O(E/P) per task, not O(E) per shard)
     order = np.argsort(smod, kind="stable")
+    src_sorted = src[order]
     bounds = np.searchsorted(smod[order], np.arange(P + 1))
     return {
-        "order": order.astype(np.int32),  # per-partition row counts < 2^31
         "bounds": bounds,
-        "sdiv_sorted": (src // P)[order].astype(np.int32),
-        "dst_div": (dst // P).astype(np.int32),
-        "inv_out": 1.0 / outdeg[src],
+        "sdiv_sorted": (src_sorted // P).astype(np.int32),
+        "dst_div": (dst[order] // P).astype(np.int32),
+        "inv_out": 1.0 / outdeg[src_sorted],
     }
 
 
@@ -77,14 +81,13 @@ def _superstep_task(
     scheduler at P² fan-in (measured: P=32 barrierless DAG 0.2s/round with
     top-level deps vs minutes with borrowed refs).
     """
-    order = prep["order"]
     bounds = prep["bounds"]
     sdiv = prep["sdiv_sorted"]
-    contrib = np.empty(len(order), dtype=np.float64)
+    contrib = np.empty(len(sdiv), dtype=np.float64)
     for q in range(P):  # contiguous slice per owning shard
         s, e = bounds[q], bounds[q + 1]
         if s < e:
-            contrib[order[s:e]] = shards[q][sdiv[s:e]]
+            contrib[s:e] = shards[q][sdiv[s:e]]
     contrib *= prep["inv_out"]
     acc = np.bincount(prep["dst_div"], weights=contrib, minlength=shard_size)
     new_shard = base + damping * acc[:shard_size]

@@ -32,6 +32,11 @@ BENCH_ONLY = set(filter(None, os.environ.get("GRAFT_BENCH_ONLY", "").split(","))
 # (edge-heavy conv co-usage projection used for the cluster-size scaling
 # evidence — avg degree ~30 like a production web/link graph)
 BENCH_GRAPH = os.environ.get("GRAFT_BENCH_GRAPH", "transcript")
+# partition count for the sharded scaling job. Fixed (default 32 = the
+# "4N-cluster" width) so BOTH scaling legs run the IDENTICAL partitioned
+# job — a production job's partitioning does not change when the same
+# submitted job lands on an N-node vs 4N-node cluster.
+BENCH_P = int(os.environ.get("GRAFT_BENCH_P", "32"))
 
 
 def _want(name: str) -> bool:
@@ -156,7 +161,7 @@ def run_bench() -> dict:
         # sharded runner: partition-owned state shards, fixed-step task DAG
         from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
 
-        runner = ShardedPageRank(n=g.n_nodes, P=NUM_CPUS, n_vertices=n_valid)
+        runner = ShardedPageRank(n=g.n_nodes, P=BENCH_P, n_vertices=n_valid)
         runner.prepare(directed, outdeg)  # setup shuffle (the bulk load)
         # untimed tol-mode probe: warms workers AND determines the superstep
         # count to convergence (deterministic for a given graph)
@@ -251,7 +256,7 @@ def run_scaling_leg() -> dict:
     edges = ray.data.read_parquet(cache).materialize()
     n_edges = edges.count()
 
-    runner = ShardedPageRank(n=n_conv, P=NUM_CPUS, n_vertices=n_valid)
+    runner = ShardedPageRank(n=n_conv, P=BENCH_P, n_vertices=n_valid)
     t0 = time.perf_counter()
     runner.prepare(edges, outdeg)
     prep_sec = time.perf_counter() - t0
@@ -267,6 +272,7 @@ def run_scaling_leg() -> dict:
         "unit": "sec",
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "partitions": BENCH_P,
         "n_nodes": n_valid,
         "n_edges": n_edges,
         "pr_supersteps": k,

@@ -65,6 +65,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "triangle_count": so.triangles_sql,
         "triangle_total": so.triangle_total_sql,
         "sssp": so.sssp_sql,
+        "reachability": so.reachability_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -102,6 +103,7 @@ QUERY_NAMES = [
     "triangle_count",
     "triangle_total",
     "sssp",
+    "reachability",
     "events_bipartite_degree",
     "doc_token_counts",
     "doc_fingerprints",
@@ -112,6 +114,9 @@ QUERY_NAMES = [
 ]
 
 ROWS_ONLY = [
+    "max_clique",
+    "graph_sample",
+    "doc_ngram_jaccard",
     "doc_language_id",
     "doc_minhash_dups",
     "doc_simhash",
@@ -124,7 +129,7 @@ ROWS_ONLY = [
 def test_rows_only_queries_run(entrymod, name):
     got = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert got is not None
-    assert name == "doc_minhash_dups" or len(got) > 0
+    assert name in ("doc_minhash_dups", "doc_ngram_jaccard") or len(got) > 0
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
