@@ -102,6 +102,9 @@ def _split_block(t: "pa.Table", col: str, P: int) -> dict:
     """
     import ray as _ray
 
+    # a shuffle can emit zero-row fragments whose schema lost its columns
+    if t.num_rows == 0 or col not in t.schema.names:
+        return {}
     mod = t[col].to_numpy() % P
     out = {}
     for p in np.unique(mod):

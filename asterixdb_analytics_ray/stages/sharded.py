@@ -24,17 +24,45 @@ fixed overhead that dominates sub-second supersteps.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
 from ..bsp import BSPResult, RoundMetrics
+from ..state.checkpoint import (
+    Manifest,
+    PartitionInfo,
+    _hash_table,
+    _step_dir,
+    list_checkpoints,
+    read_manifest,
+)
 
 DAMPING = 0.85
+
+
+@ray.remote
+def _checkpoint_shard_task(tmpdir: str, p: int, shard: np.ndarray) -> tuple:
+    """Write one state shard as its own parquet part — the checkpoint write is
+    partition-parallel, never funnelled through the driver (SURVEY §7.3)."""
+    t = pa.table({"rank": pa.array(shard)})
+    pq.write_table(t, os.path.join(tmpdir, f"part-{p:04d}.parquet"))
+    return t.num_rows, _hash_table(t)
+
+
+@ray.remote
+def _load_shard_task(stepdir: str, p: int, rows: int, content_hash: str) -> np.ndarray:
+    """Load + lineage-verify one shard (hash recorded in the manifest)."""
+    t = pq.read_table(os.path.join(stepdir, f"part-{p:04d}.parquet"))
+    if t.num_rows != rows or _hash_table(t) != content_hash:
+        raise IOError(f"checkpoint lineage mismatch: part {p} of {stepdir}")
+    return t["rank"].to_numpy()
 
 
 @ray.remote
@@ -118,6 +146,61 @@ class ShardedPageRank:
             for p, block in part_refs.items()
         }
 
+    def checkpoint(
+        self, root: str, step: int, shard_refs: list, metrics: dict
+    ) -> Manifest:
+        """Per-superstep snapshot: P parallel shard writes (tasks read the
+        shard refs straight from the object store), manifest written last,
+        atomic directory rename. Shard p holds vertices ``v % P == p`` in
+        local order — the same layout the superstep tasks consume, so a
+        multi-node resume re-reads each part where it is processed."""
+        sd = _step_dir(root, step)
+        tmp = sd + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(sd, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        infos = ray.get(
+            [
+                _checkpoint_shard_task.remote(tmp, p, ref)
+                for p, ref in enumerate(shard_refs)
+            ]
+        )
+        man = Manifest(
+            superstep=step,
+            num_partitions=self.P,
+            algorithm="pagerank_sharded",
+            metrics=metrics,
+            partitions=[
+                PartitionInfo(p, r, h) for p, (r, h) in enumerate(infos)
+            ],
+        )
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            f.write(man.to_json())
+        os.replace(tmp, sd)
+        return man
+
+    def resume_refs(self, root: str) -> tuple[int, list] | None:
+        """→ (superstep, shard refs) from the newest complete checkpoint, or
+        None. Loads are partition-parallel and lineage-verified."""
+        steps = list_checkpoints(root)
+        if not steps:
+            return None
+        step = steps[-1]
+        man = read_manifest(root, step)
+        if man.num_partitions != self.P:
+            raise ValueError(
+                f"checkpoint has P={man.num_partitions}, runner has P={self.P}"
+            )
+        sd = _step_dir(root, step)
+        refs = [
+            _load_shard_task.remote(sd, pi.part, pi.rows, pi.content_hash)
+            for pi in man.partitions
+        ]
+        ray.wait(refs, num_returns=len(refs))  # surface lineage errors now
+        return step, refs
+
     def run(
         self,
         edges: ray.data.Dataset | None = None,
@@ -126,6 +209,9 @@ class ShardedPageRank:
         tol: float | None = None,
         max_supersteps: int = 50,
         barrier: bool = True,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
     ) -> BSPResult:
         """``barrier=True``: driver syncs per round (needed for tol-based
         convergence checks). ``barrier=False``: submit ALL supersteps as one
@@ -140,15 +226,20 @@ class ShardedPageRank:
             self.prepare(edges, outdeg)
         preps = self._preps
 
-        # initial shards
-        init = np.full(shard_size, 1.0 / nv, dtype=np.float64)
-        shard_refs: list = [ray.put(init.copy()) for _ in range(P)]
-
+        # initial shards (or resume from the newest complete checkpoint)
         rounds: list[RoundMetrics] = []
         base = (1.0 - DAMPING) / nv
         base_ref = ray.put(np.full(shard_size, base))
         limit = supersteps if tol is None else max_supersteps
         superstep = 1
+        shard_refs: list | None = None
+        if resume and checkpoint_dir:
+            resumed = self.resume_refs(checkpoint_dir)
+            if resumed is not None:
+                superstep, shard_refs = resumed
+        if shard_refs is None:
+            init = np.full(shard_size, 1.0 / nv, dtype=np.float64)
+            shard_refs = [ray.put(init.copy()) for _ in range(P)]
         deferred: list[tuple[int, list, float]] = []
         while superstep < limit:
             t0 = time.perf_counter()
@@ -175,6 +266,17 @@ class ShardedPageRank:
                         superstep, msgs, 0, delta, time.perf_counter() - t0
                     )
                 )
+                if (
+                    checkpoint_dir
+                    and checkpoint_every
+                    and superstep % checkpoint_every == 0
+                ):
+                    self.checkpoint(
+                        checkpoint_dir,
+                        superstep,
+                        shard_refs,
+                        {"delta": delta, "msgs": msgs},
+                    )
                 if tol is not None and delta < tol:
                     break
             else:

@@ -74,3 +74,51 @@ def test_pagerank_kill_resume_identical(tmp_path, webmap_ds, ray_session):
     assert res.supersteps == 10
     np.testing.assert_allclose(res.state["rank"], full.state["rank"], atol=1e-15)
     assert ckpt.list_checkpoints(ckdir) == [2, 4, 6, 8, 10]
+
+
+def test_sharded_checkpoint_kill_resume(tmp_path, webmap_ds, ray_session):
+    """Sharded runner: kill after a mid-run checkpoint, resume, identical
+    ranks — and the resumed run starts at the checkpointed superstep."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    ds, outdeg, n = webmap_ds
+    full = ShardedPageRank(n=n, P=4).run(ds, outdeg, supersteps=10)
+
+    ckdir = str(tmp_path / "shck")
+    interrupted = ShardedPageRank(n=n, P=4)
+    interrupted.run(
+        ds, outdeg, supersteps=6, checkpoint_dir=ckdir, checkpoint_every=2
+    )
+    assert ckpt.list_checkpoints(ckdir) == [2, 4, 6]
+
+    resumed = ShardedPageRank(n=n, P=4)
+    resumed.prepare(ds, outdeg)
+    res = resumed.run(
+        supersteps=10, checkpoint_dir=ckdir, checkpoint_every=2, resume=True
+    )
+    np.testing.assert_allclose(
+        res.state["rank"], full.state["rank"], atol=0, rtol=0
+    )
+    # resumed mid-iteration: only supersteps 7..10 were replayed
+    assert [r.superstep for r in res.rounds] == [7, 8, 9, 10]
+    assert ckpt.list_checkpoints(ckdir) == [2, 4, 6, 8, 10]
+
+
+def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session):
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    ds, outdeg, n = webmap_ds
+    ckdir = str(tmp_path / "shck2")
+    runner = ShardedPageRank(n=n, P=4)
+    runner.run(ds, outdeg, supersteps=6, checkpoint_dir=ckdir, checkpoint_every=2)
+    part = os.path.join(ckdir, "step=00006", "part-0001.parquet")
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(part)
+    bad = t.set_column(0, "rank", pa.array(t["rank"].to_numpy() + 1.0))
+    pq.write_table(bad, part)
+    r2 = ShardedPageRank(n=n, P=4)
+    r2.prepare(ds, outdeg)
+    with pytest.raises(Exception, match="lineage"):
+        r2.run(supersteps=10, checkpoint_dir=ckdir, resume=True)
