@@ -47,16 +47,18 @@ from ..state.checkpoint import (
 DAMPING = 0.85
 
 
-@ray.remote
-def _checkpoint_shard_task(tmpdir: str, p: int, shard: np.ndarray) -> tuple:
-    """Write one state shard as its own parquet part — the checkpoint write is
-    partition-parallel, never funnelled through the driver (SURVEY §7.3)."""
+def _write_shard(tmpdir: str, p: int, shard: np.ndarray) -> tuple:
     t = pa.table({"rank": pa.array(shard)})
     pq.write_table(t, os.path.join(tmpdir, f"part-{p:04d}.parquet"))
     return t.num_rows, _hash_table(t)
 
 
-@ray.remote
+# num_cpus=0: short IO next to a fleet of num_cpus=1 partition workers that
+# may hold every CPU slot — a CPU-costed task would deadlock behind them
+_checkpoint_shard_task = ray.remote(num_cpus=0)(_write_shard)
+
+
+@ray.remote(num_cpus=0)
 def _load_shard_task(stepdir: str, p: int, rows: int, content_hash: str) -> np.ndarray:
     """Load + lineage-verify one shard (hash recorded in the manifest)."""
     t = pq.read_table(os.path.join(stepdir, f"part-{p:04d}.parquet"))
@@ -65,8 +67,9 @@ def _load_shard_task(stepdir: str, p: int, rows: int, content_hash: str) -> np.n
     return t["rank"].to_numpy()
 
 
-@ray.remote
-def _prep_block(block: pa.Table, P: int, outdeg: np.ndarray) -> dict:
+def _build_prep(
+    block: pa.Table, P: int, outdeg: np.ndarray, shard_size: int, precision: str
+) -> dict:
     """Per-partition static cache: decomposed src/dst ids + 1/outdeg gather.
 
     Built once (the CSR-analog); every superstep reuses it zero-copy. ALL
@@ -74,21 +77,75 @@ def _prep_block(block: pa.Table, P: int, outdeg: np.ndarray) -> dict:
     pure contiguous passes (slice-gather → multiply → bincount) with no
     permutation scatter: bincount doesn't care about edge order, and the
     dst/inv_out columns were permuted here, once, at load time.
+
+    ``precision="mixed"`` stores the STATIC edge columns narrow — float32
+    edge weights (1/outdeg) and uint16/uint32 local ids when shard_size
+    permits — while rank state and accumulation stay float64. The only
+    rounding is in the weight representation (relative ~6e-8, i.e. per-vertex
+    rank error ~1e-9 — three orders inside the 1e-6 conformance gate, tested)
+    and per-edge DRAM traffic halves, which is what the superstep kernel is
+    bound by at full-machine concurrency (BASELINE.md scaling notes).
     """
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()
     smod = (src % P).astype(np.int64)
     # group edges by owning src shard so the per-round gather is a P-sliced
-    # contiguous pass (O(E/P) per task, not O(E) per shard)
+    # pass over L2-resident shard vectors (O(E/P) per task, not O(E) per
+    # shard) — measurably faster than a packed-global-vector gather, whose
+    # random reads span n/P×P×8B instead of n/P×8B
     order = np.argsort(smod, kind="stable")
     src_sorted = src[order]
-    bounds = np.searchsorted(smod[order], np.arange(P + 1))
+    if precision == "mixed":
+        id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
+        w_dtype = np.float32
+    else:
+        id_dtype = np.int32
+        w_dtype = np.float64
     return {
-        "bounds": bounds,
-        "sdiv_sorted": (src_sorted // P).astype(np.int32),
-        "dst_div": (dst[order] // P).astype(np.int32),
-        "inv_out": 1.0 / outdeg[src_sorted],
+        "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
+        "sdiv_sorted": (src_sorted // P).astype(id_dtype),
+        "dst_div": (dst[order] // P).astype(id_dtype),
+        "inv_out": (1.0 / outdeg[src_sorted]).astype(w_dtype),
     }
+
+
+_prep_block = ray.remote(_build_prep)
+
+
+def _superstep_kernel(
+    prep: dict,
+    p: int,
+    P: int,
+    shard_size: int,
+    base: float,
+    damping: float,
+    shards: tuple,
+):
+    """One partition's scatter + combine + apply for one superstep.
+
+    The gather→weight→combine is fused per src-shard slice: no O(E/P)
+    contrib intermediate round-trips through DRAM, which matters because the
+    kernel is memory-bandwidth-bound at full-machine concurrency
+    (BASELINE.md scaling notes). A packed-single-vector variant (one dep per
+    task) was tried and is ~35% slower end to end: its gather spans the full
+    n×8B vector instead of L2-resident n/P shards.
+    """
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv_sorted"]
+    inv = prep["inv_out"]
+    dst = prep["dst_div"]
+    acc = np.zeros(shard_size, dtype=np.float64)
+    for q in range(P):  # contiguous slice per owning shard, fused
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            acc += np.bincount(
+                dst[s:e],
+                weights=shards[q][sdiv[s:e]] * inv[s:e],
+                minlength=shard_size,
+            )
+    new_shard = base + damping * acc
+    delta = float(np.abs(new_shard - shards[p][: len(new_shard)]).max())
+    return new_shard, (delta, int(len(dst)))
 
 
 @ray.remote(num_returns=2)
@@ -101,7 +158,7 @@ def _superstep_task(
     damping: float,
     *shards: np.ndarray,
 ):
-    """One partition's scatter + combine + apply for one superstep.
+    """Stateless-task executor: prep arrives as a zero-copy plasma ref.
 
     Shards arrive as TOP-LEVEL var-args so Ray resolves them as plain plasma
     dependencies — refs nested inside a list would go through the borrowed-
@@ -109,18 +166,41 @@ def _superstep_task(
     scheduler at P² fan-in (measured: P=32 barrierless DAG 0.2s/round with
     top-level deps vs minutes with borrowed refs).
     """
-    bounds = prep["bounds"]
-    sdiv = prep["sdiv_sorted"]
-    contrib = np.empty(len(sdiv), dtype=np.float64)
-    for q in range(P):  # contiguous slice per owning shard
-        s, e = bounds[q], bounds[q + 1]
-        if s < e:
-            contrib[s:e] = shards[q][sdiv[s:e]]
-    contrib *= prep["inv_out"]
-    acc = np.bincount(prep["dst_div"], weights=contrib, minlength=shard_size)
-    new_shard = base + damping * acc[:shard_size]
-    delta = float(np.abs(new_shard - shards[p][: len(new_shard)]).max())
-    return new_shard, (delta, int(len(prep["dst_div"])))
+    return _superstep_kernel(prep, p, P, shard_size, base, damping, shards)
+
+
+@ray.remote(num_cpus=0)
+class _ShardWorker:
+    """Stateful partition worker: holds its CSR-analog edge cache in process
+    memory (the north-star layout — per-partition adjacency blocks live in
+    actor-pool workers, like Pregelix's per-partition B-trees). Actor calls
+    dispatch straight to the worker's queue instead of through raylet task
+    scheduling, which removes most of the per-wave dispatch cost the
+    stateless-task executor pays at full-machine partition counts.
+
+    Scheduled with num_cpus=0: the fleet size equals the job's partition
+    count (a deliberate sizing choice, one busy worker per core during a
+    wave), and zero-CPU scheduling lets fleets from successive runners
+    coexist instead of deadlocking each other's startup on a full machine.
+    Call ``ShardedPageRank.shutdown()`` to release a fleet eagerly; dropping
+    the runner releases it via GC."""
+
+    def __init__(self, prep: dict, p: int, P: int, shard_size: int):
+        self.p = p
+        self.P = P
+        self.shard_size = shard_size
+        # zero-copy numpy views backed by the plasma store: all P workers on
+        # a node map the SAME pages (no per-worker copy of the edge cache)
+        self.prep = prep
+
+    def ready(self) -> int:
+        return self.p
+
+    @ray.method(num_returns=2)
+    def step(self, base: float, damping: float, *shards: np.ndarray):
+        return _superstep_kernel(
+            self.prep, self.p, self.P, self.shard_size, base, damping, shards
+        )
 
 
 @dataclass
@@ -130,21 +210,42 @@ class ShardedPageRank:
     n: int
     P: int
     n_vertices: int | None = None
+    precision: str = "double"  # "double" | "mixed" (see _build_prep)
+    executor: str = "actors"  # "actors" (stateful workers) | "tasks"
     _preps: dict | None = field(default=None, repr=False)
+    _workers: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset, outdeg: np.ndarray) -> None:
         """One-time per-partition prep (the bulk-load / B-tree-build analog):
         explicit split+concat shuffle so each partition is one table ref,
-        then decomposed-id caches built remotely per partition."""
+        then decomposed-id caches built per partition — inside the partition
+        worker's own memory (actor executor) or as plasma refs (tasks)."""
         from .partition import partition_table_refs
 
+        shard_size = (self.n + self.P - 1) // self.P
         outdeg_safe = np.where(outdeg > 0, outdeg, 1).astype(np.float64)
         od_ref = ray.put(outdeg_safe)
         part_refs = partition_table_refs(edges, "dst", self.P)
         self._preps = {
-            p: _prep_block.remote(block, self.P, od_ref)
+            p: _prep_block.remote(
+                block, self.P, od_ref, shard_size, self.precision
+            )
             for p, block in part_refs.items()
         }
+        if self.executor == "actors":
+            self._workers = {
+                p: _ShardWorker.remote(prep_ref, p, self.P, shard_size)
+                for p, prep_ref in self._preps.items()
+            }
+            ray.get([w.ready.remote() for w in self._workers.values()])
+
+    def shutdown(self) -> None:
+        """Eagerly release the partition-worker fleet (otherwise GC does)."""
+        if self._workers:
+            for w in self._workers.values():
+                ray.kill(w)
+        self._workers = None
+        self._preps = None
 
     def checkpoint(
         self, root: str, step: int, shard_refs: list, metrics: dict
@@ -243,20 +344,21 @@ class ShardedPageRank:
         deferred: list[tuple[int, list, float]] = []
         while superstep < limit:
             t0 = time.perf_counter()
-            new_refs = list(shard_refs)
+            new_refs = [base_ref] * P  # no in-edges ⇒ every vertex = base
             metric_refs = {}
             for p, prep in preps.items():
-                sref, mref = _superstep_task.remote(
-                    prep, p, P, shard_size, base, DAMPING, *shard_refs
-                )
+                if self._workers is not None:
+                    sref, mref = self._workers[p].step.remote(
+                        base, DAMPING, *shard_refs
+                    )
+                else:
+                    sref, mref = _superstep_task.remote(
+                        prep, p, P, shard_size, base, DAMPING, *shard_refs
+                    )
                 new_refs[p] = sref
                 metric_refs[p] = mref
-            for p in range(P):
-                # partitions with no in-edges: every vertex gets the base
-                if p not in preps:
-                    new_refs[p] = base_ref
-            superstep += 1
             shard_refs = new_refs
+            superstep += 1
             if barrier:
                 metrics = ray.get(list(metric_refs.values()))
                 delta = max((m[0] for m in metrics), default=0.0)
@@ -298,7 +400,8 @@ class ShardedPageRank:
 
         rank = np.empty(shard_size * P, dtype=np.float64)
         for p in range(P):
-            rank[p::P] = ray.get(shard_refs[p])
+            sh = ray.get(shard_refs[p])
+            rank[p::P][: len(sh)] = sh
         return BSPResult(state={"rank": rank[: self.n]}, rounds=rounds, n=self.n)
 
 

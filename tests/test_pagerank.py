@@ -105,3 +105,22 @@ def test_pagerank_sharded_barrierless_matches(tiny_graph):
         dag.state["rank"], with_barrier.state["rank"], atol=0
     )
     assert [r.msgs for r in dag.rounds] == [r.msgs for r in with_barrier.rounds]
+
+
+def test_pagerank_sharded_mixed_precision(tiny_graph):
+    """Mixed-precision edge cache (float32 weights, narrow ids): per-vertex
+    drift vs the float64 kernel stays ~1e-9 — three orders inside the 1e-6
+    conformance gate the bench configuration must satisfy."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    g = tiny_graph
+    ds = g.directed().materialize()
+    double = ShardedPageRank(n=g.n_nodes, P=4).run(ds, g.out_degrees(), supersteps=10)
+    mixed = ShardedPageRank(n=g.n_nodes, P=4, precision="mixed").run(
+        ds, g.out_degrees(), supersteps=10
+    )
+    import numpy as np
+
+    drift = np.abs(mixed.state["rank"] - double.state["rank"]).max()
+    assert drift < 1e-8, drift
+    assert drift > 0  # the narrow path actually ran
