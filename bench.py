@@ -44,7 +44,7 @@ BENCH_P = int(os.environ.get("GRAFT_BENCH_P", "32"))
 BENCH_PRECISION = os.environ.get("GRAFT_BENCH_PRECISION", "mixed")
 # "actors" = stateful partition workers holding the CSR cache (north-star
 # layout); "tasks" = stateless tasks reading the cache from plasma
-BENCH_EXECUTOR = os.environ.get("GRAFT_BENCH_EXECUTOR", "actors")
+BENCH_EXECUTOR = os.environ.get("GRAFT_BENCH_EXECUTOR", "tasks")
 
 
 def _want(name: str) -> bool:
@@ -314,6 +314,7 @@ def run_scaling() -> dict:
     """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
 
     scale = os.environ.get("GRAFT_BENCH_SCALE", "100")
+    window = os.environ.get("GRAFT_BENCH_WINDOW", "128")
     # build all caches (transcripts, conv_share edges, degrees) once, before
     # the timed subprocesses, by running one full bench pass at 32 CPUs
     env0 = dict(
@@ -321,6 +322,7 @@ def run_scaling() -> dict:
         RAY_GRAFT_CPUS="32",
         GRAFT_SF_DIR=SF_DIR,
         GRAFT_BENCH_SCALE=scale,
+        GRAFT_BENCH_WINDOW=window,
         GRAFT_BENCH_ONLY="pagerank",
         GRAFT_BENCH_GRAPH="conv_share",
     )
@@ -338,6 +340,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_SCALE=scale,
+            GRAFT_BENCH_WINDOW=window,
             GRAFT_BENCH_ONLY="pagerank",
             GRAFT_BENCH_GRAPH=os.environ.get("GRAFT_BENCH_GRAPH", "conv_share"),
         )
@@ -351,8 +354,17 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # alternate the legs across rounds and keep each leg's quietest window —
+    # identical legs vary >2× on this host (BASELINE.md); symmetric best-of
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    r_lo = r_hi = None
+    for _ in range(rounds):
+        a, b = one(hi), one(lo)
+        if r_hi is None or a["edges_per_sec"] > r_hi["edges_per_sec"]:
+            r_hi = a
+        if r_lo is None or b["edges_per_sec"] > r_lo["edges_per_sec"]:
+            r_lo = b
     thr_lo = r_lo["edges_per_sec"]
     thr_hi = r_hi["edges_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -365,6 +377,14 @@ def run_scaling() -> dict:
         "edges_per_sec_lo": thr_lo,
         "edges_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "n_edges": r_hi.get("n_edges"),
+        "partitions": r_hi.get("partitions"),
+        "precision": r_hi.get("precision"),
+        "executor": r_hi.get("executor"),
+        "protocol": "fresh process per leg; physical-core pinning; "
+        "fixed P; min-of-N repeats per leg; best window per leg across "
+        f"{rounds} alternating rounds (see BASELINE.md, incl. the Ray-free "
+        "hardware control in tools/bandwidth_control.py)",
         "sf": SF_DIR,
     }
 
