@@ -36,13 +36,16 @@ def _graph(sf_dir: str):
 
     from asterixdb_analytics_ray.graph import build_link_graph
 
+    from asterixdb_analytics_ray.graph import undirected_from_oriented
+
     path = _transcripts_path(sf_dir)
     g = build_link_graph(ray.data.read_parquet(path))
+    oriented = g.oriented().materialize()  # the one src<dst dedup shuffle
     views = {
         "graph": g,
         "directed": g.directed().materialize(),
-        "undirected": g.undirected().materialize(),
-        "oriented": g.oriented().materialize(),
+        "undirected": undirected_from_oriented(oriented).materialize(),
+        "oriented": oriented,
     }
     _GRAPH_CACHE[sf_dir] = views
     return views

@@ -49,7 +49,9 @@ def conv_tool_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
         t = batch.select(["conv_id", "tool"]).filter(pc.is_valid(batch["tool"]))
         return t.group_by(["conv_id", "tool"]).aggregate([])  # local pre-dedup
 
-    pairs = ds.map_batches(local, batch_format="pyarrow")
+    pairs = ds.select_columns(["conv_id", "tool"]).map_batches(
+        local, batch_format="pyarrow"
+    )
     return pairs.groupby(["conv_id", "tool"]).count().drop_columns(["count()"])
 
 
@@ -154,6 +156,24 @@ def build_node_dict(kind_keys: dict[str, np.ndarray]) -> NodeDict:
     )
 
 
+def undirected_from_oriented(oriented: ray.data.Dataset) -> ray.data.Dataset:
+    """(src<dst distinct pairs) → both-direction edge set; stateless, no shuffle."""
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    return oriented.map_batches(both, batch_format="pyarrow")
+
+
 @dataclass
 class LinkGraph:
     """A materialized edge table + node dictionary, the engine's graph handle.
@@ -182,18 +202,13 @@ class LinkGraph:
         return self.edge_subset(kinds).select_columns(["src", "dst"])
 
     def undirected(self, kinds: tuple[str, ...] | None = None) -> ray.data.Dataset:
-        """Symmetrized edge set (both directions, self-loops dropped, deduped)."""
-        import pyarrow.compute as pc
+        """Symmetrized edge set (both directions, self-loops dropped, deduped).
 
-        def sym(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t["src"], t["dst"]))
-            fwd = pa.table({"src": t["src"], "dst": t["dst"]})
-            rev = pa.table({"src": t["dst"], "dst": t["src"]})
-            both = pa.concat_tables([fwd, rev])
-            return both.group_by(["src", "dst"]).aggregate([])
-
-        ds = self.edge_subset(kinds).map_batches(sym, batch_format="pyarrow")
-        return ds.groupby(["src", "dst"]).count().drop_columns(["count()"])
+        Derived from the oriented view: the src<dst dedup is the ONE wide
+        shuffle, after which emitting both directions is stateless. Pass an
+        already-materialized oriented dataset to ``undirected_from_oriented``
+        to share that shuffle when both views are needed."""
+        return undirected_from_oriented(self.oriented(kinds))
 
     def oriented(self, kinds: tuple[str, ...] | None = None) -> ray.data.Dataset:
         """Canonical undirected representation: one row per edge with src < dst."""
@@ -218,14 +233,23 @@ class LinkGraph:
         return self._degrees("dst", kinds)
 
     def _degrees(self, col: str, kinds: tuple[str, ...] | None) -> np.ndarray:
+        """Per-block SPARSE partial counts (unique ids + counts, tiny) summed
+        into the dense vector on the driver — degrees feed the dense BSP
+        state, so n_nodes×8B fits by construction, and the partial pattern
+        (combine inside map_batches, scatter-add final reduce) avoids the
+        groupby shuffle a count-by-key would pay."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            ids, cnt = np.unique(t[col].to_numpy(), return_counts=True)
+            return pa.table({"v": ids, "c": cnt})
+
         deg = np.zeros(self.n_nodes, dtype=np.int64)
         for batch in (
             self.directed(kinds)
-            .groupby(col)
-            .count()
+            .map_batches(partial, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ):
-            deg[batch[col].to_numpy()] = batch["count()"].to_numpy()
+            np.add.at(deg, batch["v"].to_numpy(), batch["c"].to_numpy())
         return deg
 
 
@@ -402,7 +426,11 @@ def build_link_graph_structured(
                 }
             )
 
-        mm = transcripts.map_batches(maxes, batch_format="pyarrow").to_pandas()
+        mm = (
+            transcripts.select_columns(["conv_id", "tool"])
+            .map_batches(maxes, batch_format="pyarrow")
+            .to_pandas()
+        )
         n_convs = int(mm["max_conv"].max()) + 1
         n_tools = int(mm["max_tool"].max()) + 1
     ids = StructuredIds(n_convs=n_convs, n_tools=n_tools)

@@ -155,8 +155,17 @@ def run_bench() -> dict:
         # structured-id build: the 10^12 path (no string dictionary; see graph.py)
         g, sids = build_link_graph_structured(ray.data.read_parquet(path))
         directed = hash_partition_by(g.directed(), "dst", NUM_CPUS)
-        undirected = g.undirected().materialize() if _want("connected_components") or _want("label_propagation") else None
-        oriented = g.oriented().materialize() if _want("triangle_count") else None
+        need_und = _want("connected_components") or _want("label_propagation")
+        oriented = (
+            g.oriented().materialize()
+            if (_want("triangle_count") or need_und)
+            else None
+        )
+        from asterixdb_analytics_ray.graph import undirected_from_oriented
+
+        undirected = (
+            undirected_from_oriented(oriented).materialize() if need_und else None
+        )
         outdeg = g.out_degrees()
         n_valid = int(((outdeg > 0) | (g.in_degrees() > 0)).sum())
     if BENCH_GRAPH == "conv_share":
