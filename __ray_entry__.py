@@ -398,9 +398,30 @@ def _q_media_features(sf_dir: str):
     )
     from asterixdb_analytics_ray.sources.transcripts import sf_from_dir
 
+    import numpy as np
+    import pyarrow as pa
+
     n = max(50, int(round(5_000 * sf_from_dir(sf_dir))))
     media = ray.data.from_arrow(synthetic_media(n))
-    return extract_features(media, concurrency=2, batch_size=32)
+    feats = extract_features(media, concurrency=2, batch_size=32)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        # flatten the feature vector to scalar summaries: the driver's
+        # compare sorts/hashes column values, which list columns break
+        m = t["features"].combine_chunks().flatten().to_numpy().reshape(
+            t.num_rows, -1
+        )
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "feat_mean": np.round(m.mean(axis=1), 9),
+                "feat_norm": np.round(np.linalg.norm(m, axis=1), 9),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
 
 
 def entry() -> Any:

@@ -417,3 +417,152 @@ def pagerank_sharded(
     return ShardedPageRank(n=n, P=P, n_vertices=n_vertices).run(
         edges, outdeg, supersteps=supersteps, tol=tol
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded connected components — min-label propagation over the same layout
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
+    """Edge cache for the min-combine kernel: edges sorted by (owning src
+    shard, local dst), with precomputed segment starts so the per-round
+    combine is ``np.minimum.reduceat`` over contiguous runs — the segment
+    grouping IS the reference's sort-group-by combiner, done once at load.
+    """
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    smod = (src % P).astype(np.int64)
+    dst_div = (dst // P).astype(np.int64)
+    order = np.lexsort((dst_div, smod))
+    smod_s = smod[order]
+    dst_s = dst_div[order]
+    bounds = np.searchsorted(smod_s, np.arange(P + 1))
+    id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
+    seg_starts = []
+    seg_bounds = [0]
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            d = dst_s[s:e]
+            starts = s + np.flatnonzero(
+                np.concatenate(([True], d[1:] != d[:-1]))
+            )
+            seg_starts.append(starts)
+        seg_bounds.append(seg_bounds[-1] + (len(seg_starts[-1]) if s < e else 0))
+    return {
+        "bounds": bounds,
+        "sdiv": ((src // P)[order]).astype(id_dtype),
+        "dst_div": dst_s.astype(id_dtype),
+        "seg_starts": (
+            np.concatenate(seg_starts) if seg_starts else np.array([], np.int64)
+        ),
+        "seg_bounds": np.asarray(seg_bounds, dtype=np.int64),
+    }
+
+
+@ray.remote(num_returns=2)
+def _minlabel_task(
+    prep: dict, p: int, P: int, shard_size: int, *shards: np.ndarray
+):
+    """One partition's min-combine + apply for one superstep."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv"]
+    dstd = prep["dst_div"]
+    seg_starts = prep["seg_starts"]
+    seg_bounds = prep["seg_bounds"]
+    own = shards[p]
+    acc = own.copy()  # min over (current label, incoming neighbor labels)
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s >= e:
+            continue
+        starts = seg_starts[seg_bounds[q] : seg_bounds[q + 1]]
+        cand = shards[q][sdiv[s:e]]
+        segmin = np.minimum.reduceat(cand, starts - s)
+        uniq = dstd[starts]
+        acc[uniq] = np.minimum(acc[uniq], segmin)
+    changed = int((acc != own).sum())
+    return acc, (changed, int(len(dstd)))
+
+
+@dataclass
+class ShardedMinLabel:
+    """Connected components (hash-min label propagation) over the sharded
+    layout — the scale path for CC, sharing partitioning/checkpoints with
+    ``ShardedPageRank``. Reference semantics: min over neighbor labels until
+    no label changes (``ConnectedComponentsVertex.java:107-154`` — identical
+    fixpoint; superstep counts may differ, SURVEY §7.3)."""
+
+    n: int
+    P: int
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, edges: ray.data.Dataset) -> None:
+        """``edges`` must be the UNDIRECTED (symmetrized) edge set."""
+        from .partition import partition_table_refs
+
+        shard_size = (self.n + self.P - 1) // self.P
+        part_refs = partition_table_refs(edges, "dst", self.P)
+        self._preps = {
+            p: _prep_block_min.remote(block, self.P, shard_size)
+            for p, block in part_refs.items()
+        }
+
+    def run(
+        self,
+        edges: ray.data.Dataset | None = None,
+        max_supersteps: int = 10_000,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+    ) -> BSPResult:
+        P = self.P
+        shard_size = (self.n + P - 1) // P
+        if self._preps is None:
+            self.prepare(edges)
+        preps = self._preps
+        shard_refs = [
+            ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+            for p in range(P)
+        ]
+        rounds: list[RoundMetrics] = []
+        superstep = 1
+        while superstep <= max_supersteps:
+            t0 = time.perf_counter()
+            new_refs = list(shard_refs)
+            metric_refs = {}
+            for p, prep in preps.items():
+                sref, mref = _minlabel_task.remote(
+                    prep, p, P, shard_size, *shard_refs
+                )
+                new_refs[p] = sref
+                metric_refs[p] = mref
+            shard_refs = new_refs
+            superstep += 1
+            metrics = ray.get(list(metric_refs.values()))
+            changed = sum(m[0] for m in metrics)
+            msgs = sum(m[1] for m in metrics)
+            rounds.append(
+                RoundMetrics(
+                    superstep, msgs, changed, float(changed),
+                    time.perf_counter() - t0,
+                )
+            )
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and superstep % checkpoint_every == 0
+            ):
+                # reuse the PageRank checkpoint plumbing (column is generic)
+                ShardedPageRank.checkpoint(
+                    self, checkpoint_dir, superstep, shard_refs,
+                    {"changed": changed, "msgs": msgs},
+                )
+            if changed == 0:
+                break
+        label = np.empty(shard_size * P, dtype=np.int64)
+        for p in range(P):
+            sh = ray.get(shard_refs[p])
+            label[p::P][: len(sh)] = sh
+        return BSPResult(state={"label": label[: self.n]}, rounds=rounds, n=self.n)

@@ -122,3 +122,21 @@ def test_reachability():
     assert not no
     same, _ = reachability_dense(ds, n, source=3, dest=3)
     assert same
+
+
+@pytest.mark.parametrize("maker", [webmap20, clique7, two_components])
+def test_cc_sharded_matches_dense(maker, ray_session):
+    """Sharded min-label CC reaches the same fixpoint as the dense runner."""
+    from asterixdb_analytics_ray.pipelines.components import (
+        connected_components_dense,
+    )
+    from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
+
+    src, dst, n = maker()
+    s, d = _sym(src, dst)
+    und = as_dataset(s, d)
+    dense = connected_components_dense(und, n)
+    sharded = ShardedMinLabel(n=n, P=4).run(und)
+    np.testing.assert_array_equal(
+        sharded.state["label"], dense.state["label"]
+    )
