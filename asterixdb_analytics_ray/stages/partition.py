@@ -140,3 +140,43 @@ def partition_table_refs(
         p: (refs[0] if len(refs) == 1 else _concat_tables.remote(*refs))
         for p, refs in per_part.items()
     }
+
+
+def salted_aggregate_sum(
+    msgs: ray.data.Dataset,
+    key: str = "v",
+    val: str = "msg",
+    salts: int = 8,
+) -> ray.data.Dataset:
+    """Two-stage salted sum for hot combine keys (explicit skew mitigation).
+
+    A plain ``groupby(key).sum()`` routes every message for a hot key to one
+    reduce partition; salting splits each key into ``salts`` sub-keys for the
+    first (wide) aggregation, then combines the ≤``salts`` partials per key in
+    a second, tiny aggregation — the "high-degree vertex splitting" of
+    SURVEY.md §4 (reference analog: frame-segmented MsgList spanning,
+    ``MsgList.java:34-50``; our hot keys are popular tool vertices).
+
+    Used when an algorithm runs in dataset mode over a graph with known hub
+    destinations; the dense/sharded modes are hub-proof without it because
+    per-block (resp. per-partition) pre-combines bound fan-in by block count.
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        # deterministic spread: row position within batch → salt class
+        return t.append_column(
+            "__salt", pa.array((np.arange(t.num_rows) % salts).astype(np.int8))
+        )
+
+    stage1 = (
+        msgs.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "__salt"])
+        .sum(val)
+    )
+    col = f"sum({val})"
+    stage2 = stage1.groupby(key).sum(col)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], val: t[f"sum({col})"]})
+
+    return stage2.map_batches(rename, batch_format="pyarrow")

@@ -39,3 +39,35 @@ def test_cc_on_skewed_hub():
     want = connected_components_numpy(src, dst, n)
     assert (res.state["label"] == want).all()
     assert (res.state["label"] == 0).all()  # hub connects everything
+
+
+def test_salted_aggregate_hot_key(ray_session):
+    """Explicit salted two-stage combine equals the plain groupby sum on a
+    messages table where 90% of rows hit ONE destination key."""
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.stages.partition import salted_aggregate_sum
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    v = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 1000, n)).astype(np.int64)
+    msg = rng.random(n)
+    ds = ray.data.from_arrow(pa.table({"v": v, "msg": msg})).repartition(16)
+    got = (
+        salted_aggregate_sum(ds, salts=8)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"v": v, "msg": msg})
+        .groupby("v", as_index=False)["msg"]
+        .sum()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+    np.testing.assert_allclose(got["msg"].to_numpy(), want["msg"].to_numpy(), rtol=1e-12)
