@@ -232,6 +232,42 @@ class LinkGraph:
     def in_degrees(self, kinds: tuple[str, ...] | None = None) -> np.ndarray:
         return self._degrees("dst", kinds)
 
+    def degrees_both(
+        self, kinds: tuple[str, ...] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(out_degrees, in_degrees) in ONE pass over the edge table — the
+        same sparse-partial pattern as ``_degrees`` with a side flag."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            s_ids, s_cnt = np.unique(t["src"].to_numpy(), return_counts=True)
+            d_ids, d_cnt = np.unique(t["dst"].to_numpy(), return_counts=True)
+            return pa.table(
+                {
+                    "v": np.concatenate([s_ids, d_ids]),
+                    "c": np.concatenate([s_cnt, d_cnt]),
+                    "is_dst": np.concatenate(
+                        [
+                            np.zeros(len(s_ids), dtype=bool),
+                            np.ones(len(d_ids), dtype=bool),
+                        ]
+                    ),
+                }
+            )
+
+        out = np.zeros(self.n_nodes, dtype=np.int64)
+        ind = np.zeros(self.n_nodes, dtype=np.int64)
+        for b in (
+            self.directed(kinds)
+            .map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            v = b["v"].to_numpy()
+            c = b["c"].to_numpy()
+            m = b["is_dst"].to_numpy(zero_copy_only=False)
+            np.add.at(out, v[~m], c[~m])
+            np.add.at(ind, v[m], c[m])
+        return out, ind
+
     def _degrees(self, col: str, kinds: tuple[str, ...] | None) -> np.ndarray:
         """Per-block SPARSE partial counts (unique ids + counts, tiny) summed
         into the dense vector on the driver — degrees feed the dense BSP

@@ -153,7 +153,19 @@ def run_bench() -> dict:
         n_valid = int(((outdeg > 0) | (indeg > 0)).sum())
     else:
         # structured-id build: the 10^12 path (no string dictionary; see graph.py)
-        g, sids = build_link_graph_structured(ray.data.read_parquet(path))
+        # id-space bounds come from the generator spec (production: table
+        # metadata), skipping the max-scan pass
+        from asterixdb_analytics_ray.sources.transcripts import (
+            sf_from_dir,
+            spec_for_sf,
+        )
+
+        spec = spec_for_sf(sf_from_dir(SF_DIR) * BENCH_SCALE)
+        g, sids = build_link_graph_structured(
+            ray.data.read_parquet(path),
+            n_convs=spec.n_convs,
+            n_tools=spec.n_tools,
+        )
         directed = hash_partition_by(g.directed(), "dst", NUM_CPUS)
         need_und = _want("connected_components") or _want("label_propagation")
         oriented = (
@@ -166,8 +178,8 @@ def run_bench() -> dict:
         undirected = (
             undirected_from_oriented(oriented).materialize() if need_und else None
         )
-        outdeg = g.out_degrees()
-        n_valid = int(((outdeg > 0) | (g.in_degrees() > 0)).sum())
+        outdeg, indeg = g.degrees_both()
+        n_valid = int(((outdeg > 0) | (indeg > 0)).sum())
     if BENCH_GRAPH == "conv_share":
         undirected = oriented = None
     q["edge_build"] = time.perf_counter() - t0

@@ -109,3 +109,10 @@ def test_structured_ids_isomorphic_to_dict(tiny_transcripts, tiny_graph):
     }
     set2 = {(decode(s), decode(d), k) for s, d, k in zip(e2["src"], e2["dst"], e2["kind"])}
     assert set1 == set2
+
+
+def test_degrees_both_matches_single(tiny_graph):
+    g = tiny_graph
+    out2, in2 = g.degrees_both()
+    np.testing.assert_array_equal(out2, g.out_degrees())
+    np.testing.assert_array_equal(in2, g.in_degrees())
