@@ -566,3 +566,106 @@ class ShardedMinLabel:
             sh = ray.get(shard_refs[p])
             label[p::P][: len(sh)] = sh
         return BSPResult(state={"label": label[: self.n]}, rounds=rounds, n=self.n)
+
+
+# ---------------------------------------------------------------------------
+# Sharded label propagation — histogram/argmax over the same layout
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
+    """Edge cache for the histogram kernel: src-shard-sliced gather ids +
+    local dst ids (no weights; the per-round (dst, label) grouping must be
+    redone each round because labels change — the reference's
+    DefaultMessageCombiner / non-foldable-message case)."""
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    smod = (src % P).astype(np.int64)
+    order = np.argsort(smod, kind="stable")
+    id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
+    return {
+        "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
+        "sdiv": ((src // P)[order]).astype(id_dtype),
+        "dst_div": ((dst // P)[order]).astype(id_dtype),
+    }
+
+
+@ray.remote
+def _labelprop_task(prep: dict, p: int, P: int, shard_size: int, *shards):
+    """One partition's histogram-argmax round: gather neighbor labels, count
+    per (local dst, label), adopt the most frequent (min label on ties)."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv"]
+    dstd = prep["dst_div"]
+    lab_parts = []
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            lab_parts.append(shards[q][sdiv[s:e]])
+    own = shards[p]
+    if not lab_parts:
+        return own
+    labels = np.concatenate(lab_parts)
+    D = dstd.astype(np.int64)
+    order = np.lexsort((labels, D))
+    Ds, Ls = D[order], labels[order]
+    run = np.concatenate(([True], (Ds[1:] != Ds[:-1]) | (Ls[1:] != Ls[:-1])))
+    starts = np.flatnonzero(run)
+    counts = np.diff(np.concatenate((starts, [len(Ds)])))
+    pv, pl = Ds[starts], Ls[starts]
+    # per-dst argmax(count), ties → min label
+    o2 = np.lexsort((pl, -counts, pv))
+    pv, pl = pv[o2], pl[o2]
+    first = np.concatenate(([True], pv[1:] != pv[:-1]))
+    new = own.copy()
+    new[pv[first]] = pl[first]
+    return new
+
+
+@dataclass
+class ShardedLabelProp:
+    """Synchronous histogram label propagation over the sharded layout — the
+    scale path for LP (semantics identical to ``label_propagation_dense``:
+    fixed rounds, most-frequent neighbor label, min-label tie-break,
+    isolated vertices keep their label)."""
+
+    n: int
+    P: int
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, edges: ray.data.Dataset) -> None:
+        """``edges`` must be the UNDIRECTED (symmetrized) edge set."""
+        from .partition import partition_table_refs
+
+        shard_size = (self.n + self.P - 1) // self.P
+        part_refs = partition_table_refs(edges, "dst", self.P)
+        self._preps = {
+            p: _prep_block_lp.remote(block, self.P, shard_size)
+            for p, block in part_refs.items()
+        }
+
+    def run(
+        self, edges: ray.data.Dataset | None = None, rounds: int = 5
+    ) -> np.ndarray:
+        P = self.P
+        shard_size = (self.n + P - 1) // P
+        if self._preps is None:
+            self.prepare(edges)
+        preps = self._preps
+        shard_refs = [
+            ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+            for p in range(P)
+        ]
+        for _ in range(rounds):
+            new_refs = list(shard_refs)
+            for p, prep in preps.items():
+                new_refs[p] = _labelprop_task.remote(
+                    prep, p, P, shard_size, *shard_refs
+                )
+            shard_refs = new_refs
+        label = np.empty(shard_size * P, dtype=np.int64)
+        for p in range(P):
+            sh = ray.get(shard_refs[p])
+            label[p::P][: len(sh)] = sh
+        return label[: self.n]

@@ -140,3 +140,16 @@ def test_cc_sharded_matches_dense(maker, ray_session):
     np.testing.assert_array_equal(
         sharded.state["label"], dense.state["label"]
     )
+
+
+@pytest.mark.parametrize("maker", [webmap20, clique7, two_components])
+def test_lp_sharded_matches_dense(maker, ray_session):
+    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+    src, dst, n = maker()
+    s, d = _sym(src, dst)
+    und = as_dataset(s, d)
+    dense = label_propagation_dense(und, n, rounds=5)
+    sharded = ShardedLabelProp(n=n, P=4).run(und, rounds=5)
+    np.testing.assert_array_equal(sharded, dense)
