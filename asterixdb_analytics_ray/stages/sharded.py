@@ -20,6 +20,12 @@ core); the driver merely submits per-superstep jobs. Here:
 Raw ``@ray.remote`` is justified here by the iterative barrier: the Dataset
 API has no loop construct, and a per-round Dataset execution pays ~100ms+
 fixed overhead that dominates sub-second supersteps.
+
+Three runners share the layout: ``ShardedPageRank`` (sum combine, bincount
+kernel, checkpoint/resume, tasks or stateful-actor executor),
+``ShardedMinLabel`` (connected components; segment-min reduceat combine),
+``ShardedLabelProp`` (histogram-argmax). Triangle count is join-shaped, not
+iterative — see ``pipelines/triangles.py`` (SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -238,6 +244,11 @@ class ShardedPageRank:
                 for p, prep_ref in self._preps.items()
             }
             ray.get([w.ready.remote() for w in self._workers.values()])
+        elif self._preps:
+            # block until the edge caches exist: attributes build cost to
+            # prepare() and lets the shuffle's intermediate objects release
+            # before supersteps start competing for object-store space
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def shutdown(self) -> None:
         """Eagerly release the partition-worker fleet (otherwise GC does)."""
@@ -440,25 +451,28 @@ def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
     dst_s = dst_div[order]
     bounds = np.searchsorted(smod_s, np.arange(P + 1))
     id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
-    seg_starts = []
+    seg_rel = []   # slice-relative segment starts (int32: slices < 2^31)
+    seg_dst = []   # the segment's local dst id
     seg_bounds = [0]
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
         if s < e:
             d = dst_s[s:e]
-            starts = s + np.flatnonzero(
-                np.concatenate(([True], d[1:] != d[:-1]))
-            )
-            seg_starts.append(starts)
-        seg_bounds.append(seg_bounds[-1] + (len(seg_starts[-1]) if s < e else 0))
+            rel = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+            seg_rel.append(rel.astype(np.int32))
+            seg_dst.append(d[rel].astype(id_dtype))
+        seg_bounds.append(seg_bounds[-1] + (len(seg_rel[-1]) if s < e else 0))
     return {
         "bounds": bounds,
         "sdiv": ((src // P)[order]).astype(id_dtype),
-        "dst_div": dst_s.astype(id_dtype),
-        "seg_starts": (
-            np.concatenate(seg_starts) if seg_starts else np.array([], np.int64)
+        "seg_rel": (
+            np.concatenate(seg_rel) if seg_rel else np.array([], np.int32)
+        ),
+        "seg_dst": (
+            np.concatenate(seg_dst) if seg_dst else np.array([], id_dtype)
         ),
         "seg_bounds": np.asarray(seg_bounds, dtype=np.int64),
+        "n_edges": len(dst_s),
     }
 
 
@@ -469,8 +483,8 @@ def _minlabel_task(
     """One partition's min-combine + apply for one superstep."""
     bounds = prep["bounds"]
     sdiv = prep["sdiv"]
-    dstd = prep["dst_div"]
-    seg_starts = prep["seg_starts"]
+    seg_rel = prep["seg_rel"]
+    seg_dst = prep["seg_dst"]
     seg_bounds = prep["seg_bounds"]
     own = shards[p]
     acc = own.copy()  # min over (current label, incoming neighbor labels)
@@ -478,13 +492,13 @@ def _minlabel_task(
         s, e = bounds[q], bounds[q + 1]
         if s >= e:
             continue
-        starts = seg_starts[seg_bounds[q] : seg_bounds[q + 1]]
+        b0, b1 = seg_bounds[q], seg_bounds[q + 1]
         cand = shards[q][sdiv[s:e]]
-        segmin = np.minimum.reduceat(cand, starts - s)
-        uniq = dstd[starts]
+        segmin = np.minimum.reduceat(cand, seg_rel[b0:b1])
+        uniq = seg_dst[b0:b1]
         acc[uniq] = np.minimum(acc[uniq], segmin)
     changed = int((acc != own).sum())
-    return acc, (changed, int(len(dstd)))
+    return acc, (changed, int(prep["n_edges"]))
 
 
 @dataclass
@@ -509,6 +523,8 @@ class ShardedMinLabel:
             p: _prep_block_min.remote(block, self.P, shard_size)
             for p, block in part_refs.items()
         }
+        if self._preps:
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def run(
         self,
@@ -587,39 +603,46 @@ def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
     return {
         "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
         "sdiv": ((src // P)[order]).astype(id_dtype),
-        "dst_div": ((dst // P)[order]).astype(id_dtype),
+        # int64 copy kept static so the per-round combined-key build is a
+        # fused multiply-add with no per-round dtype conversion
+        "dst64": ((dst // P)[order]).astype(np.int64),
     }
 
 
 @ray.remote
-def _labelprop_task(prep: dict, p: int, P: int, shard_size: int, *shards):
+def _labelprop_task(prep: dict, p: int, P: int, stride: int, *shards):
     """One partition's histogram-argmax round: gather neighbor labels, count
-    per (local dst, label), adopt the most frequent (min label on ties)."""
+    per (local dst, label), adopt the most frequent (min label on ties).
+
+    The (dst, label) histogram is built by sorting ONE packed int64 key
+    ``dst_local·stride + label`` (stride > max label): a value sort needs no
+    permutation array, so it is several times cheaper per round than the
+    lexsort formulation, and run-length decoding recovers both fields."""
     bounds = prep["bounds"]
     sdiv = prep["sdiv"]
-    dstd = prep["dst_div"]
-    lab_parts = []
+    dst64 = prep["dst64"]
+    own = shards[p]
+    if len(dst64) == 0:
+        return own
+    key = dst64 * stride
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
         if s < e:
-            lab_parts.append(shards[q][sdiv[s:e]])
-    own = shards[p]
-    if not lab_parts:
-        return own
-    labels = np.concatenate(lab_parts)
-    D = dstd.astype(np.int64)
-    order = np.lexsort((labels, D))
-    Ds, Ls = D[order], labels[order]
-    run = np.concatenate(([True], (Ds[1:] != Ds[:-1]) | (Ls[1:] != Ls[:-1])))
-    starts = np.flatnonzero(run)
-    counts = np.diff(np.concatenate((starts, [len(Ds)])))
-    pv, pl = Ds[starts], Ls[starts]
-    # per-dst argmax(count), ties → min label
-    o2 = np.lexsort((pl, -counts, pv))
-    pv, pl = pv[o2], pl[o2]
-    first = np.concatenate(([True], pv[1:] != pv[:-1]))
+            key[s:e] += shards[q][sdiv[s:e]]
+    key.sort()
+    starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+    counts = np.diff(np.concatenate((starts, [len(key)])))
+    pv = key[starts] // stride
+    pl = key[starts] % stride
+    # per-dst argmax(count) with min-label tie-break, WITHOUT a second sort:
+    # runs are already grouped by pv, so pack (count, inverted label) into
+    # one comparison key and take a segmented max (first LP rounds have ~E
+    # distinct (dst,label) runs — a lexsort here would be a second full sort)
+    g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
+    cmp = counts * stride + (stride - 1 - pl)
+    best = np.maximum.reduceat(cmp, g_starts)
     new = own.copy()
-    new[pv[first]] = pl[first]
+    new[pv[g_starts]] = stride - 1 - (best % stride)
     return new
 
 
@@ -644,6 +667,8 @@ class ShardedLabelProp:
             p: _prep_block_lp.remote(block, self.P, shard_size)
             for p, block in part_refs.items()
         }
+        if self._preps:
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def run(
         self, edges: ray.data.Dataset | None = None, rounds: int = 5
@@ -659,9 +684,10 @@ class ShardedLabelProp:
         ]
         for _ in range(rounds):
             new_refs = list(shard_refs)
+            stride = self.n + 1  # labels are vertex ids < n
             for p, prep in preps.items():
                 new_refs[p] = _labelprop_task.remote(
-                    prep, p, P, shard_size, *shard_refs
+                    prep, p, P, stride, *shard_refs
                 )
             shard_refs = new_refs
         label = np.empty(shard_size * P, dtype=np.int64)
