@@ -60,6 +60,15 @@ class BSPConfig:
     # block (batch_size=None) and the per-block partial messages have disjoint
     # destination sets, so the final combine is a pure assignment.
     dst_partition_modulus: int | None = None
+    # user hooks (reference: PreSuperStepRuntimeHookFactory /
+    # PostSuperStepRuntimeHookFactory + IIterationCompleteReporterHook —
+    # the latter is how FailureRecoveryTest injects mid-run faults):
+    # pre_superstep(superstep, state) runs before each round's scatter;
+    # post_superstep(metrics, state) runs after the round completes (an
+    # exception here aborts the job exactly like the reference's injected
+    # node kill — resume then restarts from the last checkpoint)
+    pre_superstep: Any = None
+    post_superstep: Any = None
 
 
 @dataclass
@@ -179,6 +188,8 @@ def run_dense_bsp(
 
     while superstep < cfg.max_supersteps:
         t0 = time.perf_counter()
+        if cfg.pre_superstep is not None:
+            cfg.pre_superstep(superstep, state)
         refs = {k: ray.put(v) for k, v in state.items()}
         fn = algo.scatter_factory(refs, superstep)
         if fn is None:
@@ -214,6 +225,8 @@ def run_dense_bsp(
                 {"msgs": total, "active": active, "delta": delta},
                 cfg.checkpoint_partitions,
             )
+        if cfg.post_superstep is not None:
+            cfg.post_superstep(rounds[-1], state)
         if active == 0 and total == 0:
             break
         if active == 0 and getattr(algo, "halt_when_inactive", False):

@@ -122,3 +122,36 @@ def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session)
     r2.prepare(ds, outdeg)
     with pytest.raises(Exception, match="lineage"):
         r2.run(supersteps=10, checkpoint_dir=ckdir, resume=True)
+
+
+def test_hooks_and_fault_injection_recovery(tmp_path, webmap_ds, ray_session):
+    """Reference FailureRecoveryTest analog: a post-superstep hook raises
+    mid-run (the reference kills NC2 via FailureInjectionIterationCompleteHook)
+    after checkpoints exist; resume completes and matches the clean run."""
+    ds, outdeg, n = webmap_ds
+    full = pagerank_dense(ds, n, outdeg, supersteps=10)
+
+    calls = {"pre": 0, "post": 0}
+
+    def pre(superstep, state):
+        calls["pre"] += 1
+
+    def boom(metrics, state):
+        calls["post"] += 1
+        if metrics.superstep == 6:
+            raise RuntimeError("injected failure")
+
+    ckdir = str(tmp_path / "faultck")
+    cfg = BSPConfig(
+        checkpoint_dir=ckdir, checkpoint_every=2,
+        pre_superstep=pre, post_superstep=boom,
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg)
+    assert calls["pre"] == 5 and calls["post"] == 5  # rounds 2..6 ran
+    assert ckpt.list_checkpoints(ckdir) == [2, 4, 6]
+
+    cfg2 = BSPConfig(checkpoint_dir=ckdir, checkpoint_every=2, resume=True)
+    res = pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg2)
+    assert res.rounds[0].superstep == 7
+    np.testing.assert_allclose(res.state["rank"], full.state["rank"], atol=1e-15)
