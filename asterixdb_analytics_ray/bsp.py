@@ -182,6 +182,11 @@ def run_dense_bsp(
         done = ckpt.list_checkpoints(cfg.checkpoint_dir)
         if done:
             state, man = ckpt.read_dense_checkpoint(cfg.checkpoint_dir, done[-1])
+            if man.algorithm != algo.name:
+                raise ValueError(
+                    f"checkpoint is for algorithm {man.algorithm!r}, refusing "
+                    f"to resume {algo.name!r} from it"
+                )
             superstep = man.superstep
     if state is None:
         state = algo.init_state(n)  # superstep 1: init + first sends

@@ -80,11 +80,14 @@ def label_propagation_dataset(
 ) -> ray.data.Dataset:
     """Dataset-mode LP → (v:int64, label:int64).
 
-    Combine = ``groupby(["v","label"]).Sum`` then per-vertex argmax inside
-    ``groupby("v").map_groups`` — both true shuffles keyed on the vertex id.
+    Combine = ``groupby(["v","label"]).Sum`` then per-vertex argmax via a
+    SECOND vectorized aggregate: (count, inverted label) packed into one
+    int64 comparison key so ``groupby("v").max`` IS argmax-count with
+    min-label tie-break — no per-vertex Python (the packing requires
+    count·n + n ≤ 2^63, i.e. n ≲ 3·10^9 vertices; beyond that widen to a
+    two-column max). Both aggregates are true shuffles keyed on the vertex.
     """
-    import pandas as pd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     P = num_partitions
     state = ray.data.range(n).map_batches(
@@ -110,13 +113,25 @@ def label_propagation_dataset(
             .aggregate(Sum("cnt", alias_name="cnt"))
         )
 
-        def argmax(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["cnt", "nbr_label"], ascending=[False, True])
-            return pd.DataFrame(
-                {"v": [g["v"].iloc[0]], "new_label": [g["nbr_label"].iloc[0]]}
+        def pack(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy()
+            lab = t["nbr_label"].to_numpy()
+            return pa.table(
+                {"v": t["v"], "cmp": cnt * np.int64(n) + (np.int64(n) - 1 - lab)}
             )
 
-        winners = counts.groupby("v").map_groups(argmax, batch_format="pandas")
+        def decode(t: pa.Table) -> pa.Table:
+            cmp = t["cmp"].to_numpy()
+            return pa.table(
+                {"v": t["v"], "new_label": np.int64(n) - 1 - (cmp % np.int64(n))}
+            )
+
+        winners = (
+            counts.map_batches(pack, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Max("cmp", alias_name="cmp"))
+            .map_batches(decode, batch_format="pyarrow")
+        )
 
         def apply_lbl(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

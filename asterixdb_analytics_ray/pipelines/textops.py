@@ -98,25 +98,43 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, text) keeping the MINIMUM doc_id per distinct text.
 
-    Hash-partition + per-group first — the digest (not the text) is the
-    shuffle key; the text column rides along only to break hash collisions
-    exactly. Output = canonical representatives.
+    Content-addressed dedup: the full 256-bit sha256 digest is the document
+    identity AND the only shuffle key — the text never rides through the
+    groupby (at 100 TB the digest column is ~64 B/row vs KB-scale texts).
+    Winners (min doc_id per digest) are a tiny (h, doc_id) table; their texts
+    are recovered with one int64-keyed hash join back to the corpus, where
+    text moves once, as payload, never as a key. Digest equality == text
+    equality at 2^-128 collision odds (standard content addressing).
     """
     from ray.data.aggregate import Min
 
-    def digest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[["doc_id", "text"]].copy()
-        df["h"] = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest()[:16] for t in df["text"]
-        ]
-        return df
+    from ..stages.blocks import effective_partitions, safe_join
 
-    hashed = docs.map_batches(digest, batch_format="pandas")
-    return (
-        hashed.groupby(["h", "text"])
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "h": [
+                    hashlib.sha256(t.encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    winners = (
+        docs.map_batches(digest, batch_format="pandas")
+        .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id", "text"])
+        .select_columns(["doc_id"])
     )
+    out = safe_join(
+        docs.select_columns(["doc_id", "text"]),
+        winners,
+        "inner",
+        effective_partitions(),
+        on=("doc_id",),
+    )
+    return out.select_columns(["doc_id", "text"])
 
 
 # ---------------------------------------------------------------------------

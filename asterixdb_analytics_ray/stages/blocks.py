@@ -19,15 +19,24 @@ import ray.data
 def materialize_clean(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Materialize and drop empty blocks (schema-less or typed).
 
-    The check reads each block ref zero-copy from the object store on the
-    driver — O(num_blocks) metadata work, no row copies. If every block is
-    empty the original materialized dataset is returned unchanged (callers
-    terminate on their own row/convergence counts before joining again).
+    The check reads ONLY the driver-side ``BlockMetadata`` of each
+    materialized block (``iter_internal_ref_bundles`` carries (ref, metadata)
+    pairs) — no block data is fetched, so on a multi-node cluster this costs
+    O(num_blocks) driver metadata, not a network pull of both join sides per
+    superstep. A block whose metadata lacks a row count is conservatively
+    kept. If every block is empty the original materialized dataset is
+    returned unchanged (callers terminate on their own row/convergence
+    counts before joining again).
     """
     mat = ds.materialize()
-    refs = mat.to_arrow_refs()
-    good = [r for r in refs if ray.get(r).num_rows > 0]
-    if not good or len(good) == len(refs):
+    good, empties = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                empties += 1
+            else:
+                good.append(ref)
+    if not good or empties == 0:
         return mat
     return ray.data.from_arrow_refs(good)
 

@@ -50,6 +50,15 @@ def hash_partition_by(
     return _coalesce_single_part_blocks(shuffled, col, P)
 
 
+@ray.remote(num_cpus=0)
+def _probe_part(t: "pa.Table", col: str, P: int) -> int:
+    """Partition class of one block (or -1 if empty) — runs next to the data
+    so the driver never fetches block contents, only one int per block."""
+    if t.num_rows == 0 or col not in t.schema.names:
+        return -1
+    return int(t[col][0].as_py()) % P
+
+
 def _coalesce_single_part_blocks(
     mat_ds: ray.data.Dataset, col: str, P: int
 ) -> ray.data.Dataset:
@@ -57,21 +66,24 @@ def _coalesce_single_part_blocks(
 
     Ray's groupby/map_groups emits several blocks per group; the dense BSP
     scatter launches one task per block, so fragment counts translate
-    directly into per-superstep task-dispatch overhead. Merging is metadata
-    work on the driver plus one zero-copy concat task per partition. (Very
-    large partitions will be re-split by the object store's block sizing —
-    the scatter's per-batch partition check handles that correctly.)
+    directly into per-superstep task-dispatch overhead. Each fragment's
+    partition class is probed by a zero-CPU task next to the data (block
+    contents never reach the driver — single-node reads are plasma-local,
+    but on a real cluster a driver-side peek would pull every block over
+    the network); merging is then one zero-copy concat task per partition.
+    (Very large partitions will be re-split by the object store's block
+    sizing — the scatter's per-batch partition check handles that
+    correctly.)
     """
     import ray as _ray
 
     refs = mat_ds.to_arrow_refs()
     if len(refs) <= P:
         return mat_ds
+    parts = _ray.get([_probe_part.remote(r, col, P) for r in refs])
     groups: dict[int, list] = {}
-    for r in refs:
-        t = _ray.get(r)
-        if t.num_rows:
-            p = int(t[col][0].as_py()) % P
+    for r, p in zip(refs, parts):
+        if p >= 0:
             groups.setdefault(p, []).append(r)
 
     @_ray.remote

@@ -54,7 +54,7 @@ DAMPING = 0.85
 
 
 def _write_shard(tmpdir: str, p: int, shard: np.ndarray) -> tuple:
-    t = pa.table({"rank": pa.array(shard)})
+    t = pa.table({"value": pa.array(shard)})
     pq.write_table(t, os.path.join(tmpdir, f"part-{p:04d}.parquet"))
     return t.num_rows, _hash_table(t)
 
@@ -70,7 +70,15 @@ def _load_shard_task(stepdir: str, p: int, rows: int, content_hash: str) -> np.n
     t = pq.read_table(os.path.join(stepdir, f"part-{p:04d}.parquet"))
     if t.num_rows != rows or _hash_table(t) != content_hash:
         raise IOError(f"checkpoint lineage mismatch: part {p} of {stepdir}")
-    return t["rank"].to_numpy()
+    return t["value"].to_numpy()
+
+
+@ray.remote(num_cpus=0)
+def _touch_shard(shard: np.ndarray) -> int:
+    """Dependency probe: consuming the ref here makes a failed load task's
+    exception surface at resume time with correct attribution (``ray.wait``
+    never raises task errors), without pulling shard data to the driver."""
+    return len(shard)
 
 
 def _build_prep(
@@ -218,6 +226,7 @@ class ShardedPageRank:
     n_vertices: int | None = None
     precision: str = "double"  # "double" | "mixed" (see _build_prep)
     executor: str = "actors"  # "actors" (stateful workers) | "tasks"
+    algorithm: str = "pagerank_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
     _workers: dict | None = field(default=None, repr=False)
 
@@ -271,7 +280,6 @@ class ShardedPageRank:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(sd, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         infos = ray.get(
             [
@@ -282,7 +290,7 @@ class ShardedPageRank:
         man = Manifest(
             superstep=step,
             num_partitions=self.P,
-            algorithm="pagerank_sharded",
+            algorithm=self.algorithm,
             metrics=metrics,
             partitions=[
                 PartitionInfo(p, r, h) for p, (r, h) in enumerate(infos)
@@ -290,6 +298,11 @@ class ShardedPageRank:
         )
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             f.write(man.to_json())
+        # the pre-existing step dir (an earlier run's checkpoint at the same
+        # step) is removed only now that the replacement is COMPLETE on disk:
+        # a crash mid-write leaves the old checkpoint intact, so resume never
+        # has to fall back to an older step
+        shutil.rmtree(sd, ignore_errors=True)
         os.replace(tmp, sd)
         return man
 
@@ -305,12 +318,20 @@ class ShardedPageRank:
             raise ValueError(
                 f"checkpoint has P={man.num_partitions}, runner has P={self.P}"
             )
+        if man.algorithm != self.algorithm:
+            raise ValueError(
+                f"checkpoint is for algorithm {man.algorithm!r}, refusing to "
+                f"resume {self.algorithm!r} from it"
+            )
         sd = _step_dir(root, step)
         refs = [
             _load_shard_task.remote(sd, pi.part, pi.rows, pi.content_hash)
             for pi in man.partitions
         ]
-        ray.wait(refs, num_returns=len(refs))  # surface lineage errors now
+        # consume each ref through a zero-CPU probe so a lineage-verification
+        # failure raises HERE (attributed to the resume), not in whichever
+        # superstep task first touches the bad shard
+        ray.get([_touch_shard.remote(r) for r in refs])
         return step, refs
 
     def run(
@@ -331,6 +352,11 @@ class ShardedPageRank:
         with zero driver round-trips (fixed-step mode; this is how a
         fixed-iteration production job runs, and the configuration used for
         the throughput/scaling measurements)."""
+        if checkpoint_dir and not barrier:
+            raise ValueError(
+                "checkpointing requires barrier=True (the barrierless DAG has "
+                "no per-superstep sync point to snapshot at)"
+            )
         P = self.P
         nv = self.n_vertices or self.n
         shard_size = (self.n + P - 1) // P
@@ -511,6 +537,7 @@ class ShardedMinLabel:
 
     n: int
     P: int
+    algorithm: str = "cc_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
@@ -532,18 +559,25 @@ class ShardedMinLabel:
         max_supersteps: int = 10_000,
         checkpoint_dir: str | None = None,
         checkpoint_every: int | None = None,
+        resume: bool = False,
     ) -> BSPResult:
         P = self.P
         shard_size = (self.n + P - 1) // P
         if self._preps is None:
             self.prepare(edges)
         preps = self._preps
-        shard_refs = [
-            ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
-            for p in range(P)
-        ]
         rounds: list[RoundMetrics] = []
         superstep = 1
+        shard_refs: list | None = None
+        if resume and checkpoint_dir:
+            resumed = ShardedPageRank.resume_refs(self, checkpoint_dir)
+            if resumed is not None:
+                superstep, shard_refs = resumed
+        if shard_refs is None:
+            shard_refs = [
+                ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+                for p in range(P)
+            ]
         while superstep <= max_supersteps:
             t0 = time.perf_counter()
             new_refs = list(shard_refs)

@@ -90,7 +90,6 @@ def write_dense_checkpoint(
     sd = _step_dir(root, step)
     tmp = sd + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(sd, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     man = Manifest(
         superstep=step,
@@ -107,6 +106,9 @@ def write_dense_checkpoint(
         man.partitions.append(PartitionInfo(p, t.num_rows, _hash_table(t)))
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         f.write(man.to_json())
+    # remove any previous checkpoint at this step only once the replacement
+    # is complete on disk — a crash mid-write never loses the old snapshot
+    shutil.rmtree(sd, ignore_errors=True)
     os.replace(tmp, sd)
     return man
 

@@ -116,7 +116,7 @@ def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session)
     import pyarrow as pa
 
     t = pq.read_table(part)
-    bad = t.set_column(0, "rank", pa.array(t["rank"].to_numpy() + 1.0))
+    bad = t.set_column(0, "value", pa.array(t["value"].to_numpy() + 1.0))
     pq.write_table(bad, part)
     r2 = ShardedPageRank(n=n, P=4)
     r2.prepare(ds, outdeg)
