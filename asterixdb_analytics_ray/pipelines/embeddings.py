@@ -97,27 +97,136 @@ def knn_brute_force(
     )
 
 
+def _list_col(m: np.ndarray) -> pa.Array:
+    """(n, d) float64 matrix → list<float64> column (type stable for n=0)."""
+    n, d = (m.shape[0], m.shape[1]) if m.ndim == 2 else (0, 0)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    return pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1), pa.float64()))
+
+
+def _norm_block(t: pa.Table) -> pa.Table:
+    """(vec_id, nemb: list<float64>) — row-normalized embeddings, one pass."""
+    ids, m = _batch_matrix(t)
+    nm = _normalize(m) if len(ids) else np.empty((0, 0))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "nemb": _list_col(nm),
+        }
+    )
+
+
+@ray.remote
+def _block_pair_sims(
+    ta: pa.Table, tb: pa.Table, threshold: float, same: bool
+) -> pa.Table:
+    """Exact cosine pairs ≥ threshold between two normalized corpus blocks.
+
+    Reads both blocks zero-copy from the object store; emits only the
+    surviving (vec_a < vec_b, sim) rows.
+    """
+    ia, ma = _batch_matrix(ta, col="nemb")
+    ib, mb = _batch_matrix(tb, col="nemb")
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if len(ia) == 0 or len(ib) == 0:
+        return empty
+    sims = ma @ mb.T
+    bi, cj = np.nonzero(sims >= threshold)
+    a, b = ia[bi], ib[cj]
+    if same:
+        # both orders present in the square matrix: keep strictly a < b
+        keep = a < b
+        a, b, s = a[keep], b[keep], sims[bi, cj][keep]
+    else:
+        # cross-block: each unordered pair appears exactly once — orient it
+        keep = a != b
+        a, b, s = a[keep], b[keep], sims[bi, cj][keep]
+        lo = np.minimum(a, b)
+        b = np.maximum(a, b)
+        a = lo
+    if len(a) == 0:
+        return empty
+    return pa.table(
+        {"vec_a": a, "vec_b": b, "sim": np.round(s, SIM_DECIMALS)}
+    )
+
+
 def cosine_dup_pairs(
     embeddings: ray.data.Dataset, threshold: float = 0.95
 ) -> ray.data.Dataset:
-    """(vec_a < vec_b, sim ≥ threshold) — blocked all-pairs cosine.
+    """(vec_a < vec_b, sim ≥ threshold) — EXACT all-pairs cosine, distributed.
 
-    Each batch multiplies against the broadcast (normalized) corpus matrix —
-    O(N²·d) total but streamed block-wise; the LSH/IVF bucketed variants are
-    the at-scale alternatives.
+    The corpus is normalized block-wise and materialized in the object store;
+    one task per unordered block pair (i ≤ j) multiplies the two blocks and
+    keeps survivors. The driver handles only block refs — never embedding
+    data (round 1 pulled the whole matrix to the driver and broadcast it).
+    O(N²·d) FLOPs are inherent to the exact answer; each task touches two
+    blocks, so work distributes across the cluster and no single worker
+    needs the corpus. ``cosine_dup_pairs_ivf`` is the sub-quadratic
+    approximate path for corpora where exact all-pairs is off the table.
     """
-    rows = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = rows["vec_id"].to_numpy()
-    m = _normalize(np.stack(rows["embedding"].to_numpy()).astype(np.float64))
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
-    mref, iref = ray.put(m), ray.put(ids)
+    norm = embeddings.map_batches(_norm_block, batch_format="pyarrow").materialize()
+    refs = norm.to_arrow_refs()
+    out = [
+        _block_pair_sims.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
 
-    def block(t: pa.Table) -> pa.Table:
-        corpus = ray.get(mref)
-        corpus_ids = ray.get(iref)
-        bids, bm = _batch_matrix(t)
-        if len(bids) == 0:
+
+def cosine_dup_pairs_ivf(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+) -> ray.data.Dataset:
+    """Approximate near-dup pairs via IVF bucketing — the sub-quadratic path.
+
+    Every vector is assigned to its ``nprobe`` nearest k-means cells (multi-
+    assignment recovers most cross-boundary pairs); candidate pairs are
+    generated within each cell by an exact block multiply and deduplicated.
+    Recall is high for tight thresholds (near-dups share cells) but not
+    guaranteed 1.0 — use ``cosine_dup_pairs`` when exactness is required.
+    """
+    from ray.data.aggregate import Min
+
+    cents = _normalize(train_kmeans_centroids(embeddings, n_clusters))
+    cref = ray.put(cents)
+
+    def assign_multi(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "nemb": _list_col(np.empty((0, 0))),
+                }
+            )
+        nm = _normalize(m)
+        cells = np.argsort(-(nm @ c.T), axis=1)[:, :nprobe].astype(np.int64)
+        rep = np.repeat(np.arange(len(ids)), nprobe)
+        return pa.table(
+            {
+                "cell": cells.reshape(-1),
+                "vec_id": np.asarray(ids, dtype=np.int64)[rep],
+                "nemb": _list_col(nm[rep]),
+            }
+        )
+
+    assigned = embeddings.map_batches(assign_multi, batch_format="pyarrow")
+
+    def cell_pairs(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t, col="nemb")
+        if len(ids) < 2:
             return pa.table(
                 {
                     "vec_a": pa.array([], pa.int64()),
@@ -125,11 +234,10 @@ def cosine_dup_pairs(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        sims = _normalize(bm) @ corpus.T
+        sims = m @ m.T
         bi, cj = np.nonzero(sims >= threshold)
-        a = bids[bi]
-        b = corpus_ids[cj]
-        keep = a < b  # dedup orientation + drop self-pairs
+        a, b = ids[bi], ids[cj]
+        keep = a < b
         return pa.table(
             {
                 "vec_a": a[keep],
@@ -138,7 +246,13 @@ def cosine_dup_pairs(
             }
         )
 
-    return embeddings.map_batches(block, batch_format="pyarrow")
+    pairs = assigned.groupby("cell").map_groups(
+        cell_pairs, batch_format="pyarrow"
+    )
+    # multi-assignment finds some pairs in >1 cell: dedup on (a, b)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("sim", alias_name="sim")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -266,6 +266,83 @@ def minhash_signatures(
     return docs.map_batches(sig, batch_format="pandas")
 
 
+def shingle_sets(docs: ray.data.Dataset, shingle_k: int = 3) -> ray.data.Dataset:
+    """(doc_id, sh: binary) — each doc's sorted-unique shingle hashes, packed
+    as little-endian uint64 bytes (Acero hash joins carry binary payload
+    columns but not list columns).
+
+    The distributed verify side of the near-dup pipelines: computed once in a
+    streaming ``map_batches`` pass, then hash-joined to candidate pairs by
+    doc id, so no driver ever holds the corpus.
+    """
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "sh": pa.array(
+                    [_shingle_hashes(t, shingle_k).tobytes() for t in df["text"]],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def _verify_pairs_distributed(
+    cand: ray.data.Dataset,
+    shingles: ray.data.Dataset,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates, fully
+    distributed: two int64-keyed hash joins pull each side's shingle set to
+    the pair's row, then the Jaccard is computed inside the join task. The
+    shingle sets move as join payload bounded by |candidates| — never the
+    corpus, never through the driver (the round-1 broadcast-a-text-dict
+    formulation is gone)."""
+    from ..stages.blocks import effective_partitions, safe_join
+
+    P = effective_partitions()
+    a_side = shingles.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "sh_a": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    b_side = shingles.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "sh_b": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        safe_join(cand, a_side, "inner", P, on=("doc_a",)),
+        b_side,
+        "inner",
+        P,
+        on=("doc_b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa_col = t["sh_a"].to_pylist()
+        sb_col = t["sh_b"].to_pylist()
+        jac = np.empty(t.num_rows)
+        for i in range(t.num_rows):
+            sa = np.frombuffer(sa_col[i], dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        rounded = np.round(jac, 6)
+        out = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": rounded,
+            }
+        )
+        return out.filter(pa.array(rounded >= threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     num_perm: int = 64,
@@ -276,8 +353,9 @@ def minhash_lsh_pairs(
     """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHash-LSH.
 
     signatures → explode to (band_id, band_hash, doc_id) → bucket groupby →
-    candidate pairs within buckets → exact-Jaccard verification (on the
-    docs' shingle sets, recomputed inside the verify stage) → dedup pairs.
+    candidate pairs within buckets → DISTRIBUTED exact-Jaccard verification
+    (candidates hash-joined to the per-doc shingle-set table — see
+    ``_verify_pairs_distributed``) → dedup pairs.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)
@@ -315,38 +393,9 @@ def minhash_lsh_pairs(
         .count()
         .drop_columns(["count()"])
     )
-
-    # broadcast doc texts for the verify stage (documents table is the small
-    # side here; at 100 TB the verify would join shingle sets by doc_id)
-    texts = {
-        r["doc_id"]: r["text"]
-        for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-            batch_format="pandas"
-        )
-        for r in b.to_dict("records")
-    }
-    tref = ray.put(texts)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(tref)
-        cache: dict[int, np.ndarray] = {}
-
-        def sh(d: int) -> np.ndarray:
-            if d not in cache:
-                cache[d] = _shingle_hashes(texts[d], shingle_k)
-            return cache[d]
-
-        jac = np.empty(len(df))
-        for i, (da, db) in enumerate(zip(df["doc_a"], df["doc_b"])):
-            sa, sb = sh(int(da)), sh(int(db))
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 0.0
-        out = df[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = np.round(jac, 6)
-        return out[out["jaccard"] >= threshold]
-
-    return cand.map_batches(verify, batch_format="pandas")
+    return _verify_pairs_distributed(
+        cand, shingle_sets(docs, shingle_k).materialize(), threshold
+    )
 
 
 def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -384,33 +433,87 @@ def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset, threshold: float = 0.5, shingle_k: int = 3
 ) -> ray.data.Dataset:
-    """Exact all-pairs word-k-gram Jaccard ≥ threshold (small-table oracle path).
+    """Exact all-pairs word-k-gram Jaccard ≥ threshold — distributed.
 
-    Quadratic — intended as the verification baseline for the LSH variant at
-    test scales; the LSH pipeline is the 100 TB path.
+    Inverted-index formulation (exact for any threshold > 0, since a pair
+    with Jaccard > 0 must share a shingle):
+
+      docs → (doc_id, shingle) exploded, unique per doc (streaming)
+           → self-join on shingle (hash join) → (a < b) pair rows
+           → groupby(a, b).count() = |A ∩ B|                (one wide shuffle)
+           → join per-doc set sizes twice (tiny int64 joins)
+           → jaccard = inter / (|A| + |B| − inter), filter ≥ threshold.
+
+    No driver materialization and no O(N²) loop — cost is Σ df(s)² over
+    shingle document-frequencies, the standard exact set-similarity-join
+    bound; a hub shingle (stop-phrase) inflates it, which is why the
+    MinHash-LSH pipeline remains the preferred 100 TB path and this one is
+    its exact verifier/baseline.
     """
-    rows = docs.select_columns(["doc_id", "text"]).take_all()
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    sets = [_shingle_hashes(r["text"], shingle_k) for r in rows]
-    order = np.argsort(ids)
-    out_a, out_b, out_j = [], [], []
-    for ii in range(len(order)):
-        for jj in range(ii + 1, len(order)):
-            a, b = order[ii], order[jj]
-            sa, sb = sets[a], sets[b]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                out_a.append(ids[a])
-                out_b.append(ids[b])
-                out_j.append(round(j, 6))
-    return ray.data.from_arrow(
-        pa.table(
+    from ray.data.aggregate import Count
+
+    from ..stages.blocks import effective_partitions, safe_join
+
+    P = effective_partitions()
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        sets = [_shingle_hashes(t, shingle_k) for t in df["text"]]
+        ids = df["doc_id"].to_numpy()
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = np.concatenate(sets) if sets else np.array([], dtype=np.uint64)
+        return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "doc_id": np.repeat(ids, counts),
+                # int64 view: Ray's hash-shuffle join keys on int64; values
+                # are stable 64-bit hashes either way
+                "sh": flat.view(np.int64),
             }
         )
+
+    ex = docs.map_batches(explode, batch_format="pandas").materialize()
+    sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+    other = ex.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "sh": t["sh"]}),
+        batch_format="pyarrow",
     )
+    joined = safe_join(ex, other, "inner", P, on=("sh",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["doc_id"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        keep = a < b
+        return pa.table({"doc_a": a[keep], "doc_b": b[keep]})
+
+    inter = (
+        joined.map_batches(orient, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+    size_a = sizes.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "n_a": t["n_sh"]}),
+        batch_format="pyarrow",
+    )
+    size_b = sizes.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "n_b": t["n_sh"]}),
+        batch_format="pyarrow",
+    )
+    withsizes = safe_join(
+        safe_join(inter, size_a, "inner", P, on=("doc_a",)),
+        size_b,
+        "inner",
+        P,
+        on=("doc_b",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter_c = t["inter"].to_numpy().astype(np.float64)
+        union = (
+            t["n_a"].to_numpy() + t["n_b"].to_numpy()
+        ).astype(np.float64) - inter_c
+        jac = np.round(np.where(union > 0, inter_c / union, 0.0), 6)
+        out = pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard": jac}
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return withsizes.map_batches(finish, batch_format="pyarrow")

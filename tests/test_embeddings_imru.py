@@ -78,6 +78,48 @@ def test_cosine_dup_pairs(emb):
     assert len(got) == want
 
 
+def test_cosine_dup_pairs_multiblock_exact(emb):
+    """Force several corpus blocks so the cross-block pair tasks (including
+    pairs whose smaller id lives in the later block) are exercised."""
+    ds, pts = emb
+    got = (
+        E.cosine_dup_pairs(ds.repartition(5), threshold=0.99)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = pn @ pn.T
+    ia, ib = np.triu_indices(len(pts), k=1)
+    m = sims[ia, ib] >= 0.99
+    want = (
+        pd.DataFrame(
+            {
+                "vec_a": ia[m],
+                "vec_b": ib[m],
+                "sim": np.round(sims[ia, ib][m], 6),
+            }
+        )
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"vec_a": np.int64, "vec_b": np.int64}), want
+    )
+
+
+def test_cosine_dup_pairs_ivf_recall(emb):
+    ds, pts = emb
+    exact = E.cosine_dup_pairs(ds, threshold=0.99).to_pandas()
+    approx = E.cosine_dup_pairs_ivf(
+        ds, threshold=0.99, n_clusters=6, nprobe=3
+    ).to_pandas()
+    ep = set(zip(exact["vec_a"], exact["vec_b"]))
+    ap = set(zip(approx["vec_a"].astype(int), approx["vec_b"].astype(int)))
+    assert ap <= ep  # no false positives (cells verify exactly)
+    assert len(ap & ep) / max(len(ep), 1) >= 0.9  # high recall
+
+
 def test_bgd_linear_recovers_weights(ray_session):
     rng = np.random.default_rng(5)
     X = rng.normal(size=(500, 3))
