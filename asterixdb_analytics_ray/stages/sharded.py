@@ -625,59 +625,115 @@ class ShardedMinLabel:
 
 @ray.remote
 def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
-    """Edge cache for the histogram kernel: src-shard-sliced gather ids +
-    local dst ids (no weights; the per-round (dst, label) grouping must be
-    redone each round because labels change — the reference's
+    """Edge cache for the histogram kernel: the CC-style dst-grouped static
+    layout (edges sorted by (owning src shard, local dst), per-run segment
+    starts) PLUS the local dst ids needed to pack per-round (dst, label)
+    sort keys. dst order never changes — only labels do — so rounds whose
+    per-dst label multiset is known-distinct (round 1 on a simple graph) run
+    as a pure gather + ``minimum.reduceat`` with no sort at all, and generic
+    rounds rebuild only the (dst, label) grouping (the reference's
     DefaultMessageCombiner / non-foldable-message case)."""
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()
     smod = (src % P).astype(np.int64)
-    order = np.argsort(smod, kind="stable")
+    dst_div = (dst // P).astype(np.int64)
+    order = np.lexsort((dst_div, smod))
+    smod_s = smod[order]
+    dst_s = dst_div[order]
+    bounds = np.searchsorted(smod_s, np.arange(P + 1))
     id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
+    seg_rel = []   # slice-relative segment starts (int32: slices < 2^31)
+    seg_dst = []   # the segment's local dst id
+    seg_bounds = [0]
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            d = dst_s[s:e]
+            rel = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+            seg_rel.append(rel.astype(np.int32))
+            seg_dst.append(d[rel].astype(id_dtype))
+        seg_bounds.append(seg_bounds[-1] + (len(seg_rel[-1]) if s < e else 0))
     return {
-        "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
+        "bounds": bounds,
         "sdiv": ((src // P)[order]).astype(id_dtype),
-        # int64 copy kept static so the per-round combined-key build is a
-        # fused multiply-add with no per-round dtype conversion
-        "dst64": ((dst // P)[order]).astype(np.int64),
+        "dst32": dst_s.astype(
+            np.int32 if shard_size <= np.iinfo(np.int32).max else np.int64
+        ),
+        "seg_rel": (
+            np.concatenate(seg_rel) if seg_rel else np.array([], np.int32)
+        ),
+        "seg_dst": (
+            np.concatenate(seg_dst) if seg_dst else np.array([], id_dtype)
+        ),
+        "seg_bounds": np.asarray(seg_bounds, dtype=np.int64),
     }
 
 
-@ray.remote
-def _labelprop_task(prep: dict, p: int, P: int, stride: int, *shards):
+@ray.remote(num_returns=2)
+def _labelprop_task(
+    prep: dict, p: int, P: int, stride: int, distinct: bool, *shards
+):
     """One partition's histogram-argmax round: gather neighbor labels, count
     per (local dst, label), adopt the most frequent (min label on ties).
 
-    The (dst, label) histogram is built by sorting ONE packed int64 key
-    ``dst_local·stride + label`` (stride > max label): a value sort needs no
-    permutation array, so it is several times cheaper per round than the
-    lexsort formulation, and run-length decoding recovers both fields."""
+    ``distinct=True`` asserts every dst's incoming label multiset has all
+    counts == 1 (round 1 on a simple graph: initial labels are the globally
+    distinct vertex ids and the edge set is deduped), so the mode with
+    min-label tie-break IS the segment minimum — computed by
+    ``minimum.reduceat`` over the static dst-grouped layout with no sort.
+    This removes the most expensive round: with all-distinct labels the
+    sort path degenerates to ~E runs and its run-length decode dominates.
+
+    Generic rounds build the (dst, label) histogram by sorting ONE packed
+    int64 key ``dst_local·stride + label`` (stride > max label): a value
+    sort needs no permutation array, so it is several times cheaper per
+    round than the lexsort formulation, and run-length decoding recovers
+    both fields. Run counts collapse after round 1 (labels cluster), which
+    keeps the decode proportional to distinct (dst, label) pairs."""
     bounds = prep["bounds"]
     sdiv = prep["sdiv"]
-    dst64 = prep["dst64"]
     own = shards[p]
-    if len(dst64) == 0:
-        return own
-    key = dst64 * stride
+    if len(prep["dst32"]) == 0:
+        return own, 0
+    if distinct:
+        seg_rel = prep["seg_rel"]
+        seg_dst = prep["seg_dst"]
+        seg_bounds = prep["seg_bounds"]
+        sentinel = np.iinfo(np.int64).max
+        acc = np.full(len(own), sentinel, dtype=np.int64)
+        for q in range(P):
+            s, e = bounds[q], bounds[q + 1]
+            if s >= e:
+                continue
+            b0, b1 = seg_bounds[q], seg_bounds[q + 1]
+            cand = shards[q][sdiv[s:e]]
+            segmin = np.minimum.reduceat(cand, seg_rel[b0:b1])
+            uniq = seg_dst[b0:b1]
+            acc[uniq] = np.minimum(acc[uniq], segmin)
+        new = np.where(acc != sentinel, acc, own)
+        return new, int((new != own).sum())
+    key = prep["dst32"].astype(np.int64)
+    key *= stride
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
         if s < e:
             key[s:e] += shards[q][sdiv[s:e]]
     key.sort()
     starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-    counts = np.diff(np.concatenate((starts, [len(key)])))
-    pv = key[starts] // stride
-    pl = key[starts] % stride
+    counts = np.diff(starts, append=len(key))
+    heads = key[starts]
+    pv = heads // stride
     # per-dst argmax(count) with min-label tie-break, WITHOUT a second sort:
     # runs are already grouped by pv, so pack (count, inverted label) into
-    # one comparison key and take a segmented max (first LP rounds have ~E
-    # distinct (dst,label) runs — a lexsort here would be a second full sort)
+    # one comparison key and take a segmented max (a lexsort here would be
+    # a second full sort)
     g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
-    cmp = counts * stride + (stride - 1 - pl)
+    # counts·stride + (stride−1−label), with label = heads − pv·stride
+    cmp = (counts + pv) * stride + (stride - 1) - heads
     best = np.maximum.reduceat(cmp, g_starts)
     new = own.copy()
-    new[pv[g_starts]] = stride - 1 - (best % stride)
-    return new
+    new[pv[g_starts]] = (stride - 1) - (best % stride)
+    return new, int((new != own).sum())
 
 
 @dataclass
@@ -685,10 +741,18 @@ class ShardedLabelProp:
     """Synchronous histogram label propagation over the sharded layout — the
     scale path for LP (semantics identical to ``label_propagation_dense``:
     fixed rounds, most-frequent neighbor label, min-label tie-break,
-    isolated vertices keep their label)."""
+    isolated vertices keep their label).
+
+    ``assume_simple=True`` (default) asserts the input is a simple deduped
+    undirected edge set (what ``undirected_from_oriented`` produces); round 1
+    then runs as a sort-free segmented min (initial labels are distinct, so
+    the histogram mode IS the min — see ``_labelprop_task``). Pass False for
+    multigraph inputs, where duplicate (src,dst) edges make round-1 counts
+    exceed 1."""
 
     n: int
     P: int
+    assume_simple: bool = True
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
@@ -716,12 +780,13 @@ class ShardedLabelProp:
             ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
             for p in range(P)
         ]
-        for _ in range(rounds):
+        stride = self.n + 1  # labels are vertex ids < n
+        for r in range(rounds):
             new_refs = list(shard_refs)
-            stride = self.n + 1  # labels are vertex ids < n
+            distinct = self.assume_simple and r == 0
             for p, prep in preps.items():
-                new_refs[p] = _labelprop_task.remote(
-                    prep, p, P, stride, *shard_refs
+                new_refs[p], _ = _labelprop_task.remote(
+                    prep, p, P, stride, distinct, *shard_refs
                 )
             shard_refs = new_refs
         label = np.empty(shard_size * P, dtype=np.int64)

@@ -153,3 +153,42 @@ def test_lp_sharded_matches_dense(maker, ray_session):
     dense = label_propagation_dense(und, n, rounds=5)
     sharded = ShardedLabelProp(n=n, P=4).run(und, rounds=5)
     np.testing.assert_array_equal(sharded, dense)
+
+
+def test_lp_sharded_random_graph_both_paths(ray_session):
+    """The round-1 sort-free segmented-min path (assume_simple=True) and the
+    generic packed-key sort path must agree with the dense kernel on a bigger
+    random simple graph (exercises multi-partition seg boundaries)."""
+    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+    rng = np.random.default_rng(7)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    s, d = _sym(src, dst)
+    und = as_dataset(s, d)
+    dense = label_propagation_dense(und, n, rounds=4)
+    fast = ShardedLabelProp(n=n, P=5).run(und, rounds=4)
+    generic = ShardedLabelProp(n=n, P=5, assume_simple=False).run(und, rounds=4)
+    np.testing.assert_array_equal(fast, dense)
+    np.testing.assert_array_equal(generic, dense)
+
+
+def test_lp_sharded_multigraph_needs_generic_path(ray_session):
+    """Duplicate edges make round-1 label counts exceed 1: the generic path
+    must count them (matching dense), and is the documented requirement for
+    multigraph inputs."""
+    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+    # vertex 0 hears label-from-2 twice and label-from-1 once: mode = 2,
+    # but min-label (the distinct shortcut) would pick 1
+    s = np.array([1, 2, 2, 0, 0, 0], dtype=np.int64)
+    d = np.array([0, 0, 0, 1, 2, 2], dtype=np.int64)
+    n = 3
+    und = as_dataset(s, d)
+    dense = label_propagation_dense(und, n, rounds=1)
+    generic = ShardedLabelProp(n=n, P=2, assume_simple=False).run(und, rounds=1)
+    np.testing.assert_array_equal(generic, dense)
+    assert dense[0] == 2  # the multiset mode, not the min
