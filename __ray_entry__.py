@@ -166,14 +166,17 @@ def _q_triangle_total(sf_dir: str):
 
 
 def _q_sssp(sf_dir: str):
+    """Unit-weight SSSP from vertex 0 — runs the sharded scale-path runner
+    (``ShardedSSSP``), semantics identical to the dense kernel."""
     import numpy as np
     import pyarrow as pa
 
-    from asterixdb_analytics_ray.pipelines.sssp import sssp_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
 
     views = _graph(sf_dir)
     g = views["graph"]
-    res = sssp_dense(views["directed"], g.n_nodes, source=0)
+    P = min(16, max(2, g.n_nodes // 2048))
+    res = ShardedSSSP(n=g.n_nodes, P=P, source=0).run(views["directed"])
     dist = res.state["dist"]
     finite = np.isfinite(dist)
     return pa.table(
@@ -184,18 +187,46 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_sssp_weighted(sf_dir: str):
+    """Weighted SSSP: per-edge weights carried through the graph build
+    (conv_tool = usage count, reply = 1, tool_cooc = shared-conv count)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.graph import build_link_graph
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    path = _transcripts_path(sf_dir)
+    g = build_link_graph(ray.data.read_parquet(path), weighted=True)
+    P = min(16, max(2, g.n_nodes // 2048))
+    res = ShardedSSSP(n=g.n_nodes, P=P, source=0, weight_col="w").run(
+        g.weighted_directed()
+    )
+    dist = res.state["dist"]
+    finite = np.isfinite(dist)
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64)[finite],
+            "dist": dist[finite],  # integral float64 (weights are counts)
+        }
+    )
+
+
 def _q_reachability(sf_dir: str):
-    """Bidirectional reachability 0 ↔ max-id (ReachabilityVertex semantics)."""
+    """Bidirectional reachability 0 ↔ max-id (ReachabilityVertex semantics),
+    via the sharded bit-OR runner with signalTerminate."""
     import pyarrow as pa
 
-    from asterixdb_analytics_ray.pipelines.reachability import reachability_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedReachability
 
     views = _graph(sf_dir)
     g = views["graph"]
     dest = g.n_nodes - 1
-    reachable, _res = reachability_dense(
-        views["directed"], g.n_nodes, source=0, dest=dest
-    )
+    P = min(16, max(2, g.n_nodes // 2048))
+    reachable, _res = ShardedReachability(
+        n=g.n_nodes, P=P, source=0, dest=dest
+    ).run(views["directed"])
     return pa.table(
         {
             "source": pa.array([0], pa.int64()),
@@ -450,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
+        "sssp_weighted": _q_sssp_weighted,
         "reachability": _q_reachability,
         "max_clique": _q_max_clique,  # no SQL oracle (clique search)
         "graph_sample": _q_graph_sample,  # no SQL oracle (iterative fill-rate)
@@ -485,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": so.triangles_sql(p),
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
+        "sssp_weighted": so.sssp_weighted_sql(p),
         "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
         "doc_token_counts": so.token_counts_sql(),

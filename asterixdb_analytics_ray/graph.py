@@ -41,9 +41,33 @@ def _turn_key(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
     return conv_id + ":" + turn_idx.astype(int).astype(str).str.zfill(4)
 
 
-def conv_tool_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct (conv_id, tool) pairs on tool turns. One groupby-dedup shuffle."""
+def conv_tool_pairs(
+    ds: ray.data.Dataset, weighted: bool = False
+) -> ray.data.Dataset:
+    """Distinct (conv_id, tool) pairs on tool turns. One groupby-dedup shuffle.
+
+    ``weighted=True`` adds ``w`` = number of turns in the conversation that
+    used the tool (the usage-count edge weight): per-batch partial counts,
+    then one sum-groupby — same shuffle, combiner-reduced rows."""
     import pyarrow.compute as pc
+
+    if weighted:
+        from ray.data.aggregate import Sum
+
+        def local_w(batch: pa.Table) -> pa.Table:
+            t = batch.select(["conv_id", "tool"]).filter(
+                pc.is_valid(batch["tool"])
+            )
+            g = t.group_by(["conv_id", "tool"]).aggregate([([], "count_all")])
+            return g.rename_columns(["conv_id", "tool", "w"])
+
+        partial = ds.select_columns(["conv_id", "tool"]).map_batches(
+            local_w, batch_format="pyarrow"
+        )
+        summed = partial.groupby(["conv_id", "tool"]).aggregate(
+            Sum("w", alias_name="w")
+        )
+        return summed
 
     def local(batch: pa.Table) -> pa.Table:
         t = batch.select(["conv_id", "tool"]).filter(pc.is_valid(batch["tool"]))
@@ -83,19 +107,24 @@ def reply_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def tool_cooc_pairs(
-    ds: ray.data.Dataset, conv_tool: ray.data.Dataset | None = None
+    ds: ray.data.Dataset,
+    conv_tool: ray.data.Dataset | None = None,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """Distinct ordered tool pairs (a < b) co-occurring within a conversation.
 
     Expressed as a self-join of the distinct (conv_id, tool) table on conv_id
     (vectorized hash join) followed by a dedup groupby — no per-conversation
     Python. Join fan-out per conversation is bounded by tools-per-conv².
+    ``weighted=True`` adds ``w`` = number of conversations sharing the pair.
     """
     import pyarrow.compute as pc
 
     from .stages.blocks import effective_partitions, safe_join
 
     ct = conv_tool if conv_tool is not None else conv_tool_pairs(ds).materialize()
+    if "w" in ct.schema().names:
+        ct = ct.select_columns(["conv_id", "tool"])
     right = ct.map_batches(
         lambda t: pa.table({"conv_id": t["conv_id"], "tool_b": t["tool"]}),
         batch_format="pyarrow",
@@ -103,6 +132,26 @@ def tool_cooc_pairs(
     joined = safe_join(
         ct, right, "inner", effective_partitions(), on=("conv_id",)
     )
+
+    if weighted:
+        from ray.data.aggregate import Sum
+
+        def ordered_w(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["tool"], t["tool_b"]))
+            # (conv_id, a, b) rows are distinct (ct is deduped), so the
+            # per-batch count is a partial per-pair conversation count
+            g = (
+                pa.table({"tool_a": t["tool"], "tool_b": t["tool_b"]})
+                .group_by(["tool_a", "tool_b"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["tool_a", "tool_b", "w"])
+
+        return (
+            joined.map_batches(ordered_w, batch_format="pyarrow")
+            .groupby(["tool_a", "tool_b"])
+            .aggregate(Sum("w", alias_name="w"))
+        )
 
     def keep_ordered(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["tool"], t["tool_b"]))
@@ -200,6 +249,17 @@ class LinkGraph:
 
     def directed(self, kinds: tuple[str, ...] | None = None) -> ray.data.Dataset:
         return self.edge_subset(kinds).select_columns(["src", "dst"])
+
+    def weighted_directed(
+        self, kinds: tuple[str, ...] | None = None
+    ) -> ray.data.Dataset:
+        """(src, dst, w) — requires ``build_link_graph(..., weighted=True)``."""
+        if "w" not in self.edges.schema().names:
+            raise ValueError(
+                "graph built without weights; pass weighted=True to "
+                "build_link_graph"
+            )
+        return self.edge_subset(kinds).select_columns(["src", "dst", "w"])
 
     def undirected(self, kinds: tuple[str, ...] | None = None) -> ray.data.Dataset:
         """Symmetrized edge set (both directions, self-loops dropped, deduped).
@@ -302,6 +362,7 @@ def _lookup_series(nd: NodeDict, kinds: pd.Series, keys: pd.Series) -> np.ndarra
 def build_link_graph(
     transcripts: ray.data.Dataset,
     kinds: tuple[str, ...] = EDGE_KINDS,
+    weighted: bool = False,
 ) -> LinkGraph:
     """transcripts Dataset → LinkGraph (edges materialized, ids dense).
 
@@ -309,11 +370,17 @@ def build_link_graph(
     dedup groupby — the only wide steps), collect the distinct node keys,
     build + broadcast the sorted dictionary, then encode endpoints to int64
     in a stateless ``map_batches`` pass and materialize the edge table.
+
+    ``weighted=True`` carries a ``w:float64`` edge-weight column end-to-end
+    (the reference's Edge<I,E> value channel — ``Edge.java``; its SSSP relaxes
+    with it, ``ShortestPathsVertex.java:138-139``): conv_tool w = tool-usage
+    count within the conversation, reply w = 1, tool_cooc w = number of
+    conversations sharing the pair.
     """
     key_tables: list[tuple[str, ray.data.Dataset, str, str, str, str]] = []
     # (kind, pairs_ds, src_kind, src_col, dst_kind, dst_col)
     ct = (
-        conv_tool_pairs(transcripts).materialize()
+        conv_tool_pairs(transcripts, weighted=weighted).materialize()
         if ("conv_tool" in kinds or "tool_cooc" in kinds)
         else None
     )
@@ -322,7 +389,7 @@ def build_link_graph(
     if "reply" in kinds:
         key_tables.append(("reply", reply_pairs(transcripts), "turn", "src_idx", "turn", "dst_idx"))
     if "tool_cooc" in kinds:
-        key_tables.append(("tool_cooc", tool_cooc_pairs(transcripts, conv_tool=ct), "tool", "tool_a", "tool", "tool_b"))
+        key_tables.append(("tool_cooc", tool_cooc_pairs(transcripts, conv_tool=ct, weighted=weighted), "tool", "tool_a", "tool", "tool_b"))
 
     # normalize each pair table to (src_kind, src_key, dst_kind, dst_key, kind)
     def normalizer(kind: str, sk: str, sc: str, dk: str, dc: str):
@@ -333,15 +400,20 @@ def build_link_graph(
             else:
                 src_key = df[sc].astype(str)
                 dst_key = df[dc].astype(str)
-            return pd.DataFrame(
-                {
-                    "src_kind": sk,
-                    "src_key": src_key,
-                    "dst_kind": dk,
-                    "dst_key": dst_key,
-                    "kind": kind,
-                }
-            )
+            out = {
+                "src_kind": sk,
+                "src_key": src_key,
+                "dst_kind": dk,
+                "dst_key": dst_key,
+                "kind": kind,
+            }
+            if weighted:
+                out["w"] = (
+                    df["w"].to_numpy().astype(np.float64)
+                    if "w" in df.columns
+                    else np.ones(len(df), dtype=np.float64)
+                )
+            return pd.DataFrame(out)
 
         return fn
 
@@ -373,13 +445,14 @@ def build_link_graph(
     # starve concurrent stages on small clusters
     def encode(batch: pd.DataFrame) -> pd.DataFrame:
         nd_local: NodeDict = ray.get(ref)
-        return pd.DataFrame(
-            {
-                "src": _lookup_series(nd_local, batch["src_kind"], batch["src_key"]),
-                "dst": _lookup_series(nd_local, batch["dst_kind"], batch["dst_key"]),
-                "kind": batch["kind"].to_numpy(),
-            }
-        )
+        out = {
+            "src": _lookup_series(nd_local, batch["src_kind"], batch["src_key"]),
+            "dst": _lookup_series(nd_local, batch["dst_kind"], batch["dst_key"]),
+            "kind": batch["kind"].to_numpy(),
+        }
+        if "w" in batch.columns:
+            out["w"] = batch["w"].to_numpy()
+        return pd.DataFrame(out)
 
     edges = pairs.map_batches(encode, batch_format="pandas").materialize()
     return LinkGraph(

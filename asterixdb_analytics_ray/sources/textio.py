@@ -16,23 +16,45 @@ import pyarrow as pa
 import ray.data
 
 
-def read_adjacency_text(path: str) -> ray.data.Dataset:
-    """Adjacency text file(s) → (src:int64, dst:int64) edge Dataset."""
+def read_adjacency_text(path: str, weighted: bool = False) -> ray.data.Dataset:
+    """Adjacency text file(s) → (src:int64, dst:int64[, weight:float64]).
+
+    ``weighted=False``: ``src d1 d2 d3 ...`` (every token after the first is
+    an out-edge — the reference's ``TextPageRankInputFormat.java:57-98``).
+    ``weighted=True``: ``src d1 w1 d2 w2 ...`` alternating destination/weight
+    tokens — the Edge<I,E> value channel of the reference's
+    ``TextShortestPathsInputFormat.java`` (which carries a FloatWritable per
+    edge; its own inputs default every weight to 1.0f, and
+    ``ShortestPathsVertex.java:138-139`` treats a missing value as 1.0)."""
     lines = ray.data.read_text(path)
 
     def parse(t: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
+        srcs, dsts, ws = [], [], []
         for line in t["text"].to_pylist():
             toks = line.split()
             if not toks:
                 continue
             s = int(toks[0])
-            for d in toks[1:]:
-                srcs.append(s)
-                dsts.append(int(d))
-        return pa.table(
-            {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
-        )
+            if weighted:
+                if len(toks) % 2 != 1:
+                    raise ValueError(
+                        f"weighted adjacency line needs dst/weight pairs: {line!r}"
+                    )
+                for i in range(1, len(toks), 2):
+                    srcs.append(s)
+                    dsts.append(int(toks[i]))
+                    ws.append(float(toks[i + 1]))
+            else:
+                for d in toks[1:]:
+                    srcs.append(s)
+                    dsts.append(int(d))
+        cols = {
+            "src": pa.array(srcs, pa.int64()),
+            "dst": pa.array(dsts, pa.int64()),
+        }
+        if weighted:
+            cols["weight"] = pa.array(ws, pa.float64())
+        return pa.table(cols)
 
     return lines.map_batches(parse, batch_format="pyarrow")
 

@@ -220,6 +220,53 @@ def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
     return "".join(parts)
 
 
+def sssp_weighted_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
+    """Weighted SSSP over the weighted edge derivation (conv_tool w = usage
+    count, reply w = 1, tool_cooc w = shared-conv count) — mirrors
+    ``build_link_graph(weighted=True)``. Distances are integral float64 on
+    both sides (sums of counts), so the value hash is exact."""
+    parts = [prelude(p)]
+    parts.append(
+        """, wedges AS MATERIALIZED (
+  SELECT ns.node_id AS src, nd.node_id AS dst, CAST(ctw.cnt AS DOUBLE) AS w
+  FROM (SELECT conv_id, tool, count(*) AS cnt FROM t
+        WHERE tool IS NOT NULL GROUP BY 1, 2) ctw
+  JOIN nodes ns ON ns.kind = 'conv' AND ns.key = ctw.conv_id
+  JOIN nodes nd ON nd.kind = 'tool' AND nd.key = ctw.tool
+  UNION ALL
+  SELECT ns.node_id, nd.node_id, 1.0
+  FROM reply r
+  JOIN nodes ns ON ns.kind = 'turn' AND ns.key = r.src_key
+  JOIN nodes nd ON nd.kind = 'turn' AND nd.key = r.dst_key
+  UNION ALL
+  SELECT ns.node_id, nd.node_id, CAST(tcw.cnt AS DOUBLE)
+  FROM (SELECT x.tool AS tool_a, y.tool AS tool_b, count(*) AS cnt
+        FROM conv_tool x JOIN conv_tool y
+          ON x.conv_id = y.conv_id AND x.tool < y.tool
+        GROUP BY 1, 2) tcw
+  JOIN nodes ns ON ns.kind = 'tool' AND ns.key = tcw.tool_a
+  JOIN nodes nd ON nd.kind = 'tool' AND nd.key = tcw.tool_b
+)
+"""
+    )
+    parts.append(
+        f", w0 AS MATERIALIZED (SELECT v, CASE WHEN v = {source} THEN 0.0 ELSE 1e300 END AS dist FROM verts)\n"
+    )
+    for i in range(1, iters + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", w{i} AS MATERIALIZED (
+  SELECT s.v, least(s.dist, coalesce(m.md, s.dist)) AS dist
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS v, min(s2.dist + e.w) AS md
+    FROM wedges e JOIN {prev} s2 ON e.src = s2.v
+    GROUP BY e.dst) m ON m.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v, dist FROM w{iters} WHERE dist < 1e299")
+    return "".join(parts)
+
+
 def reachability_sql(p: str, source: int = 0, iters: int = CC_MAX_ITERS) -> str:
     """Bidirectional reachability (ReachabilityVertex semantics): bit 1
     propagates source→ along forward edges, bit 2 dest→ along reverse edges;

@@ -21,11 +21,15 @@ Raw ``@ray.remote`` is justified here by the iterative barrier: the Dataset
 API has no loop construct, and a per-round Dataset execution pays ~100ms+
 fixed overhead that dominates sub-second supersteps.
 
-Three runners share the layout: ``ShardedPageRank`` (sum combine, bincount
+Five runners share the layout: ``ShardedPageRank`` (sum combine, bincount
 kernel, checkpoint/resume, tasks or stateful-actor executor),
 ``ShardedMinLabel`` (connected components; segment-min reduceat combine),
-``ShardedLabelProp`` (histogram-argmax). Triangle count is join-shaped, not
-iterative — see ``pipelines/triangles.py`` (SURVEY §7.3).
+``ShardedLabelProp`` (histogram-argmax), ``ShardedSSSP`` (weighted min-dist
+relaxation + checkpoint/resume), ``ShardedReachability`` (bidirectional
+bit-OR with signalTerminate). The monotone runners (CC/SSSP/reachability)
+skip source shards that didn't change last round — the reference's
+live-vertex inner-join frontier at shard granularity. Triangle count is
+join-shaped, not iterative — see ``pipelines/triangles.py`` (SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -461,15 +465,18 @@ def pagerank_sharded(
 # ---------------------------------------------------------------------------
 
 
-@ray.remote
-def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
-    """Edge cache for the min-combine kernel: edges sorted by (owning src
-    shard, local dst), with precomputed segment starts so the per-round
-    combine is ``np.minimum.reduceat`` over contiguous runs — the segment
-    grouping IS the reference's sort-group-by combiner, done once at load.
-    """
-    src = block["src"].to_numpy()
-    dst = block["dst"].to_numpy()
+def _dst_grouped_layout(
+    src: np.ndarray, dst: np.ndarray, P: int, shard_size: int
+) -> tuple[dict, np.ndarray]:
+    """Shared static edge cache for the segment-combine kernels: edges sorted
+    by (owning src shard, local dst) with precomputed per-run segment starts,
+    so a per-round combine is one ``ufunc.reduceat`` over contiguous runs —
+    the segment grouping IS the reference's sort-group-by combiner
+    (``JobGen.generateGroupingOperators``), done once at load.
+
+    → (layout dict, permutation) — callers append algorithm-specific static
+    columns (edge weights, direction masks, packed dst keys) permuted by the
+    returned order so every per-round pass is contiguous."""
     smod = (src % P).astype(np.int64)
     dst_div = (dst // P).astype(np.int64)
     order = np.lexsort((dst_div, smod))
@@ -488,7 +495,7 @@ def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
             seg_rel.append(rel.astype(np.int32))
             seg_dst.append(d[rel].astype(id_dtype))
         seg_bounds.append(seg_bounds[-1] + (len(seg_rel[-1]) if s < e else 0))
-    return {
+    layout = {
         "bounds": bounds,
         "sdiv": ((src // P)[order]).astype(id_dtype),
         "seg_rel": (
@@ -499,14 +506,32 @@ def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
         ),
         "seg_bounds": np.asarray(seg_bounds, dtype=np.int64),
         "n_edges": len(dst_s),
+        "_dst_s": dst_s,  # callers that need local dst ids pop this
     }
+    return layout, order
+
+
+@ray.remote
+def _prep_block_min(block: pa.Table, P: int, shard_size: int) -> dict:
+    """Edge cache for the min-combine kernel (see ``_dst_grouped_layout``)."""
+    layout, _order = _dst_grouped_layout(
+        block["src"].to_numpy(), block["dst"].to_numpy(), P, shard_size
+    )
+    del layout["_dst_s"]
+    return layout
 
 
 @ray.remote(num_returns=2)
 def _minlabel_task(
-    prep: dict, p: int, P: int, shard_size: int, *shards: np.ndarray
+    prep: dict, p: int, P: int, live: tuple, *shards: np.ndarray
 ):
-    """One partition's min-combine + apply for one superstep."""
+    """One partition's min-combine + apply for one superstep.
+
+    ``live[q]`` marks source shards that changed last round; an unchanged
+    shard re-sends exactly the messages whose min is already folded into
+    ``own`` (min-propagation is monotone), so its slice is skipped — the
+    reference's live-vertex inner-join plan (``JobGenInnerJoin``) at shard
+    granularity, with no index rebuild."""
     bounds = prep["bounds"]
     sdiv = prep["sdiv"]
     seg_rel = prep["seg_rel"]
@@ -514,17 +539,19 @@ def _minlabel_task(
     seg_bounds = prep["seg_bounds"]
     own = shards[p]
     acc = own.copy()  # min over (current label, incoming neighbor labels)
+    scanned = 0
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
-        if s >= e:
+        if s >= e or not live[q]:
             continue
+        scanned += e - s
         b0, b1 = seg_bounds[q], seg_bounds[q + 1]
         cand = shards[q][sdiv[s:e]]
         segmin = np.minimum.reduceat(cand, seg_rel[b0:b1])
         uniq = seg_dst[b0:b1]
         acc[uniq] = np.minimum(acc[uniq], segmin)
     changed = int((acc != own).sum())
-    return acc, (changed, int(prep["n_edges"]))
+    return acc, (changed, scanned)
 
 
 @dataclass
@@ -578,19 +605,26 @@ class ShardedMinLabel:
                 ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
                 for p in range(P)
             ]
+        # per-shard frontier: skip source shards with no change last round
+        # (resume restarts with all-live — one full-relaxation round, exact)
+        live = tuple(True for _ in range(P))
         while superstep <= max_supersteps:
             t0 = time.perf_counter()
             new_refs = list(shard_refs)
             metric_refs = {}
             for p, prep in preps.items():
                 sref, mref = _minlabel_task.remote(
-                    prep, p, P, shard_size, *shard_refs
+                    prep, p, P, live, *shard_refs
                 )
                 new_refs[p] = sref
                 metric_refs[p] = mref
             shard_refs = new_refs
             superstep += 1
             metrics = ray.get(list(metric_refs.values()))
+            live_map = dict.fromkeys(range(P), False)
+            for p, m in zip(metric_refs.keys(), metrics):
+                live_map[p] = m[0] > 0
+            live = tuple(live_map[q] for q in range(P))
             changed = sum(m[0] for m in metrics)
             msgs = sum(m[1] for m in metrics)
             rounds.append(
@@ -633,40 +667,14 @@ def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
     as a pure gather + ``minimum.reduceat`` with no sort at all, and generic
     rounds rebuild only the (dst, label) grouping (the reference's
     DefaultMessageCombiner / non-foldable-message case)."""
-    src = block["src"].to_numpy()
-    dst = block["dst"].to_numpy()
-    smod = (src % P).astype(np.int64)
-    dst_div = (dst // P).astype(np.int64)
-    order = np.lexsort((dst_div, smod))
-    smod_s = smod[order]
-    dst_s = dst_div[order]
-    bounds = np.searchsorted(smod_s, np.arange(P + 1))
-    id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
-    seg_rel = []   # slice-relative segment starts (int32: slices < 2^31)
-    seg_dst = []   # the segment's local dst id
-    seg_bounds = [0]
-    for q in range(P):
-        s, e = bounds[q], bounds[q + 1]
-        if s < e:
-            d = dst_s[s:e]
-            rel = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-            seg_rel.append(rel.astype(np.int32))
-            seg_dst.append(d[rel].astype(id_dtype))
-        seg_bounds.append(seg_bounds[-1] + (len(seg_rel[-1]) if s < e else 0))
-    return {
-        "bounds": bounds,
-        "sdiv": ((src // P)[order]).astype(id_dtype),
-        "dst32": dst_s.astype(
-            np.int32 if shard_size <= np.iinfo(np.int32).max else np.int64
-        ),
-        "seg_rel": (
-            np.concatenate(seg_rel) if seg_rel else np.array([], np.int32)
-        ),
-        "seg_dst": (
-            np.concatenate(seg_dst) if seg_dst else np.array([], id_dtype)
-        ),
-        "seg_bounds": np.asarray(seg_bounds, dtype=np.int64),
-    }
+    layout, _order = _dst_grouped_layout(
+        block["src"].to_numpy(), block["dst"].to_numpy(), P, shard_size
+    )
+    dst_s = layout.pop("_dst_s")
+    layout["dst32"] = dst_s.astype(
+        np.int32 if shard_size <= np.iinfo(np.int32).max else np.int64
+    )
+    return layout
 
 
 @ray.remote(num_returns=2)
@@ -794,3 +802,298 @@ class ShardedLabelProp:
             sh = ray.get(shard_refs[p])
             label[p::P][: len(sh)] = sh
         return label[: self.n]
+
+
+# ---------------------------------------------------------------------------
+# Sharded SSSP — weighted min-dist relaxation over the same layout
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prep_block_sssp(
+    block: pa.Table, P: int, shard_size: int, weight_col: str | None
+) -> dict:
+    """Edge cache for the distance kernel: the shared dst-grouped layout plus
+    the per-edge weight column permuted into the same order (reference:
+    ``ShortestPathsVertex.java:124-145`` relaxes each edge with its
+    FloatWritable value, null → 1.0)."""
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    layout, order = _dst_grouped_layout(src, dst, P, shard_size)
+    del layout["_dst_s"]
+    if weight_col is not None and weight_col in block.column_names:
+        layout["w"] = block[weight_col].to_numpy().astype(np.float64)[order]
+    else:
+        layout["w"] = np.ones(len(src), dtype=np.float64)
+    return layout
+
+
+@ray.remote(num_returns=2)
+def _sssp_task(prep: dict, p: int, P: int, live: tuple, *shards: np.ndarray):
+    """One partition's min(dist + w) combine + apply for one superstep.
+    ``live`` skips source shards whose distances didn't change last round
+    (monotone min — see ``_minlabel_task``); at shard granularity this is the
+    reference's message-driven frontier (vertices vote to halt and reactivate
+    on message)."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv"]
+    w = prep["w"]
+    seg_rel = prep["seg_rel"]
+    seg_dst = prep["seg_dst"]
+    seg_bounds = prep["seg_bounds"]
+    own = shards[p]
+    acc = own.copy()
+    scanned = 0
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s >= e or not live[q]:
+            continue
+        scanned += e - s
+        b0, b1 = seg_bounds[q], seg_bounds[q + 1]
+        cand = shards[q][sdiv[s:e]] + w[s:e]
+        segmin = np.minimum.reduceat(cand, seg_rel[b0:b1])
+        uniq = seg_dst[b0:b1]
+        acc[uniq] = np.minimum(acc[uniq], segmin)
+    changed = int((acc != own).sum())  # inf != inf is False: unreached stay
+    return acc, (changed, scanned)
+
+
+@dataclass
+class ShardedSSSP:
+    """Single-source shortest paths over the sharded layout — the scale path
+    for SSSP (semantics identical to ``pipelines.sssp.SSSPDense``: min-dist
+    relaxation with per-edge weights, missing weight column → 1.0, converges
+    when no distance improves). Reference:
+    ``pregelix-example/.../ShortestPathsVertex.java:124-145``; checkpointing
+    shares ``ShardedPageRank``'s partition-parallel Parquet plumbing."""
+
+    n: int
+    P: int
+    source: int = 0
+    weight_col: str | None = None
+    algorithm: str = "sssp_sharded"  # checkpoint-manifest label
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, edges: ray.data.Dataset) -> None:
+        """``edges`` is the DIRECTED edge set (src, dst[, weight])."""
+        from .partition import partition_table_refs
+
+        shard_size = (self.n + self.P - 1) // self.P
+        part_refs = partition_table_refs(edges, "dst", self.P)
+        self._preps = {
+            p: _prep_block_sssp.remote(block, self.P, shard_size, self.weight_col)
+            for p, block in part_refs.items()
+        }
+        if self._preps:
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
+
+    def run(
+        self,
+        edges: ray.data.Dataset | None = None,
+        max_supersteps: int = 10_000,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
+    ) -> BSPResult:
+        P = self.P
+        shard_size = (self.n + P - 1) // P
+        if self._preps is None:
+            self.prepare(edges)
+        preps = self._preps
+        rounds: list[RoundMetrics] = []
+        superstep = 1
+        shard_refs: list | None = None
+        if resume and checkpoint_dir:
+            resumed = ShardedPageRank.resume_refs(self, checkpoint_dir)
+            if resumed is not None:
+                superstep, shard_refs = resumed
+        if shard_refs is None:
+            shards = [
+                np.full(shard_size, np.inf, dtype=np.float64) for _ in range(P)
+            ]
+            shards[self.source % P][self.source // P] = 0.0
+            shard_refs = [ray.put(s) for s in shards]
+            # round 1's frontier is the source's shard alone
+            live = tuple(q == self.source % P for q in range(P))
+        else:
+            # the checkpoint doesn't record the frontier: one full-relaxation
+            # round re-establishes it (exact — min-propagation is idempotent)
+            live = tuple(True for _ in range(P))
+        while superstep <= max_supersteps:
+            t0 = time.perf_counter()
+            new_refs = list(shard_refs)
+            metric_refs = {}
+            for p, prep in preps.items():
+                sref, mref = _sssp_task.remote(prep, p, P, live, *shard_refs)
+                new_refs[p] = sref
+                metric_refs[p] = mref
+            shard_refs = new_refs
+            superstep += 1
+            metrics = ray.get(list(metric_refs.values()))
+            live_map = dict.fromkeys(range(P), False)
+            for p, m in zip(metric_refs.keys(), metrics):
+                live_map[p] = m[0] > 0
+            live = tuple(live_map[q] for q in range(P))
+            changed = sum(m[0] for m in metrics)
+            msgs = sum(m[1] for m in metrics)
+            rounds.append(
+                RoundMetrics(
+                    superstep, msgs, changed, float(changed),
+                    time.perf_counter() - t0,
+                )
+            )
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and superstep % checkpoint_every == 0
+            ):
+                ShardedPageRank.checkpoint(
+                    self, checkpoint_dir, superstep, shard_refs,
+                    {"changed": changed, "msgs": msgs},
+                )
+            if changed == 0:
+                break
+        dist = np.empty(shard_size * P, dtype=np.float64)
+        for p in range(P):
+            sh = ray.get(shard_refs[p])
+            dist[p::P][: len(sh)] = sh
+        return BSPResult(state={"dist": dist[: self.n]}, rounds=rounds, n=self.n)
+
+
+# ---------------------------------------------------------------------------
+# Sharded reachability — bidirectional bitmask OR over the same layout
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prep_block_reach(block: pa.Table, P: int, shard_size: int) -> dict:
+    """Edge cache for the bit-OR kernel over the direction-tagged union table
+    (forward edges carry mask 1, reversed edges mask 2 — reference:
+    ``ReachabilityVertex.java``, bit 1 flows src→dst, bit 2 dst→src)."""
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    layout, order = _dst_grouped_layout(src, dst, P, shard_size)
+    del layout["_dst_s"]
+    layout["mask"] = block["mask"].to_numpy().astype(np.int64)[order]
+    return layout
+
+
+@ray.remote(num_returns=2)
+def _reach_task(prep: dict, p: int, P: int, live: tuple, *shards: np.ndarray):
+    """One partition's bitwise-OR combine + apply (monotone: ``live`` skips
+    unchanged source shards exactly as in the min kernels)."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv"]
+    mask = prep["mask"]
+    seg_rel = prep["seg_rel"]
+    seg_dst = prep["seg_dst"]
+    seg_bounds = prep["seg_bounds"]
+    own = shards[p]
+    acc = own.copy()
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s >= e or not live[q]:
+            continue
+        b0, b1 = seg_bounds[q], seg_bounds[q + 1]
+        cand = shards[q][sdiv[s:e]] & mask[s:e]
+        segor = np.bitwise_or.reduceat(cand, seg_rel[b0:b1])
+        uniq = seg_dst[b0:b1]
+        acc[uniq] |= segor
+    changed = int((acc != own).sum())
+    return acc, (changed, bool((acc == 3).any()))
+
+
+@dataclass
+class ShardedReachability:
+    """Bidirectional source↔dest reachability over the sharded layout — the
+    scale path for ``pipelines.reachability``. The job force-terminates the
+    moment any vertex holds both bits (reference ``signalTerminate``)."""
+
+    n: int
+    P: int
+    source: int = 0
+    dest: int = 0
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, directed_edges: ray.data.Dataset) -> None:
+        """Builds the direction-tagged union table (fwd mask 1 + rev mask 2)
+        from the DIRECTED edge set, then partitions it by receiving vertex."""
+        from .partition import partition_table_refs
+
+        def tag_both(t: pa.Table) -> pa.Table:
+            s = t["src"].combine_chunks()
+            d = t["dst"].combine_chunks()
+            nfwd = len(s)
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([s, d]),
+                    "dst": pa.concat_arrays([d, s]),
+                    "mask": pa.array(
+                        np.concatenate(
+                            [
+                                np.ones(nfwd, dtype=np.int64),
+                                np.full(nfwd, 2, dtype=np.int64),
+                            ]
+                        )
+                    ),
+                }
+            )
+
+        union = directed_edges.map_batches(tag_both, batch_format="pyarrow")
+        shard_size = (self.n + self.P - 1) // self.P
+        part_refs = partition_table_refs(union, "dst", self.P)
+        self._preps = {
+            p: _prep_block_reach.remote(block, self.P, shard_size)
+            for p, block in part_refs.items()
+        }
+        if self._preps:
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
+
+    def run(
+        self,
+        directed_edges: ray.data.Dataset | None = None,
+        max_supersteps: int = 10_000,
+    ) -> tuple[bool, BSPResult]:
+        P = self.P
+        shard_size = (self.n + P - 1) // P
+        if self.source == self.dest:
+            return True, BSPResult(state={}, rounds=[], n=self.n)
+        if self._preps is None:
+            self.prepare(directed_edges)
+        preps = self._preps
+        shards = [np.zeros(shard_size, dtype=np.int64) for _ in range(P)]
+        shards[self.source % P][self.source // P] |= 1
+        shards[self.dest % P][self.dest // P] |= 2
+        shard_refs = [ray.put(s) for s in shards]
+        live = tuple(
+            q in (self.source % P, self.dest % P) for q in range(P)
+        )
+        rounds: list[RoundMetrics] = []
+        superstep = 1
+        found = False
+        while superstep <= max_supersteps and not found:
+            t0 = time.perf_counter()
+            new_refs = list(shard_refs)
+            metric_refs = {}
+            for p, prep in preps.items():
+                sref, mref = _reach_task.remote(prep, p, P, live, *shard_refs)
+                new_refs[p] = sref
+                metric_refs[p] = mref
+            shard_refs = new_refs
+            superstep += 1
+            metrics = ray.get(list(metric_refs.values()))
+            live_map = dict.fromkeys(range(P), False)
+            for p, m in zip(metric_refs.keys(), metrics):
+                live_map[p] = m[0] > 0
+            live = tuple(live_map[q] for q in range(P))
+            changed = sum(m[0] for m in metrics)
+            found = any(m[1] for m in metrics)
+            rounds.append(
+                RoundMetrics(
+                    superstep, 0, changed, float(changed),
+                    time.perf_counter() - t0,
+                )
+            )
+            if changed == 0:
+                break
+        return found, BSPResult(state={}, rounds=rounds, n=self.n)

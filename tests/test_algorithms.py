@@ -155,6 +155,67 @@ def test_lp_sharded_matches_dense(maker, ray_session):
     np.testing.assert_array_equal(sharded, dense)
 
 
+@pytest.mark.parametrize("maker", [webmap20, clique7, two_components])
+def test_sssp_sharded_matches_numpy(maker, ray_session):
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    src, dst, n = maker()
+    ds = as_dataset(src, dst)
+    res = ShardedSSSP(n=n, P=4, source=0).run(ds)
+    want = sssp_numpy(src, dst, n, source=0)
+    assert np.array_equal(res.state["dist"], want)  # inf-safe exact
+
+
+def test_sssp_sharded_weighted_random(ray_session):
+    """Weighted sharded SSSP == Bellman-Ford numpy oracle on a random graph
+    with integer weights (exercises the frontier shard-skipping too)."""
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    rng = np.random.default_rng(11)
+    n = 300
+    E = 1500
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    w = rng.integers(1, 10, E).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst, "weight": w}))
+    res = ShardedSSSP(n=n, P=5, source=0, weight_col="weight").run(ds)
+    want = sssp_numpy(src, dst, n, source=0, weight=w)
+    assert np.array_equal(res.state["dist"], want)
+
+
+def test_sssp_sharded_matches_dense_weighted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    rng = np.random.default_rng(3)
+    n = 120
+    src = rng.integers(0, n, 600)
+    dst = rng.integers(0, n, 600)
+    w = rng.integers(1, 5, 600).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst, "weight": w}))
+    dense = sssp_dense(ds, n, source=0, weight_col="weight")
+    sharded = ShardedSSSP(n=n, P=3, source=0, weight_col="weight").run(ds)
+    assert np.array_equal(sharded.state["dist"], dense.state["dist"])
+
+
+def test_reachability_sharded(ray_session):
+    from asterixdb_analytics_ray.stages.sharded import ShardedReachability
+
+    src, dst, n = two_components()
+    ds = as_dataset(src, dst)
+    ok, _ = ShardedReachability(n=n, P=3, source=0, dest=5).run(ds)
+    assert ok
+    no, _ = ShardedReachability(n=n, P=3, source=0, dest=7).run(ds)
+    assert not no
+    same, _ = ShardedReachability(n=n, P=3, source=3, dest=3).run(ds)
+    assert same
+
+
 def test_lp_sharded_random_graph_both_paths(ray_session):
     """The round-1 sort-free segmented-min path (assume_simple=True) and the
     generic packed-key sort path must agree with the dense kernel on a bigger

@@ -124,6 +124,39 @@ def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session)
         r2.run(supersteps=10, checkpoint_dir=ckdir, resume=True)
 
 
+def test_sssp_sharded_checkpoint_resume(tmp_path, webmap_ds, ray_session):
+    """ShardedSSSP shares the PageRank checkpoint plumbing; resume reproduces
+    the uninterrupted distances (the frontier restarts all-live — exact)."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    ds, _outdeg, n = webmap_ds
+    full = ShardedSSSP(n=n, P=4, source=0).run(ds)
+
+    ckdir = str(tmp_path / "sssp_ck")
+    interrupted = ShardedSSSP(n=n, P=4, source=0)
+    interrupted.run(ds, max_supersteps=3, checkpoint_dir=ckdir, checkpoint_every=2)
+    assert len(ckpt.list_checkpoints(ckdir)) >= 1
+
+    resumed = ShardedSSSP(n=n, P=4, source=0)
+    resumed.prepare(ds)
+    res = resumed.run(checkpoint_dir=ckdir, resume=True)
+    assert np.array_equal(res.state["dist"], full.state["dist"])
+
+
+def test_sssp_checkpoint_rejects_wrong_algorithm(tmp_path, webmap_ds, ray_session):
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank, ShardedSSSP
+
+    ds, outdeg, n = webmap_ds
+    ckdir = str(tmp_path / "prck")
+    ShardedPageRank(n=n, P=4).run(
+        ds, outdeg, supersteps=6, checkpoint_dir=ckdir, checkpoint_every=2
+    )
+    r = ShardedSSSP(n=n, P=4, source=0)
+    r.prepare(ds)
+    with pytest.raises(ValueError, match="algorithm"):
+        r.run(checkpoint_dir=ckdir, resume=True)
+
+
 def test_hooks_and_fault_injection_recovery(tmp_path, webmap_ds, ray_session):
     """Reference FailureRecoveryTest analog: a post-superstep hook raises
     mid-run (the reference kills NC2 via FailureInjectionIterationCompleteHook)

@@ -57,6 +57,28 @@ def test_adjacency_text_roundtrip(tmp_path, ray_session):
     assert set(zip(got["src"], got["dst"])) == set(zip(src, dst))
 
 
+def test_adjacency_text_weighted_sssp(tmp_path, ray_session):
+    """webmapcomplex-style weighted adjacency (src d1 w1 d2 w2 ...) parses
+    with weights and drives weighted SSSP end-to-end (reference
+    TextShortestPathsInputFormat carries a FloatWritable per edge)."""
+    from asterixdb_analytics_ray.oracle import sssp_numpy
+    from asterixdb_analytics_ray.pipelines.sssp import sssp_dense
+
+    # 0 →(5) 1 →(1) 2 ; 0 →(1) 2 directly: direct edge wins (dist[2]=1)
+    p = tmp_path / "weighted.txt"
+    p.write_text("0 1 5 2 1\n1 2 1\n2\n")
+    ds = read_adjacency_text(str(p), weighted=True)
+    df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert df["weight"].tolist() == [5.0, 1.0, 1.0]
+    res = sssp_dense(ds, 3, source=0, weight_col="weight")
+    want = sssp_numpy(
+        df["src"].to_numpy(), df["dst"].to_numpy(), 3, source=0,
+        weight=df["weight"].to_numpy(),
+    )
+    assert np.array_equal(res.state["dist"], want)
+    assert res.state["dist"][2] == 1.0
+
+
 def test_vertex_tsv_roundtrip(tmp_path):
     t = pa.table(
         {"v": np.arange(10, dtype=np.int64), "rank": np.linspace(0, 1, 10)}

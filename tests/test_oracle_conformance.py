@@ -65,6 +65,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "triangle_count": so.triangles_sql,
         "triangle_total": so.triangle_total_sql,
         "sssp": so.sssp_sql,
+        "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
     }
     view_based = {
@@ -103,6 +104,7 @@ QUERY_NAMES = [
     "triangle_count",
     "triangle_total",
     "sssp",
+    "sssp_weighted",
     "reachability",
     "events_bipartite_degree",
     "doc_token_counts",
