@@ -69,6 +69,11 @@ class BSPConfig:
     # node kill — resume then restarts from the last checkpoint)
     pre_superstep: Any = None
     post_superstep: Any = None
+    # automatic failure recovery (reference ``Driver.runJobs:137-195``: catch
+    # recoverable failure, reload last checkpoint, retry ≤3 without user
+    # action). Takes effect only with checkpoint_dir set; a failure before
+    # the first checkpoint replays from superstep 1, like the reference.
+    max_retries: int = 0
 
 
 @dataclass
@@ -172,8 +177,32 @@ def run_dense_bsp(
     at a single site): vectorized reductions over the state vectors, recorded
     into each round's ``metrics.extra`` (the reference writes them to
     per-iteration HDFS value files via ``FinalAggregateOperatorDescriptor``).
+
+    With ``cfg.max_retries > 0`` and a checkpoint dir, a failed run reloads
+    the newest checkpoint and resumes automatically (the reference driver's
+    recoverable-failure retry loop, ``Driver.runJobs:137-195``).
     """
+    from dataclasses import replace
+
     cfg = cfg or BSPConfig()
+    attempts = 0
+    while True:
+        try:
+            return _run_dense_bsp_once(edges, n, algo, cfg, aggregators)
+        except Exception:
+            if attempts >= cfg.max_retries or not cfg.checkpoint_dir:
+                raise
+            attempts += 1
+            cfg = replace(cfg, resume=True)
+
+
+def _run_dense_bsp_once(
+    edges: ray.data.Dataset,
+    n: int,
+    algo: DenseAlgorithm,
+    cfg: BSPConfig,
+    aggregators: dict[str, Callable[[dict[str, np.ndarray]], float]] | None = None,
+) -> BSPResult:
     rounds: list[RoundMetrics] = []
     superstep = 1
     state = None

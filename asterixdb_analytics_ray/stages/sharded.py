@@ -349,13 +349,48 @@ class ShardedPageRank:
         checkpoint_dir: str | None = None,
         checkpoint_every: int | None = None,
         resume: bool = False,
+        max_retries: int = 0,
+        post_superstep=None,
     ) -> BSPResult:
         """``barrier=True``: driver syncs per round (needed for tol-based
         convergence checks). ``barrier=False``: submit ALL supersteps as one
         task DAG chained by shard refs — Ray schedules rounds back-to-back
         with zero driver round-trips (fixed-step mode; this is how a
         fixed-iteration production job runs, and the configuration used for
-        the throughput/scaling measurements)."""
+        the throughput/scaling measurements).
+
+        ``max_retries > 0`` (with a checkpoint dir): a failed attempt reloads
+        the newest checkpoint and resumes automatically — the reference
+        driver's recoverable-failure retry (``Driver.runJobs:137-195``).
+        ``post_superstep(metrics)`` is the IIterationCompleteReporterHook
+        analog (barrier mode only; how the reference's recovery tests inject
+        mid-run faults)."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    edges, outdeg, supersteps, tol, max_supersteps, barrier,
+                    checkpoint_dir, checkpoint_every,
+                    resume or attempts > 0, post_superstep,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self,
+        edges,
+        outdeg,
+        supersteps,
+        tol,
+        max_supersteps,
+        barrier,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        post_superstep,
+    ) -> BSPResult:
         if checkpoint_dir and not barrier:
             raise ValueError(
                 "checkpointing requires barrier=True (the barrierless DAG has "
@@ -420,6 +455,8 @@ class ShardedPageRank:
                         shard_refs,
                         {"delta": delta, "msgs": msgs},
                     )
+                if post_superstep is not None:
+                    post_superstep(rounds[-1])
                 if tol is not None and delta < tol:
                     break
             else:
@@ -587,6 +624,29 @@ class ShardedMinLabel:
         checkpoint_dir: str | None = None,
         checkpoint_every: int | None = None,
         resume: bool = False,
+        max_retries: int = 0,
+        post_superstep=None,
+    ) -> BSPResult:
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    edges, max_supersteps, checkpoint_dir, checkpoint_every,
+                    resume or attempts > 0, post_superstep,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self,
+        edges,
+        max_supersteps,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        post_superstep,
     ) -> BSPResult:
         P = self.P
         shard_size = (self.n + P - 1) // P
@@ -643,6 +703,8 @@ class ShardedMinLabel:
                     self, checkpoint_dir, superstep, shard_refs,
                     {"changed": changed, "msgs": msgs},
                 )
+            if post_superstep is not None:
+                post_superstep(rounds[-1])
             if changed == 0:
                 break
         label = np.empty(shard_size * P, dtype=np.int64)
@@ -894,6 +956,29 @@ class ShardedSSSP:
         checkpoint_dir: str | None = None,
         checkpoint_every: int | None = None,
         resume: bool = False,
+        max_retries: int = 0,
+        post_superstep=None,
+    ) -> BSPResult:
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    edges, max_supersteps, checkpoint_dir, checkpoint_every,
+                    resume or attempts > 0, post_superstep,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self,
+        edges,
+        max_supersteps,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        post_superstep,
     ) -> BSPResult:
         P = self.P
         shard_size = (self.n + P - 1) // P
@@ -951,6 +1036,8 @@ class ShardedSSSP:
                     self, checkpoint_dir, superstep, shard_refs,
                     {"changed": changed, "msgs": msgs},
                 )
+            if post_superstep is not None:
+                post_superstep(rounds[-1])
             if changed == 0:
                 break
         dist = np.empty(shard_size * P, dtype=np.float64)

@@ -188,3 +188,66 @@ def test_hooks_and_fault_injection_recovery(tmp_path, webmap_ds, ray_session):
     res = pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg2)
     assert res.rounds[0].superstep == 7
     np.testing.assert_allclose(res.state["rank"], full.state["rank"], atol=1e-15)
+
+
+def test_dense_automatic_recovery_no_reinvoke(tmp_path, webmap_ds, ray_session):
+    """Reference ``Driver.runJobs:137-195``: the driver itself catches the
+    failure, reloads the newest checkpoint and retries — no manual resume."""
+    ds, outdeg, n = webmap_ds
+    full = pagerank_dense(ds, n, outdeg, supersteps=10)
+
+    fired = {"n": 0}
+
+    def boom(metrics, state):
+        if metrics.superstep == 6:
+            fired["n"] += 1
+            raise RuntimeError("injected failure")
+
+    ckdir = str(tmp_path / "autorec")
+    cfg = BSPConfig(
+        checkpoint_dir=ckdir, checkpoint_every=2,
+        post_superstep=boom, max_retries=3,
+    )
+    res = pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg)
+    assert fired["n"] == 1  # failed once, recovered internally
+    # superstep 6 was checkpointed before the hook fired: resume starts at 7
+    assert res.rounds[0].superstep == 7
+    np.testing.assert_allclose(res.state["rank"], full.state["rank"], atol=1e-15)
+
+
+def test_dense_recovery_exhausts_retries(tmp_path, webmap_ds, ray_session):
+    ds, outdeg, n = webmap_ds
+
+    def always_boom(metrics, state):
+        raise RuntimeError("permanent failure")
+
+    cfg = BSPConfig(
+        checkpoint_dir=str(tmp_path / "exh"), checkpoint_every=2,
+        post_superstep=always_boom, max_retries=2,
+    )
+    with pytest.raises(RuntimeError, match="permanent"):
+        pagerank_dense(ds, n, outdeg, supersteps=10, cfg=cfg)
+
+
+def test_sharded_automatic_recovery(tmp_path, webmap_ds, ray_session):
+    """Sharded runner retry loop: a post-superstep fault after a checkpoint
+    recovers without user action and matches the clean run bit-for-bit."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
+
+    ds, _outdeg, n = webmap_ds
+    full = ShardedMinLabel(n=n, P=4).run(ds)
+
+    fired = {"n": 0}
+
+    def boom(metrics):
+        if metrics.superstep == 4 and fired["n"] == 0:
+            fired["n"] += 1
+            raise RuntimeError("injected failure")
+
+    r = ShardedMinLabel(n=n, P=4)
+    res = r.run(
+        ds, checkpoint_dir=str(tmp_path / "shrec"), checkpoint_every=2,
+        max_retries=3, post_superstep=boom,
+    )
+    assert fired["n"] == 1
+    np.testing.assert_array_equal(res.state["label"], full.state["label"])
