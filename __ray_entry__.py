@@ -358,9 +358,25 @@ def _q_doc_minhash_dups(sf_dir: str):
 
 
 def _q_doc_simhash(sf_dir: str):
+    """(doc_id, simhash) with the 64-bit value as a 16-char hex string — hex
+    because uint64 values above 2^63 don't survive the comparator's int64
+    normalization, and the DuckDB oracle recomputes the identical hex."""
+    import pyarrow as pa
+
     from asterixdb_analytics_ray.pipelines.textops import simhash_values
 
-    return simhash_values(_docs_ds(sf_dir))
+    def hexify(t: pa.Table) -> pa.Table:
+        vals = t["simhash"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array([format(int(v), "016x") for v in vals]),
+            }
+        )
+
+    return simhash_values(_docs_ds(sf_dir)).map_batches(
+        hexify, batch_format="pyarrow"
+    )
 
 
 _KNN_QUERY_IDS = (0, 1, 2)
@@ -486,14 +502,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_clique": _q_max_clique,  # no SQL oracle (clique search)
         "graph_sample": _q_graph_sample,  # no SQL oracle (iterative fill-rate)
         "events_bipartite_degree": _q_events_bipartite_degree,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,  # no SQL oracle (set similarity)
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
-        "doc_language_id": _q_doc_language_id,  # no SQL oracle (heuristic model)
-        "doc_minhash_dups": _q_doc_minhash_dups,  # no SQL oracle (LSH)
-        "doc_simhash": _q_doc_simhash,  # no SQL oracle (bit manipulation)
+        "doc_language_id": _q_doc_language_id,
+        "doc_minhash_dups": _q_doc_minhash_dups,  # no SQL oracle (LSH); pytest-conformed to the exact-Jaccard oracle path
+        "doc_simhash": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,  # no SQL oracle (iterative ML)
@@ -520,6 +536,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": so.sssp_weighted_sql(p),
         "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
+        "doc_ngram_jaccard": so.ngram_jaccard_sql(0.4),
+        "doc_language_id": so.language_id_sql(),
+        "doc_simhash": so.simhash_sql(),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),
         "doc_exact_dedup": so.exact_dedup_sql(),

@@ -154,7 +154,11 @@ def _profile(texts: list[str], top: int = 300) -> dict[str, float]:
     for t in texts:
         c.update(_char_ngrams(t))
     total = sum(c.values()) or 1
-    return {g: cnt / total for g, cnt in c.most_common(top)}
+    # deterministic tie-break (count desc, gram asc) — Counter.most_common
+    # breaks ties by insertion order, which no independent implementation
+    # (e.g. the DuckDB oracle's row_number) could reproduce
+    items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return {g: cnt / total for g, cnt in items}
 
 
 def language_id(
@@ -399,7 +403,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, simhash: uint64) — 64-bit SimHash over word-unigram hashes."""
+    """(doc_id, simhash: uint64) — 64-bit SimHash over word-unigram hashes.
+
+    The per-word hash is the first 8 bytes of md5 (big-endian), chosen so an
+    independent SQL implementation (DuckDB ``md5``) can recompute the exact
+    same values — the correctness oracle for this op."""
 
     def fn(df: pd.DataFrame) -> pa.Table:
         out = np.zeros(len(df), dtype=np.uint64)
@@ -409,9 +417,7 @@ def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
                 continue
             hs = np.fromiter(
                 (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                    )
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                     for w in words
                 ),
                 dtype=np.uint64,

@@ -363,6 +363,137 @@ FROM feats
 """
 
 
+_TOKS_CTE = (
+    "toks AS MATERIALIZED (\n"
+    "  SELECT doc_id,\n"
+    "         CASE WHEN trim(text) = '' THEN []\n"
+    "              ELSE string_split_regex(trim(text), '\\s+') END AS ws\n"
+    "  FROM documents\n"
+    ")"
+)
+
+
+def ngram_jaccard_sql(threshold: float = 0.4, k: int = 3) -> str:
+    """Exact word-k-gram Jaccard pairs — an INDEPENDENT formulation of
+    ``textops.ngram_jaccard_pairs``: the engine dedups/joins on 64-bit
+    shingle hashes, the oracle on the shingle STRINGS themselves (set
+    identity is hash-independent), so agreement validates the whole
+    shingle → inverted-index → intersect/union pipeline."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists)
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
+"""
+
+
+def simhash_sql() -> str:
+    """64-bit SimHash recomputed independently: per-word hash = first 8 bytes
+    of md5 (matches the engine's ``hashlib.md5(w).digest()[:8]``), per-bit
+    ±1 votes, positive bits OR'd into the value, emitted as 16-char hex."""
+    pows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    return f"""
+WITH {_TOKS_CTE},
+words AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+),
+hw AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+),
+pow2(i, p) AS (VALUES {pows}),
+bits AS MATERIALIZED (
+  SELECT doc_id, i, p,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hw CROSS JOIN pow2
+  GROUP BY doc_id, i, p
+),
+vals AS MATERIALIZED (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       lpad(lower(hex(coalesce(v.v, 0::HUGEINT)::UBIGINT)), 16, '0') AS simhash
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN vals v ON v.doc_id = d.doc_id
+"""
+
+
+def language_id_sql(top: int = 300, n: int = 3) -> str:
+    """Char-trigram nearest-profile classifier recomputed in SQL: per-lang
+    profiles = top-``top`` trigram frequencies (count desc, gram asc — the
+    engine's deterministic tie-break), score = Σ prof(g)·count_doc(g) /
+    total_doc, argmax with min-lang tie-break."""
+    return f"""
+WITH t3 AS MATERIALIZED (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), {n}) AS g
+  FROM t3, LATERAL (SELECT unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS i)
+),
+lang_counts AS MATERIALIZED (
+  SELECT lang, g, count(*) AS c FROM grams GROUP BY 1, 2
+),
+lang_tot AS MATERIALIZED (
+  SELECT lang, sum(c) AS tot FROM lang_counts GROUP BY 1
+),
+prof AS MATERIALIZED (
+  SELECT lc.lang, lc.g, CAST(lc.c AS DOUBLE) / lt.tot AS f,
+         row_number() OVER (PARTITION BY lc.lang ORDER BY lc.c DESC, lc.g) AS rn
+  FROM lang_counts lc JOIN lang_tot lt ON lt.lang = lc.lang
+),
+prof_top AS MATERIALIZED (SELECT lang, g, f FROM prof WHERE rn <= {top}),
+doc_counts AS MATERIALIZED (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+),
+doc_tot AS MATERIALIZED (
+  SELECT doc_id, sum(c) AS tot FROM doc_counts GROUP BY 1
+),
+raw_scores AS MATERIALIZED (
+  SELECT dc.doc_id, p.lang, sum(p.f * dc.c) AS s
+  FROM doc_counts dc JOIN prof_top p ON p.g = dc.g
+  GROUP BY 1, 2
+),
+all_scores AS MATERIALIZED (
+  SELECT d.doc_id, l.lang,
+         coalesce(rs.s, 0.0) / greatest(coalesce(dt.tot, 0), 1) AS score
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+  LEFT JOIN raw_scores rs ON rs.doc_id = d.doc_id AND rs.lang = l.lang
+  LEFT JOIN doc_tot dt ON dt.doc_id = d.doc_id
+)
+SELECT doc_id, lang AS pred_lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM all_scores)
+WHERE rn = 1
+"""
+
+
 def knn_sql(query_ids: tuple = (0, 1, 2), k: int = 10) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""

@@ -70,6 +70,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
+        "doc_ngram_jaccard": lambda: so.ngram_jaccard_sql(0.4),
+        "doc_language_id": so.language_id_sql,
+        "doc_simhash": so.simhash_sql,
         "doc_token_counts": so.token_counts_sql,
         "doc_fingerprints": so.fingerprints_sql,
         "doc_exact_dedup": so.exact_dedup_sql,
@@ -107,6 +110,9 @@ QUERY_NAMES = [
     "sssp_weighted",
     "reachability",
     "events_bipartite_degree",
+    "doc_ngram_jaccard",
+    "doc_language_id",
+    "doc_simhash",
     "doc_token_counts",
     "doc_fingerprints",
     "doc_exact_dedup",
@@ -118,10 +124,7 @@ QUERY_NAMES = [
 ROWS_ONLY = [
     "max_clique",
     "graph_sample",
-    "doc_ngram_jaccard",
-    "doc_language_id",
     "doc_minhash_dups",
-    "doc_simhash",
     "emb_kmeans_cells",
     "media_features",
 ]
