@@ -12,8 +12,11 @@ Ray mapping (SURVEY.md §2.6): the training data is a materialized Dataset
 (cached blocks = the reference's cached per-partition data), the model is
 broadcast per iteration with ``ray.put`` (zero-copy per node), ``map`` runs
 as ``map_batches`` producing one partial-result row per block, and ``reduce``
-folds the partials on the driver (tree order — associativity required, as in
-the reference).
+runs as an AGGREGATION TREE of Ray tasks (the reference's
+``ReduceAggregationTreeFactory``): level 0 folds each output block where it
+sits, then levels of ``arity``-way fold tasks combine refs until one partial
+remains — the driver only ever touches object refs and the final result, so
+reduce cost scales with cluster size instead of serializing on the driver.
 """
 
 from __future__ import annotations
@@ -42,13 +45,54 @@ class IMRUJob(Protocol, Generic[Model, R]):
     def should_terminate(self, old: Model, new: Model, iteration: int) -> bool: ...
 
 
+@ray.remote(num_cpus=0)
+def _tree_reduce_task(job: "IMRUJob", *parts) -> bytes:
+    """One node of the reduce aggregation tree. Accepts output blocks from
+    the map stage (Arrow tables of pickled partials) at level 0 and pickled
+    partials (bytes) at upper levels; folds left-to-right with ``job.reduce``
+    (commutative + associative per the IIMRUJob contract, so tree order is
+    free to differ from the data order). num_cpus=0: folds are tiny relative
+    to map tasks and must not queue behind them."""
+    acc = None
+    for part in parts:
+        if isinstance(part, pa.Table):
+            rs = [pickle.loads(b) for b in part["partial"].to_pylist()]
+        else:
+            one = pickle.loads(part)
+            rs = [] if one is None else [one]  # None = empty subtree
+        for r in rs:
+            acc = r if acc is None else job.reduce(acc, r)
+    return pickle.dumps(acc)
+
+
+def tree_reduce(job: "IMRUJob", block_refs: list, arity: int = 8):
+    """Fold the map stage's output block refs down to one partial via levels
+    of ``arity``-way tasks (reference ``ReduceAggregationTreeFactory``).
+    → the reduced value, or None if there were no blocks/partials."""
+    if not block_refs:
+        return None
+    jref = ray.put(job)
+    level = [
+        _tree_reduce_task.remote(jref, *block_refs[i : i + arity])
+        for i in range(0, len(block_refs), arity)
+    ]
+    while len(level) > 1:
+        level = [
+            _tree_reduce_task.remote(jref, *level[i : i + arity])
+            for i in range(0, len(level), arity)
+        ]
+    blob = ray.get(level[0])
+    return pickle.loads(blob)
+
+
 def run_imru(
     job: IMRUJob,
     data: ray.data.Dataset,
     model: Any,
     max_iters: int = 20,
+    reduce_arity: int = 8,
 ) -> Any:
-    """The map → reduce → update loop; ``data`` is materialized once."""
+    """The map → tree-reduce → update loop; ``data`` is materialized once."""
     cached = data.materialize()
     for it in range(max_iters):
         mref = ray.put(model)
@@ -58,11 +102,9 @@ def run_imru(
             return pa.table({"partial": [pickle.dumps(r)]})
 
         parts = cached.map_batches(mapper, batch_format="pandas")
-        reduced = None
-        for b in parts.iter_batches(batch_format="pyarrow"):
-            for blob in b["partial"].to_pylist():
-                r = pickle.loads(blob)
-                reduced = r if reduced is None else job.reduce(reduced, r)
+        # block refs only — partials never stream through the driver
+        block_refs = parts.materialize().to_arrow_refs()
+        reduced = tree_reduce(job, list(block_refs), arity=reduce_arity)
         if reduced is None:
             break
         new_model = job.update(reduced, model)

@@ -52,6 +52,38 @@ def test_kmeans_imru_converges(emb):
     assert d.max() < 2.0
 
 
+def test_tree_reduce_exact_and_deep(ray_session):
+    """The aggregation tree (reference ReduceAggregationTreeFactory) folds
+    many map-output blocks through multiple levels and matches the serial
+    fold exactly for an integer-sum job (associative + exact)."""
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.imru import run_imru, tree_reduce
+
+    class CountJob:
+        def map(self, df, model):
+            return int(df["x"].sum()), len(df)
+
+        def reduce(self, a, b):
+            return a[0] + b[0], a[1] + b[1]
+
+        def update(self, reduced, model):
+            return reduced
+
+        def should_terminate(self, old, new, iteration):
+            return True
+
+    n = 1000
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"x": np.arange(i, i + 10)}) for i in range(0, n, 10)]
+    )  # 100 blocks → 3 tree levels at arity 8
+    total, rows = run_imru(CountJob(), ds, None, max_iters=1, reduce_arity=8)
+    assert rows == n
+    assert total == sum(range(n))
+    assert tree_reduce(CountJob(), []) is None
+
+
 def test_knn_ivf_high_recall(emb):
     ds, pts = emb
     qs = pts[[3, 55, 100]]
