@@ -508,7 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "doc_language_id": _q_doc_language_id,
-        "doc_minhash_dups": _q_doc_minhash_dups,  # no SQL oracle (LSH); pytest-conformed to the exact-Jaccard oracle path
+        "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -538,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
         "doc_ngram_jaccard": so.ngram_jaccard_sql(0.4),
         "doc_language_id": so.language_id_sql(),
+        "doc_minhash_dups": so.minhash_lsh_sql(0.4),
         "doc_simhash": so.simhash_sql(),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),

@@ -215,7 +215,11 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles → uint64 hashes (stable across processes)."""
+    """Word k-gram shingles → uint64 hashes (stable across processes).
+
+    Hash = first 8 bytes of md5 (big-endian) so an independent SQL
+    implementation (DuckDB ``md5``) reproduces the exact values — which is
+    what lets the MinHash-LSH pipeline be oracle-checked end to end."""
     words = text.split()
     if len(words) < k:
         shingles = [" ".join(words)] if words else []
@@ -223,7 +227,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     out = np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
             for s in shingles
         ),
         dtype=np.uint64,

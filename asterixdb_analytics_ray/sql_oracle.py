@@ -409,6 +409,96 @@ WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
 """
 
 
+def minhash_lsh_sql(
+    threshold: float = 0.4,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> str:
+    """The ENTIRE MinHash-LSH near-dup pipeline recomputed in SQL: shingle
+    hashes (md5 first 8 bytes, matching ``textops._shingle_hashes``), MinHash
+    signatures under the engine's exact uint64 WRAP arithmetic
+    ((a·x mod 2^64 + b) mod 2^64 mod (2^61−1), emulated with HUGEINT and an
+    explicit 2^64 modulus), FNV band folding with the same wrap, bucket
+    self-join for candidates, and exact-Jaccard verification on the hash
+    sets. Permutation constants come from the same seeded generator the
+    engine uses, inlined as a VALUES table."""
+    from .pipelines.textops import _minhash_params
+
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    assert rows_per_band == 4, "band fold below is unrolled for 4 rows/band"
+    params = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    W = 1 << 64  # uint64 wrap modulus
+    M = (1 << 61) - 1
+    F = 1099511628211  # FNV prime (band fold)
+
+    def fold(s0, s1, s2, s3):
+        h = s0
+        for s in (s1, s2, s3):
+            h = f"((({h}) * {F}) % {W} + {s}) % {W}"
+        return h
+
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+shh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists)
+),
+params(p, a, b) AS (VALUES {params}),
+sig AS MATERIALIZED (
+  SELECT doc_id, p,
+         min(((a * h) % {W} + b) % {W} % {M}) AS s
+  FROM shh CROSS JOIN params
+  GROUP BY doc_id, p
+),
+band_cols AS MATERIALIZED (
+  SELECT doc_id, p // {rows_per_band} AS band_id,
+         max(CASE WHEN p % {rows_per_band} = 0 THEN s END) AS s0,
+         max(CASE WHEN p % {rows_per_band} = 1 THEN s END) AS s1,
+         max(CASE WHEN p % {rows_per_band} = 2 THEN s END) AS s2,
+         max(CASE WHEN p % {rows_per_band} = 3 THEN s END) AS s3
+  FROM sig GROUP BY doc_id, p // {rows_per_band}
+),
+band AS MATERIALIZED (
+  SELECT doc_id, band_id, {fold('s0', 's1', 's2', 's3')} AS bh
+  FROM band_cols
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band x JOIN band y
+    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.doc_a
+  JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
+"""
+
+
 def simhash_sql() -> str:
     """64-bit SimHash recomputed independently: per-word hash = first 8 bytes
     of md5 (matches the engine's ``hashlib.md5(w).digest()[:8]``), per-bit

@@ -70,10 +70,6 @@ def run_bench() -> dict:
     import ray.data
 
     from asterixdb_analytics_ray.graph import build_link_graph_structured
-    from asterixdb_analytics_ray.pipelines.components import (
-        connected_components_dense,
-    )
-    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
     from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
     from asterixdb_analytics_ray.pipelines.triangles import triangle_count
     from asterixdb_analytics_ray.sources.transcripts import ensure_transcripts
@@ -217,15 +213,27 @@ def run_bench() -> dict:
 
     cc = None
     total_tri = None
+    P_sh = min(NUM_CPUS, BENCH_P)
     if _want("connected_components"):
+        from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
+
         t0 = time.perf_counter()
-        cc = connected_components_dense(undirected, g.n_nodes)
+        cc = ShardedMinLabel(n=g.n_nodes, P=P_sh).run(undirected)
         q["connected_components"] = time.perf_counter() - t0
 
     if _want("label_propagation"):
+        from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
         t0 = time.perf_counter()
-        label_propagation_dense(undirected, g.n_nodes, rounds=5)
+        ShardedLabelProp(n=g.n_nodes, P=P_sh).run(undirected, rounds=5)
         q["label_propagation"] = time.perf_counter() - t0
+
+    if _want("sssp"):
+        from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+        t0 = time.perf_counter()
+        ShardedSSSP(n=g.n_nodes, P=P_sh, source=0).run(directed)
+        q["sssp"] = time.perf_counter() - t0
 
     if _want("triangle_count"):
         t0 = time.perf_counter()

@@ -71,6 +71,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
         "doc_ngram_jaccard": lambda: so.ngram_jaccard_sql(0.4),
+        "doc_minhash_dups": lambda: so.minhash_lsh_sql(0.4),
         "doc_language_id": so.language_id_sql,
         "doc_simhash": so.simhash_sql,
         "doc_token_counts": so.token_counts_sql,
@@ -111,6 +112,7 @@ QUERY_NAMES = [
     "reachability",
     "events_bipartite_degree",
     "doc_ngram_jaccard",
+    "doc_minhash_dups",
     "doc_language_id",
     "doc_simhash",
     "doc_token_counts",
@@ -124,7 +126,6 @@ QUERY_NAMES = [
 ROWS_ONLY = [
     "max_clique",
     "graph_sample",
-    "doc_minhash_dups",
     "emb_kmeans_cells",
     "media_features",
 ]
