@@ -112,16 +112,17 @@ def _q_pagerank(sf_dir: str):
 
 
 def _q_connected_components(sf_dir: str):
+    """Min-label CC via the sharded scale-path runner (fixpoint identical to
+    the dense kernel — tests/test_algorithms.py)."""
     import numpy as np
     import pyarrow as pa
 
-    from asterixdb_analytics_ray.pipelines.components import (
-        connected_components_dense,
-    )
+    from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
 
     views = _graph(sf_dir)
     g = views["graph"]
-    res = connected_components_dense(views["undirected"], g.n_nodes)
+    P = min(16, max(2, g.n_nodes // 2048))
+    res = ShardedMinLabel(n=g.n_nodes, P=P).run(views["undirected"])
     return pa.table(
         {
             "v": np.arange(g.n_nodes, dtype=np.int64),
@@ -131,15 +132,20 @@ def _q_connected_components(sf_dir: str):
 
 
 def _q_label_propagation(sf_dir: str):
+    """Histogram LP via the sharded scale-path runner (labels identical to
+    the dense kernel — tests/test_algorithms.py)."""
     import numpy as np
     import pyarrow as pa
 
-    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
     from asterixdb_analytics_ray.sql_oracle import LP_ROUNDS
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
 
     views = _graph(sf_dir)
     g = views["graph"]
-    labels = label_propagation_dense(views["undirected"], g.n_nodes, rounds=LP_ROUNDS)
+    P = min(16, max(2, g.n_nodes // 2048))
+    labels = ShardedLabelProp(n=g.n_nodes, P=P).run(
+        views["undirected"], rounds=LP_ROUNDS
+    )
     return pa.table(
         {"v": np.arange(g.n_nodes, dtype=np.int64), "label": labels}
     )
