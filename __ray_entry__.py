@@ -385,6 +385,13 @@ def _q_doc_simhash(sf_dir: str):
     )
 
 
+def _q_doc_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole-exact banding."""
+    from asterixdb_analytics_ray.pipelines.textops import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs_ds(sf_dir), max_dist=3)
+
+
 _KNN_QUERY_IDS = (0, 1, 2)
 
 
@@ -516,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": _q_doc_language_id,
         "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
+        "doc_simhash_dups": _q_doc_simhash_dups,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,  # no SQL oracle (iterative ML)
@@ -546,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_language_id": so.language_id_sql(),
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),
         "doc_simhash": so.simhash_sql(),
+        "doc_simhash_dups": so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),
         "doc_exact_dedup": so.exact_dedup_sql(),

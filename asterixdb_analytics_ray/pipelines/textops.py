@@ -440,6 +440,67 @@ def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def simhash_dup_pairs(
+    docs: ray.data.Dataset, max_dist: int = 3, bands: int = 4
+) -> ray.data.Dataset:
+    """Near-dup pairs (doc_a < doc_b, hamming(simhash) ≤ max_dist) — EXACT.
+
+    Banding the 64-bit SimHash into ``bands`` equal slices guarantees (by
+    pigeonhole) that any pair within ``max_dist < bands`` Hamming distance
+    shares at least one identical band, so bucketing by (band_id, band_bits)
+    + in-bucket verification finds every qualifying pair with no all-pairs
+    scan — the standard SimHash retrieval layout at corpus scale. Shuffle
+    rows are (band_id, band_bits, doc_id, simhash): docs × bands.
+    """
+    assert max_dist < bands, "pigeonhole exactness needs max_dist < bands"
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    sigs = simhash_values(docs)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        n = len(sh)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        bits = np.concatenate(
+            [(sh >> np.uint64(b_i * width)) & mask for b_i in range(bands)]
+        )
+        return pa.table(
+            {
+                "band_id": band_ids,
+                "band_bits": bits.astype(np.int64),
+                "doc_id": np.tile(doc, bands),
+                "simhash": np.tile(sh, bands).astype(np.int64),  # ride along
+            }
+        )
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        sh = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(x)).count("1") for x in (sh[ia] ^ sh[ib])], dtype=np.int64
+        )
+        keep = ham <= max_dist
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        banded.groupby(["band_id", "band_bits"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset, threshold: float = 0.5, shingle_k: int = 3
 ) -> ray.data.Dataset:

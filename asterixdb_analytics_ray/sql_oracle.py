@@ -499,13 +499,13 @@ WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
 """
 
 
-def simhash_sql() -> str:
-    """64-bit SimHash recomputed independently: per-word hash = first 8 bytes
-    of md5 (matches the engine's ``hashlib.md5(w).digest()[:8]``), per-bit
-    ±1 votes, positive bits OR'd into the value, emitted as 16-char hex."""
+def _simhash_vals_ctes() -> str:
+    """Shared CTE chain ending in ``sv(doc_id, v UBIGINT)`` — the engine's
+    64-bit SimHash recomputed independently: per-word hash = first 8 bytes of
+    md5 (matches ``hashlib.md5(w).digest()[:8]``), per-bit ±1 votes, positive
+    bits summed via a powers-of-two table (DuckDB ``<<`` overflows at 63)."""
     pows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
-    return f"""
-WITH {_TOKS_CTE},
+    return f"""{_TOKS_CTE},
 words AS MATERIALIZED (
   SELECT doc_id, unnest(ws) AS w FROM toks
 ),
@@ -523,11 +523,32 @@ vals AS MATERIALIZED (
   SELECT doc_id,
          sum(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END) AS v
   FROM bits GROUP BY doc_id
-)
-SELECT d.doc_id,
-       lpad(lower(hex(coalesce(v.v, 0::HUGEINT)::UBIGINT)), 16, '0') AS simhash
-FROM (SELECT DISTINCT doc_id FROM documents) d
-LEFT JOIN vals v ON v.doc_id = d.doc_id
+),
+sv AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(v.v, 0::HUGEINT)::UBIGINT AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN vals v ON v.doc_id = d.doc_id
+)"""
+
+
+def simhash_sql() -> str:
+    """SimHash values as 16-char hex (see ``_simhash_vals_ctes``)."""
+    return f"""
+WITH {_simhash_vals_ctes()}
+SELECT doc_id, lpad(lower(hex(v)), 16, '0') AS simhash FROM sv
+"""
+
+
+def simhash_pairs_sql(max_dist: int = 3) -> str:
+    """All-pairs Hamming ≤ max_dist over the recomputed SimHash values — the
+    oracle for the engine's banded (pigeonhole-exact) bucketing, which must
+    find exactly the pairs the quadratic scan finds."""
+    return f"""
+WITH {_simhash_vals_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= {max_dist}
 """
 
 

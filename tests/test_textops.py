@@ -69,6 +69,26 @@ def test_lsh_agrees_with_exact_jaccard(docs):
     assert got == want
 
 
+def test_simhash_dup_pairs_exact_vs_all_pairs(docs):
+    """Banded bucketing (pigeonhole-exact for max_dist < bands) finds exactly
+    the pairs a quadratic Hamming scan finds, at every cutoff."""
+    vals = T.simhash_values(docs).to_pandas().sort_values("doc_id")
+    sh = vals["simhash"].to_numpy().astype(np.uint64)
+    ids = vals["doc_id"].to_numpy()
+    for max_dist in (0, 3):
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(int(sh[i]) ^ int(sh[j])).count("1")
+                if ham <= max_dist:
+                    want.add((ids[i], ids[j], ham))
+        got = T.simhash_dup_pairs(docs, max_dist=max_dist).to_pandas()
+        gotset = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+        assert gotset == want
+    # the exact dup pair is found at distance 0
+    assert (0, 3, 0) in gotset or (0, 3, 0) in want
+
+
 def test_simhash_close_for_near_dups(docs):
     got = T.simhash_values(docs).to_pandas().set_index("doc_id")["simhash"]
     ham = bin(int(got[0]) ^ int(got[1])).count("1")
