@@ -86,23 +86,33 @@ def _touch_shard(shard: np.ndarray) -> int:
 
 
 def _build_prep(
-    block: pa.Table, P: int, outdeg: np.ndarray, shard_size: int, precision: str
+    block: pa.Table,
+    p: int,
+    P: int,
+    outdeg: np.ndarray,
+    shard_size: int,
+    precision: str,
 ) -> dict:
-    """Per-partition static cache: decomposed src/dst ids + 1/outdeg gather.
+    """Per-partition static cache: decomposed src/dst ids (+ weight gather).
 
     Built once (the CSR-analog); every superstep reuses it zero-copy. ALL
     arrays are stored sorted by owning src shard, so the per-round kernel is
-    pure contiguous passes (slice-gather → multiply → bincount) with no
-    permutation scatter: bincount doesn't care about edge order, and the
-    dst/inv_out columns were permuted here, once, at load time.
+    pure contiguous passes (slice-gather → combine) with no permutation
+    scatter: bincount doesn't care about edge order, and the dst column was
+    permuted here, once, at load time.
 
-    ``precision="mixed"`` stores the STATIC edge columns narrow — float32
-    edge weights (1/outdeg) and uint16/uint32 local ids when shard_size
-    permits — while rank state and accumulation stay float64. The only
-    rounding is in the weight representation (relative ~6e-8, i.e. per-vertex
-    rank error ~1e-9 — three orders inside the 1e-6 conformance gate, tested)
-    and per-edge DRAM traffic halves, which is what the superstep kernel is
-    bound by at full-machine concurrency (BASELINE.md scaling notes).
+    ``precision="mixed"`` is the PRE-DIVIDED kernel: instead of a per-edge
+    float32 ``1/outdeg`` weight column, each superstep task publishes its
+    shard's ranks already divided by outdeg (float32, the "dived" shard) and
+    consumers gather those directly — the static edge columns shrink to
+    4 B/edge (two uint16 local ids) and the per-edge multiply disappears,
+    nearly halving per-edge DRAM traffic, which is what the kernel is bound
+    by at full-machine concurrency (BASELINE.md scaling notes). Rank state,
+    accumulation and convergence deltas stay float64; the only rounding is
+    one float32 quantization of rank/outdeg per edge contribution (relative
+    ~6e-8, per-vertex rank error ~1e-9 — three orders inside the 1e-6
+    conformance gate, tested). ``inv_shard`` is this partition's own
+    1/outdeg vector used to produce the next dived shard.
     """
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()
@@ -115,15 +125,20 @@ def _build_prep(
     src_sorted = src[order]
     if precision == "mixed":
         id_dtype = np.uint16 if shard_size <= np.iinfo(np.uint16).max else np.uint32
-        w_dtype = np.float32
-    else:
-        id_dtype = np.int32
-        w_dtype = np.float64
+        inv_shard = np.ones(shard_size, dtype=np.float32)
+        own = outdeg[p::P]
+        inv_shard[: len(own)] = (1.0 / own).astype(np.float32)
+        return {
+            "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
+            "sdiv_sorted": (src_sorted // P).astype(id_dtype),
+            "dst_div": (dst[order] // P).astype(id_dtype),
+            "inv_shard": inv_shard,
+        }
     return {
         "bounds": np.searchsorted(smod[order], np.arange(P + 1)),
-        "sdiv_sorted": (src_sorted // P).astype(id_dtype),
-        "dst_div": (dst[order] // P).astype(id_dtype),
-        "inv_out": (1.0 / outdeg[src_sorted]).astype(w_dtype),
+        "sdiv_sorted": (src_sorted // P).astype(np.int32),
+        "dst_div": (dst[order] // P).astype(np.int32),
+        "inv_out": 1.0 / outdeg[src_sorted],
     }
 
 
@@ -187,6 +202,60 @@ def _superstep_task(
     return _superstep_kernel(prep, p, P, shard_size, base, damping, shards)
 
 
+def _superstep_kernel_mixed(
+    prep: dict,
+    p: int,
+    P: int,
+    shard_size: int,
+    base: float,
+    damping: float,
+    prev_plain: np.ndarray,
+    dived: tuple,
+):
+    """Pre-divided variant: gathers float32 rank/outdeg shards directly (no
+    per-edge weight column, no per-edge multiply — see ``_build_prep``) and
+    emits BOTH the float64 rank shard and the next float32 dived shard."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv_sorted"]
+    dst = prep["dst_div"]
+    acc = np.zeros(shard_size, dtype=np.float64)
+    for q in range(P):  # contiguous slice per owning shard, fused
+        s, e = bounds[q], bounds[q + 1]
+        if s < e:
+            acc += np.bincount(
+                dst[s:e], weights=dived[q][sdiv[s:e]], minlength=shard_size
+            )
+    new_shard = base + damping * acc
+    delta = float(np.abs(new_shard - prev_plain[: len(new_shard)]).max())
+    new_dived = (new_shard * prep["inv_shard"]).astype(np.float32)
+    return new_shard, new_dived, (delta, int(len(dst)))
+
+
+@ray.remote(num_returns=3)
+def _superstep_task_mixed(
+    prep: dict,
+    p: int,
+    P: int,
+    shard_size: int,
+    base: float,
+    damping: float,
+    prev_plain: np.ndarray,
+    *dived: np.ndarray,
+):
+    return _superstep_kernel_mixed(
+        prep, p, P, shard_size, base, damping, prev_plain, dived
+    )
+
+
+@ray.remote
+def _to_dived(plain: np.ndarray, inv_shard: np.ndarray) -> np.ndarray:
+    """plain float64 rank shard → float32 rank/outdeg shard (resume path)."""
+    out = np.empty(len(inv_shard), dtype=np.float32)
+    out[: len(plain)] = plain * inv_shard[: len(plain)]
+    out[len(plain):] = 0.0
+    return out
+
+
 @ray.remote(num_cpus=0)
 class _ShardWorker:
     """Stateful partition worker: holds its CSR-analog edge cache in process
@@ -220,6 +289,25 @@ class _ShardWorker:
             self.prep, self.p, self.P, self.shard_size, base, damping, shards
         )
 
+    @ray.method(num_returns=3)
+    def step_mixed(
+        self,
+        base: float,
+        damping: float,
+        prev_plain: np.ndarray,
+        *dived: np.ndarray,
+    ):
+        return _superstep_kernel_mixed(
+            self.prep,
+            self.p,
+            self.P,
+            self.shard_size,
+            base,
+            damping,
+            prev_plain,
+            dived,
+        )
+
 
 @dataclass
 class ShardedPageRank:
@@ -233,6 +321,7 @@ class ShardedPageRank:
     algorithm: str = "pagerank_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
     _workers: dict | None = field(default=None, repr=False)
+    _inv_shards: list | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset, outdeg: np.ndarray) -> None:
         """One-time per-partition prep (the bulk-load / B-tree-build analog):
@@ -244,10 +333,22 @@ class ShardedPageRank:
         shard_size = (self.n + self.P - 1) // self.P
         outdeg_safe = np.where(outdeg > 0, outdeg, 1).astype(np.float64)
         od_ref = ray.put(outdeg_safe)
+        if self.precision == "mixed":
+            # per-partition 1/outdeg (float32): used to seed the initial
+            # dived shards, to keep constant dived shards for partitions
+            # with no in-edges, and to rebuild dived shards on resume
+            self._inv_shards = [
+                np.pad(
+                    (1.0 / outdeg_safe[p :: self.P]).astype(np.float32),
+                    (0, shard_size - len(outdeg_safe[p :: self.P])),
+                    constant_values=1.0,
+                )
+                for p in range(self.P)
+            ]
         part_refs = partition_table_refs(edges, "dst", self.P)
         self._preps = {
             p: _prep_block.remote(
-                block, self.P, od_ref, shard_size, self.precision
+                block, p, self.P, od_ref, shard_size, self.precision
             )
             for p, block in part_refs.items()
         }
@@ -409,30 +510,67 @@ class ShardedPageRank:
         base_ref = ray.put(np.full(shard_size, base))
         limit = supersteps if tol is None else max_supersteps
         superstep = 1
+        mixed = self.precision == "mixed"
         shard_refs: list | None = None
         if resume and checkpoint_dir:
             resumed = self.resume_refs(checkpoint_dir)
             if resumed is not None:
                 superstep, shard_refs = resumed
+        dived_refs: list | None = None
         if shard_refs is None:
             init = np.full(shard_size, 1.0 / nv, dtype=np.float64)
             shard_refs = [ray.put(init.copy()) for _ in range(P)]
+            if mixed:
+                dived_refs = [
+                    ray.put((init * self._inv_shards[p]).astype(np.float32))
+                    for p in range(P)
+                ]
+        elif mixed:  # resumed from float64 checkpoint shards
+            dived_refs = [
+                _to_dived.remote(shard_refs[p], self._inv_shards[p])
+                for p in range(P)
+            ]
+        if mixed:
+            # partitions with no in-edges have CONSTANT rank = base after
+            # the first superstep, so their dived shard is a constant too
+            base_dived = {
+                p: ray.put((base * self._inv_shards[p]).astype(np.float32))
+                for p in range(P)
+                if p not in preps
+            }
         deferred: list[tuple[int, list, float]] = []
         while superstep < limit:
             t0 = time.perf_counter()
             new_refs = [base_ref] * P  # no in-edges ⇒ every vertex = base
             metric_refs = {}
-            for p, prep in preps.items():
-                if self._workers is not None:
-                    sref, mref = self._workers[p].step.remote(
-                        base, DAMPING, *shard_refs
-                    )
-                else:
-                    sref, mref = _superstep_task.remote(
-                        prep, p, P, shard_size, base, DAMPING, *shard_refs
-                    )
-                new_refs[p] = sref
-                metric_refs[p] = mref
+            if mixed:
+                new_dived = [base_dived.get(p) for p in range(P)]
+                for p, prep in preps.items():
+                    if self._workers is not None:
+                        sref, dref, mref = self._workers[p].step_mixed.remote(
+                            base, DAMPING, shard_refs[p], *dived_refs
+                        )
+                    else:
+                        sref, dref, mref = _superstep_task_mixed.remote(
+                            prep, p, P, shard_size, base, DAMPING,
+                            shard_refs[p], *dived_refs,
+                        )
+                    new_refs[p] = sref
+                    new_dived[p] = dref
+                    metric_refs[p] = mref
+                dived_refs = new_dived
+            else:
+                for p, prep in preps.items():
+                    if self._workers is not None:
+                        sref, mref = self._workers[p].step.remote(
+                            base, DAMPING, *shard_refs
+                        )
+                    else:
+                        sref, mref = _superstep_task.remote(
+                            prep, p, P, shard_size, base, DAMPING, *shard_refs
+                        )
+                    new_refs[p] = sref
+                    metric_refs[p] = mref
             shard_refs = new_refs
             superstep += 1
             if barrier:

@@ -104,6 +104,32 @@ def test_sharded_checkpoint_kill_resume(tmp_path, webmap_ds, ray_session):
     assert ckpt.list_checkpoints(ckdir) == [2, 4, 6, 8, 10]
 
 
+def test_sharded_mixed_checkpoint_resume(tmp_path, webmap_ds, ray_session):
+    """Mixed-precision resume rebuilds the float32 dived shards from the
+    float64 checkpoint shards (the checkpoint format is precision-agnostic):
+    the resumed run must equal the uninterrupted mixed run bit-for-bit."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    ds, outdeg, n = webmap_ds
+    full = ShardedPageRank(n=n, P=4, precision="mixed").run(
+        ds, outdeg, supersteps=10
+    )
+
+    ckdir = str(tmp_path / "shck_mixed")
+    ShardedPageRank(n=n, P=4, precision="mixed").run(
+        ds, outdeg, supersteps=6, checkpoint_dir=ckdir, checkpoint_every=3
+    )
+    resumed = ShardedPageRank(n=n, P=4, precision="mixed")
+    res = resumed.run(
+        ds, outdeg, supersteps=10,
+        checkpoint_dir=ckdir, checkpoint_every=3, resume=True,
+    )
+    np.testing.assert_allclose(
+        res.state["rank"], full.state["rank"], atol=0, rtol=0
+    )
+    assert res.rounds[0].superstep == 7
+
+
 def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session):
     from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
 
