@@ -893,11 +893,14 @@ def _labelprop_task(
     sort path degenerates to ~E runs and its run-length decode dominates.
 
     Generic rounds build the (dst, label) histogram by sorting ONE packed
-    int64 key ``dst_local·stride + label`` (stride > max label): a value
+    int64 key ``dst_local·2^shift | label`` (2^shift > max label): a value
     sort needs no permutation array, so it is several times cheaper per
     round than the lexsort formulation, and run-length decoding recovers
-    both fields. Run counts collapse after round 1 (labels cluster), which
-    keeps the decode proportional to distinct (dst, label) pairs."""
+    both fields with shifts/masks — int64 divide/modulo by a general stride
+    measured ~3× the ENTIRE rest of the round on all-distinct rounds, so
+    the power-of-two packing is what keeps the decode proportional-cheap.
+    Falls back to arithmetic packing when the id widths don't fit 63 bits
+    (n·shard_size ≳ 2^63 — beyond any single-job vertex space here)."""
     bounds = prep["bounds"]
     sdiv = prep["sdiv"]
     own = shards[p]
@@ -920,8 +923,17 @@ def _labelprop_task(
             acc[uniq] = np.minimum(acc[uniq], segmin)
         new = np.where(acc != sentinel, acc, own)
         return new, int((new != own).sum())
+    shift = int(stride - 1).bit_length()  # 2^shift ≥ stride > max label
+    n_edges = len(prep["dst32"])
+    pow2 = (
+        int(shards[p].shape[0] - 1).bit_length() + shift <= 63
+        and int(n_edges).bit_length() + shift <= 63
+    )
     key = prep["dst32"].astype(np.int64)
-    key *= stride
+    if pow2:
+        key <<= shift
+    else:
+        key *= stride
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
         if s < e:
@@ -930,17 +942,26 @@ def _labelprop_task(
     starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
     counts = np.diff(starts, append=len(key))
     heads = key[starts]
-    pv = heads // stride
     # per-dst argmax(count) with min-label tie-break, WITHOUT a second sort:
     # runs are already grouped by pv, so pack (count, inverted label) into
     # one comparison key and take a segmented max (a lexsort here would be
     # a second full sort)
-    g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
-    # counts·stride + (stride−1−label), with label = heads − pv·stride
-    cmp = (counts + pv) * stride + (stride - 1) - heads
-    best = np.maximum.reduceat(cmp, g_starts)
-    new = own.copy()
-    new[pv[g_starts]] = (stride - 1) - (best % stride)
+    if pow2:
+        mask = (np.int64(1) << shift) - 1
+        pv = heads >> shift
+        g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
+        cmp = (counts << shift) | (mask - (heads & mask))
+        best = np.maximum.reduceat(cmp, g_starts)
+        new = own.copy()
+        new[pv[g_starts]] = mask - (best & mask)
+    else:
+        pv = heads // stride
+        g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
+        # counts·stride + (stride−1−label), with label = heads − pv·stride
+        cmp = (counts + pv) * stride + (stride - 1) - heads
+        best = np.maximum.reduceat(cmp, g_starts)
+        new = own.copy()
+        new[pv[g_starts]] = (stride - 1) - (best % stride)
     return new, int((new != own).sum())
 
 
