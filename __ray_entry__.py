@@ -51,6 +51,24 @@ def _graph(sf_dir: str):
     return views
 
 
+def _sharded_p(n_nodes: int) -> int:
+    return min(16, max(2, n_nodes // 2048))
+
+
+def _und_partitioned(sf_dir: str):
+    """Shared bulk load of the undirected edge set: CC and LP chain over the
+    SAME PartitionedEdges (the reference's multi-job path,
+    ``Driver.compatible`` — one exchange, two jobs)."""
+    views = _graph(sf_dir)
+    if "und_parts" not in views:
+        from asterixdb_analytics_ray.stages.partition import partition_edges
+
+        views["und_parts"] = partition_edges(
+            views["undirected"], _sharded_p(views["graph"].n_nodes)
+        )
+    return views["und_parts"]
+
+
 def _q_transcript_roundtrip(sf_dir: str):
     """Per-turn text equality invariant: engine read → select → return."""
     import ray.data
@@ -121,8 +139,9 @@ def _q_connected_components(sf_dir: str):
 
     views = _graph(sf_dir)
     g = views["graph"]
-    P = min(16, max(2, g.n_nodes // 2048))
-    res = ShardedMinLabel(n=g.n_nodes, P=P).run(views["undirected"])
+    res = ShardedMinLabel(n=g.n_nodes, P=_sharded_p(g.n_nodes)).run(
+        _und_partitioned(sf_dir)
+    )
     return pa.table(
         {
             "v": np.arange(g.n_nodes, dtype=np.int64),
@@ -142,9 +161,8 @@ def _q_label_propagation(sf_dir: str):
 
     views = _graph(sf_dir)
     g = views["graph"]
-    P = min(16, max(2, g.n_nodes // 2048))
-    labels = ShardedLabelProp(n=g.n_nodes, P=P).run(
-        views["undirected"], rounds=LP_ROUNDS
+    labels = ShardedLabelProp(n=g.n_nodes, P=_sharded_p(g.n_nodes)).run(
+        _und_partitioned(sf_dir), rounds=LP_ROUNDS
     )
     return pa.table(
         {"v": np.arange(g.n_nodes, dtype=np.int64), "label": labels}

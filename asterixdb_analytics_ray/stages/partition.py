@@ -17,9 +17,37 @@ guarantee from SURVEY.md §4).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+@dataclass
+class PartitionedEdges:
+    """The bulk-loaded graph: one Arrow table ref per partition of ``key``.
+
+    The analog of the reference's loaded per-partition B-tree, shareable
+    across type-compatible jobs (``Driver.compatible``,
+    ``pregelix-core/.../driver/Driver.java:217-233`` — multi-job chaining
+    over the same loaded graph): every sharded runner's ``prepare()``
+    accepts one and skips its own shuffle, so e.g. connected components and
+    label propagation over the same undirected edge set pay the bulk-load
+    exchange once. Compatibility (same edge table semantics, same P, same
+    partition key) is the caller's contract, as in the reference.
+    """
+
+    refs: dict[int, "ray.ObjectRef"]
+    P: int
+    key: str = "dst"
+
+
+def partition_edges(
+    edges: ray.data.Dataset, P: int, key: str = "dst"
+) -> PartitionedEdges:
+    """One explicit all-to-all → a shareable ``PartitionedEdges``."""
+    return PartitionedEdges(partition_table_refs(edges, key, P), P, key)
 
 
 def hash_partition_by(

@@ -57,6 +57,22 @@ from ..state.checkpoint import (
 DAMPING = 0.85
 
 
+def _resolve_partitioned(edges, key: str, P: int) -> dict:
+    """Dataset → fresh partition shuffle; PartitionedEdges → reuse its refs
+    (the multi-job chaining path: one bulk load, many jobs — reference
+    ``Driver.compatible:217-233``). Rejects mismatched layout."""
+    from .partition import PartitionedEdges, partition_table_refs
+
+    if isinstance(edges, PartitionedEdges):
+        if edges.P != P or edges.key != key:
+            raise ValueError(
+                f"PartitionedEdges(P={edges.P}, key={edges.key!r}) is "
+                f"incompatible with this runner (P={P}, key={key!r})"
+            )
+        return edges.refs
+    return partition_table_refs(edges, key, P)
+
+
 def _write_shard(tmpdir: str, p: int, shard: np.ndarray) -> tuple:
     t = pa.table({"value": pa.array(shard)})
     pq.write_table(t, os.path.join(tmpdir, f"part-{p:04d}.parquet"))
@@ -327,9 +343,9 @@ class ShardedPageRank:
         """One-time per-partition prep (the bulk-load / B-tree-build analog):
         explicit split+concat shuffle so each partition is one table ref,
         then decomposed-id caches built per partition — inside the partition
-        worker's own memory (actor executor) or as plasma refs (tasks)."""
-        from .partition import partition_table_refs
-
+        worker's own memory (actor executor) or as plasma refs (tasks).
+        ``edges`` may be a shared ``PartitionedEdges`` (multi-job chaining —
+        see ``_resolve_partitioned``)."""
         shard_size = (self.n + self.P - 1) // self.P
         outdeg_safe = np.where(outdeg > 0, outdeg, 1).astype(np.float64)
         od_ref = ray.put(outdeg_safe)
@@ -345,7 +361,7 @@ class ShardedPageRank:
                 )
                 for p in range(self.P)
             ]
-        part_refs = partition_table_refs(edges, "dst", self.P)
+        part_refs = _resolve_partitioned(edges, "dst", self.P)
         self._preps = {
             p: _prep_block.remote(
                 block, p, self.P, od_ref, shard_size, self.precision
@@ -743,11 +759,10 @@ class ShardedMinLabel:
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
-        """``edges`` must be the UNDIRECTED (symmetrized) edge set."""
-        from .partition import partition_table_refs
-
+        """``edges`` must be the UNDIRECTED (symmetrized) edge set, or a
+        shared ``PartitionedEdges`` of it (one bulk load, many jobs)."""
         shard_size = (self.n + self.P - 1) // self.P
-        part_refs = partition_table_refs(edges, "dst", self.P)
+        part_refs = _resolve_partitioned(edges, "dst", self.P)
         self._preps = {
             p: _prep_block_min.remote(block, self.P, shard_size)
             for p, block in part_refs.items()
@@ -985,11 +1000,10 @@ class ShardedLabelProp:
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
-        """``edges`` must be the UNDIRECTED (symmetrized) edge set."""
-        from .partition import partition_table_refs
-
+        """``edges`` must be the UNDIRECTED (symmetrized) edge set, or a
+        shared ``PartitionedEdges`` of it (one bulk load, many jobs)."""
         shard_size = (self.n + self.P - 1) // self.P
-        part_refs = partition_table_refs(edges, "dst", self.P)
+        part_refs = _resolve_partitioned(edges, "dst", self.P)
         self._preps = {
             p: _prep_block_lp.remote(block, self.P, shard_size)
             for p, block in part_refs.items()
@@ -1096,11 +1110,10 @@ class ShardedSSSP:
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
-        """``edges`` is the DIRECTED edge set (src, dst[, weight])."""
-        from .partition import partition_table_refs
-
+        """``edges`` is the DIRECTED edge set (src, dst[, weight]), or a
+        shared ``PartitionedEdges`` of it."""
         shard_size = (self.n + self.P - 1) // self.P
-        part_refs = partition_table_refs(edges, "dst", self.P)
+        part_refs = _resolve_partitioned(edges, "dst", self.P)
         self._preps = {
             p: _prep_block_sssp.remote(block, self.P, shard_size, self.weight_col)
             for p, block in part_refs.items()

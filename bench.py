@@ -383,20 +383,45 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def control(ncpu: int) -> float:
+        """Ray-free hardware control at the same core count (same-window
+        pairing: runs back-to-back with the Ray leg). → M edges/s."""
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "bandwidth_control.py",
+                ),
+                str(ncpu),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return float(out.strip().rsplit("best ", 1)[1].split(" ")[0]) * 1e6
+
     # alternate the legs across rounds and keep each leg's quietest window —
-    # identical legs vary >2× on this host (BASELINE.md); symmetric best-of
+    # identical legs vary >2× on this host (BASELINE.md); symmetric best-of.
+    # Each Ray leg is PAIRED with the Ray-free hardware control at the same
+    # core count so engine-vs-hardware is compared within one interference
+    # window; the best (engine, control) pair per level travels together.
     lo, hi = 8, 32
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     r_lo = r_hi = None
+    c_lo = c_hi = None
     for _ in range(rounds):
-        a, b = one(hi), one(lo)
+        ch, a = control(hi), one(hi)
+        cl, b = control(lo), one(lo)
         if r_hi is None or a["edges_per_sec"] > r_hi["edges_per_sec"]:
-            r_hi = a
+            r_hi, c_hi = a, ch
         if r_lo is None or b["edges_per_sec"] > r_lo["edges_per_sec"]:
-            r_lo = b
+            r_lo, c_lo = b, cl
     thr_lo = r_lo["edges_per_sec"]
     thr_hi = r_hi["edges_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    ctrl_eff = (c_hi / c_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
@@ -406,6 +431,10 @@ def run_scaling() -> dict:
         "edges_per_sec_lo": thr_lo,
         "edges_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "control_edges_per_sec_lo": c_lo,
+        "control_edges_per_sec_hi": c_hi,
+        "control_efficiency": round(ctrl_eff, 3),
+        "normalized_efficiency": round(eff / ctrl_eff, 3),
         "n_edges": r_hi.get("n_edges"),
         "partitions": r_hi.get("partitions"),
         "precision": r_hi.get("precision"),

@@ -155,6 +155,35 @@ def test_lp_sharded_matches_dense(maker, ray_session):
     np.testing.assert_array_equal(sharded, dense)
 
 
+def test_multi_job_chaining_shared_bulk_load(ray_session):
+    """Multiple jobs over the SAME loaded graph (reference
+    ``Driver.compatible:217-233``): CC and LP chained over one shared
+    ``PartitionedEdges`` must equal their Dataset-input runs, and a
+    mismatched layout must be rejected."""
+    from asterixdb_analytics_ray.pipelines.components import (
+        connected_components_dense,
+    )
+    from asterixdb_analytics_ray.pipelines.labelprop import label_propagation_dense
+    from asterixdb_analytics_ray.stages.partition import partition_edges
+    from asterixdb_analytics_ray.stages.sharded import (
+        ShardedLabelProp,
+        ShardedMinLabel,
+    )
+
+    src, dst, n = webmap20()
+    s, d = _sym(src, dst)
+    und = as_dataset(s, d)
+    loaded = partition_edges(und, 4)  # ONE bulk-load exchange...
+    cc = ShardedMinLabel(n=n, P=4).run(loaded)  # ...two jobs
+    lp = ShardedLabelProp(n=n, P=4).run(loaded, rounds=5)
+    np.testing.assert_array_equal(
+        cc.state["label"], connected_components_dense(und, n).state["label"]
+    )
+    np.testing.assert_array_equal(lp, label_propagation_dense(und, n, rounds=5))
+    with pytest.raises(ValueError, match="incompatible"):
+        ShardedMinLabel(n=n, P=8).run(loaded)  # wrong partition count
+
+
 @pytest.mark.parametrize("maker", [webmap20, clique7, two_components])
 def test_sssp_sharded_matches_numpy(maker, ray_session):
     from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
