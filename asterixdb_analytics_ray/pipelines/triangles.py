@@ -46,6 +46,13 @@ def triangle_count(
     from ..stages.blocks import effective_partitions
 
     P = effective_partitions(num_partitions)
+    # data-proportional partitioning: Ray's hash-shuffle join/groupby spin
+    # one aggregator per partition, a fixed ~0.2s each — at 32 partitions
+    # that dominates small inputs (measured 9.3s → 5.5s at 153k edges by
+    # dropping to 4). ~50k edges per partition keeps partitions saturated
+    # at any scale; ``num_partitions`` stays the large-graph ceiling.
+    n_edges = oriented_edges.count()
+    P = max(2, min(P, -(-n_edges // 50_000)))
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -94,7 +101,7 @@ def triangle_count(
         wedge_ds,
         oriented_edges,
         "left_semi",
-        num_partitions,
+        P,
         on=("b", "c"),
         right_on=("src", "dst"),
     )
