@@ -997,6 +997,7 @@ class ShardedLabelProp:
     n: int
     P: int
     assume_simple: bool = True
+    algorithm: str = "lp_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
@@ -1012,19 +1013,51 @@ class ShardedLabelProp:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def run(
-        self, edges: ray.data.Dataset | None = None, rounds: int = 5
+        self,
+        edges: ray.data.Dataset | None = None,
+        rounds: int = 5,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
+        max_retries: int = 0,
+    ) -> np.ndarray:
+        """Fixed-round LP. Checkpoint/resume uses the shared shard-snapshot
+        plumbing (per-partition Parquet + lineage manifest, atomic rename);
+        a resumed run replays only the remaining rounds. ``max_retries`` is
+        the reference driver's recoverable-failure retry."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    edges, rounds, checkpoint_dir, checkpoint_every,
+                    resume or attempts > 0,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self, edges, rounds, checkpoint_dir, checkpoint_every, resume
     ) -> np.ndarray:
         P = self.P
         shard_size = (self.n + P - 1) // P
         if self._preps is None:
             self.prepare(edges)
         preps = self._preps
-        shard_refs = [
-            ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
-            for p in range(P)
-        ]
+        start = 0
+        shard_refs: list | None = None
+        if resume and checkpoint_dir:
+            resumed = ShardedPageRank.resume_refs(self, checkpoint_dir)
+            if resumed is not None:
+                start, shard_refs = resumed
+        if shard_refs is None:
+            shard_refs = [
+                ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+                for p in range(P)
+            ]
         stride = self.n + 1  # labels are vertex ids < n
-        for r in range(rounds):
+        for r in range(start, rounds):
             new_refs = list(shard_refs)
             distinct = self.assume_simple and r == 0
             for p, prep in preps.items():
@@ -1032,6 +1065,14 @@ class ShardedLabelProp:
                     prep, p, P, stride, distinct, *shard_refs
                 )
             shard_refs = new_refs
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and (r + 1) % checkpoint_every == 0
+            ):
+                ShardedPageRank.checkpoint(
+                    self, checkpoint_dir, r + 1, shard_refs, {"round": r + 1}
+                )
         label = np.empty(shard_size * P, dtype=np.int64)
         for p in range(P):
             sh = ray.get(shard_refs[p])

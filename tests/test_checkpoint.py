@@ -130,6 +130,52 @@ def test_sharded_mixed_checkpoint_resume(tmp_path, webmap_ds, ray_session):
     assert res.rounds[0].superstep == 7
 
 
+def test_sharded_lp_checkpoint_resume(tmp_path, webmap_ds, ray_session):
+    """LP checkpoint/resume: a run killed after round 2 of 5 resumes from the
+    snapshot and reproduces the uninterrupted labels exactly; a PageRank
+    resume pointed at the LP checkpoint is refused (algorithm mismatch)."""
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.graph import undirected_from_oriented
+    from asterixdb_analytics_ray.stages.sharded import (
+        ShardedLabelProp,
+        ShardedPageRank,
+    )
+
+    ds, outdeg, n = webmap_ds
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    und = ds.map_batches(sym, batch_format="pyarrow").materialize()
+    full = ShardedLabelProp(n=n, P=4).run(und, rounds=5)
+
+    ckdir = str(tmp_path / "lpck")
+    ShardedLabelProp(n=n, P=4).run(
+        und, rounds=2, checkpoint_dir=ckdir, checkpoint_every=2
+    )
+    assert ckpt.list_checkpoints(ckdir) == [2]
+    resumed = ShardedLabelProp(n=n, P=4).run(
+        und, rounds=5, checkpoint_dir=ckdir, checkpoint_every=2, resume=True
+    )
+    np.testing.assert_array_equal(resumed, full)
+
+    with pytest.raises(ValueError, match="algorithm"):
+        ShardedPageRank(n=n, P=4).run(
+            ds, outdeg, supersteps=5, checkpoint_dir=ckdir, resume=True
+        )
+
+
 def test_sharded_checkpoint_lineage_corruption(tmp_path, webmap_ds, ray_session):
     from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
 
