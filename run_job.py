@@ -37,9 +37,13 @@ def main(argv: list[str] | None = None) -> int:
             "pagerank",
             "pagerank_sharded",
             "connected_components",
+            "cc_sharded",
             "label_propagation",
+            "lp_sharded",
             "triangle_count",
             "sssp",
+            "sssp_sharded",
+            "reachability",
         ],
     )
     ap.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
@@ -51,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--checkpoint-every", type=int, default=2)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-retries", type=int, default=0,
+                    help="automatic reload-from-checkpoint retries on failure")
+    ap.add_argument("--rounds", type=int, default=5, help="LP rounds")
+    ap.add_argument("--source", type=int, default=0, help="SSSP/reachability source vertex")
+    ap.add_argument("--target", type=int, default=None, help="reachability target vertex (default: max id)")
     args = ap.parse_args(argv)
 
     import ray
@@ -142,6 +151,71 @@ def main(argv: list[str] | None = None) -> int:
         result_table = pa.table(
             {"v": np.arange(g.n_nodes, dtype=np.int64), "label": labels}
         )
+    elif args.algorithm == "cc_sharded":
+        from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
+
+        res = ShardedMinLabel(n=g.n_nodes, P=args.partitions).run(
+            g.undirected().materialize(),
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else None,
+            resume=args.resume,
+            max_retries=args.max_retries,
+        )
+        result_table = pa.table(
+            {
+                "v": np.arange(g.n_nodes, dtype=np.int64),
+                "component": res.state["label"],
+            }
+        )
+        summary["rounds"] = len(res.rounds)
+    elif args.algorithm == "lp_sharded":
+        from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+        labels = ShardedLabelProp(n=g.n_nodes, P=args.partitions).run(
+            g.undirected().materialize(),
+            rounds=args.rounds,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else None,
+            resume=args.resume,
+            max_retries=args.max_retries,
+        )
+        result_table = pa.table(
+            {"v": np.arange(g.n_nodes, dtype=np.int64), "label": labels}
+        )
+    elif args.algorithm == "sssp_sharded":
+        from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+        res = ShardedSSSP(n=g.n_nodes, P=args.partitions, source=args.source).run(
+            g.directed().materialize(),
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else None,
+            resume=args.resume,
+            max_retries=args.max_retries,
+        )
+        dist = res.state["dist"]
+        finite = np.isfinite(dist)
+        result_table = pa.table(
+            {
+                "v": np.arange(g.n_nodes, dtype=np.int64)[finite],
+                "dist": dist[finite],
+            }
+        )
+        summary["rounds"] = len(res.rounds)
+    elif args.algorithm == "reachability":
+        from asterixdb_analytics_ray.stages.sharded import ShardedReachability
+
+        target = args.target if args.target is not None else g.n_nodes - 1
+        found, res = ShardedReachability(
+            n=g.n_nodes, P=args.partitions, source=args.source, dest=target
+        ).run(g.directed().materialize())
+        result_table = pa.table(
+            {
+                "source": pa.array([args.source], pa.int64()),
+                "target": pa.array([target], pa.int64()),
+                "reachable": pa.array([bool(found)], pa.bool_()),
+            }
+        )
+        summary["rounds"] = len(res.rounds)
     elif args.algorithm == "triangle_count":
         from asterixdb_analytics_ray.pipelines.triangles import triangle_count
 
