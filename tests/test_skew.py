@@ -41,6 +41,30 @@ def test_cc_on_skewed_hub():
     assert (res.state["label"] == 0).all()  # hub connects everything
 
 
+def test_pagerank_sharded_hub(ray_session):
+    """Sharded scale path under a hot vertex: a 100k-degree hub (all spokes →
+    hub, hub → all spokes) must match the numpy oracle exactly. Hub safety in
+    the sharded layout is structural: in-messages are pre-combined by the
+    owning partition's bincount (one partial per partition) and the hub's
+    out-rank is a single gathered scalar per edge — no per-message
+    materialization anywhere."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    n = 100_001
+    hub = 0
+    spokes = np.arange(1, n, dtype=np.int64)
+    src = np.concatenate([np.full(n - 1, hub, dtype=np.int64), spokes])
+    dst = np.concatenate([spokes, np.full(n - 1, hub, dtype=np.int64)])
+    ds = as_dataset(src, dst)
+    outdeg = np.bincount(src, minlength=n)
+    for precision in ("double", "mixed"):
+        res = ShardedPageRank(n=n, P=8, precision=precision).run(
+            ds, outdeg, supersteps=10
+        )
+        want = pagerank_numpy(src, dst, n, supersteps=10)
+        np.testing.assert_allclose(res.state["rank"], want, atol=1e-9)
+
+
 def test_salted_aggregate_hot_key(ray_session):
     """Explicit salted two-stage combine equals the plain groupby sum on a
     messages table where 90% of rows hit ONE destination key."""
