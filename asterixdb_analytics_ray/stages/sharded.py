@@ -381,7 +381,11 @@ class ShardedPageRank:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def shutdown(self) -> None:
-        """Eagerly release the partition-worker fleet (otherwise GC does)."""
+        """Eagerly release the partition-worker fleet and edge caches — the
+        ``ClearStateOperatorDescriptor`` analog (drop node-local iteration
+        state for the job; reference
+        ``pregelix-dataflow/.../ClearStateOperatorDescriptor.java``).
+        Otherwise GC releases them when the runner is dropped."""
         if self._workers:
             for w in self._workers.values():
                 ray.kill(w)
@@ -770,6 +774,10 @@ class ShardedMinLabel:
         if self._preps:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
+    def shutdown(self) -> None:
+        """Release the per-partition edge caches (ClearState analog)."""
+        self._preps = None
+
     def run(
         self,
         edges: ray.data.Dataset | None = None,
@@ -1012,6 +1020,10 @@ class ShardedLabelProp:
         if self._preps:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
+    def shutdown(self) -> None:
+        """Release the per-partition edge caches (ClearState analog)."""
+        self._preps = None
+
     def run(
         self,
         edges: ray.data.Dataset | None = None,
@@ -1161,6 +1173,10 @@ class ShardedSSSP:
         }
         if self._preps:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
+
+    def shutdown(self) -> None:
+        """Release the per-partition edge caches (ClearState analog)."""
+        self._preps = None
 
     def run(
         self,
@@ -1348,6 +1364,10 @@ class ShardedReachability:
         }
         if self._preps:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
+
+    def shutdown(self) -> None:
+        """Release the per-partition edge caches (ClearState analog)."""
+        self._preps = None
 
     def run(
         self,
