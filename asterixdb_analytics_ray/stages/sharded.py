@@ -822,8 +822,11 @@ class ShardedMinLabel:
             if resumed is not None:
                 superstep, shard_refs = resumed
         if shard_refs is None:
+            # labels are vertex ids: uint32 shards when they fit halve the
+            # kernel's per-edge gather DRAM traffic (exact — integer math)
+            ldt = np.uint32 if self.n < np.iinfo(np.uint32).max else np.int64
             shard_refs = [
-                ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+                ray.put((np.arange(shard_size, dtype=np.int64) * P + p).astype(ldt))
                 for p in range(P)
             ]
         # per-shard frontier: skip source shards with no change last round
@@ -933,8 +936,10 @@ def _labelprop_task(
         seg_rel = prep["seg_rel"]
         seg_dst = prep["seg_dst"]
         seg_bounds = prep["seg_bounds"]
-        sentinel = np.iinfo(np.int64).max
-        acc = np.full(len(own), sentinel, dtype=np.int64)
+        # sentinel/acc follow the shard dtype (uint32 when ids fit) so the
+        # narrow representation survives the round; labels < n < dtype max
+        sentinel = np.iinfo(own.dtype).max
+        acc = np.full(len(own), sentinel, dtype=own.dtype)
         for q in range(P):
             s, e = bounds[q], bounds[q + 1]
             if s >= e:
@@ -1064,8 +1069,10 @@ class ShardedLabelProp:
             if resumed is not None:
                 start, shard_refs = resumed
         if shard_refs is None:
+            # uint32 label shards when ids fit (exact; see ShardedMinLabel)
+            ldt = np.uint32 if self.n < np.iinfo(np.uint32).max else np.int64
             shard_refs = [
-                ray.put(np.arange(shard_size, dtype=np.int64) * P + p)
+                ray.put((np.arange(shard_size, dtype=np.int64) * P + p).astype(ldt))
                 for p in range(P)
             ]
         stride = self.n + 1  # labels are vertex ids < n
