@@ -129,9 +129,10 @@ def tool_cooc_pairs(
         lambda t: pa.table({"conv_id": t["conv_id"], "tool_b": t["tool"]}),
         batch_format="pyarrow",
     )
-    # data-proportional join partitions (~50k rows each; see graph build)
-    P_join = max(2, min(effective_partitions(), -(-ct.count() // 50_000)))
-    joined = safe_join(ct, right, "inner", P_join, on=("conv_id",))
+    # data-proportional join partitions (see blocks.partitions_for)
+    from .stages.blocks import partitions_for
+
+    joined = safe_join(ct, right, "inner", partitions_for(ct.count()), on=("conv_id",))
 
     if weighted:
         from ray.data.aggregate import Sum
@@ -601,10 +602,11 @@ def build_link_graph_structured(
         right = ct.map_batches(
             lambda t: pa.table({"c": t["c"], "t2": t["t"]}), batch_format="pyarrow"
         )
-        # data-proportional join partitions (~50k rows each): the hash join
-        # spins one aggregator per partition, which dominates small inputs
-        P_join = max(2, min(effective_partitions(), -(-ct.count() // 50_000)))
-        joined = safe_join(ct, right, "inner", P_join, on=("c",))
+        from .stages.blocks import partitions_for
+
+        joined = safe_join(
+            ct, right, "inner", partitions_for(ct.count()), on=("c",)
+        )
 
         def ordered(t: pa.Table) -> pa.Table:
             t = t.filter(pc.less(t["t"], t["t2"]))

@@ -108,7 +108,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """
     from ray.data.aggregate import Min
 
-    from ..stages.blocks import effective_partitions, safe_join
+    from ..stages.blocks import partitions_for, safe_join
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -131,7 +131,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
         docs.select_columns(["doc_id", "text"]),
         winners,
         "inner",
-        effective_partitions(),
+        partitions_for(docs.count()),  # data-proportional (see blocks.py)
         on=("doc_id",),
     )
     return out.select_columns(["doc_id", "text"])
@@ -302,6 +302,7 @@ def _verify_pairs_distributed(
     cand: ray.data.Dataset,
     shingles: ray.data.Dataset,
     threshold: float,
+    n_hint: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of (doc_a, doc_b) candidates, fully
     distributed: two int64-keyed hash joins pull each side's shingle set to
@@ -309,9 +310,9 @@ def _verify_pairs_distributed(
     shingle sets move as join payload bounded by |candidates| — never the
     corpus, never through the driver (the round-1 broadcast-a-text-dict
     formulation is gone)."""
-    from ..stages.blocks import effective_partitions, safe_join
+    from ..stages.blocks import effective_partitions, partitions_for, safe_join
 
-    P = effective_partitions()
+    P = partitions_for(n_hint) if n_hint else effective_partitions()
     a_side = shingles.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "sh_a": t["sh"]}),
         batch_format="pyarrow",
@@ -402,7 +403,10 @@ def minhash_lsh_pairs(
         .drop_columns(["count()"])
     )
     return _verify_pairs_distributed(
-        cand, shingle_sets(docs, shingle_k).materialize(), threshold
+        cand,
+        shingle_sets(docs, shingle_k).materialize(),
+        threshold,
+        n_hint=docs.count(),
     )
 
 
@@ -523,9 +527,7 @@ def ngram_jaccard_pairs(
     """
     from ray.data.aggregate import Count
 
-    from ..stages.blocks import effective_partitions, safe_join
-
-    P = effective_partitions()
+    from ..stages.blocks import partitions_for, safe_join
 
     def explode(df: pd.DataFrame) -> pa.Table:
         sets = [_shingle_hashes(t, shingle_k) for t in df["text"]]
@@ -542,6 +544,7 @@ def ngram_jaccard_pairs(
         )
 
     ex = docs.map_batches(explode, batch_format="pandas").materialize()
+    P = partitions_for(ex.count())  # data-proportional (see blocks.py)
     sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
     other = ex.map_batches(
         lambda t: pa.table({"doc_b": t["doc_id"], "sh": t["sh"]}),

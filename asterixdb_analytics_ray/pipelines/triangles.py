@@ -43,16 +43,11 @@ def triangle_count(
     (``LinkGraph.oriented()`` / micrograph helper).
     """
 
-    from ..stages.blocks import effective_partitions
+    from ..stages.blocks import partitions_for
 
-    P = effective_partitions(num_partitions)
-    # data-proportional partitioning: Ray's hash-shuffle join/groupby spin
-    # one aggregator per partition, a fixed ~0.2s each — at 32 partitions
-    # that dominates small inputs (measured 9.3s → 5.5s at 153k edges by
-    # dropping to 4). ~50k edges per partition keeps partitions saturated
-    # at any scale; ``num_partitions`` stays the large-graph ceiling.
-    n_edges = oriented_edges.count()
-    P = max(2, min(P, -(-n_edges // 50_000)))
+    # data-proportional partitioning (measured 9.3s → 4.1s at 153k edges);
+    # ``num_partitions`` stays the large-graph ceiling — see blocks.py
+    P = partitions_for(oriented_edges.count(), num_partitions)
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(

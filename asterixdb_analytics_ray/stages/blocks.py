@@ -57,6 +57,26 @@ def effective_partitions(requested: int | None = None) -> int:
     return min(requested, cap) if requested else cap
 
 
+def partitions_for(
+    n_rows: int,
+    requested: int | None = None,
+    rows_per_partition: int = 50_000,
+) -> int:
+    """Data-proportional shuffle-partition count.
+
+    Ray's hash-shuffle join/aggregate spins one aggregator actor per
+    partition at a fixed ~0.2s each, which dominates small inputs at a
+    CPU-count partitioning (measured: a 5k-row join 14.2s at P=32 vs 4.1s
+    at P=2; 153k-edge triangle count 9.3s → 4.1s). Target
+    ``rows_per_partition`` rows each, clamped to ``effective_partitions``
+    as the large-data ceiling — at production scale this returns the
+    cluster-wide CPU count unchanged.
+    """
+    return max(
+        2, min(effective_partitions(requested), -(-n_rows // rows_per_partition))
+    )
+
+
 def safe_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
