@@ -339,15 +339,17 @@ def _verify_pairs_distributed(
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac[i] = inter / union if union else 0.0
-        rounded = np.round(jac, 6)
+        # threshold the UNROUNDED value (matching the SQL oracle's WHERE
+        # clause exactly — both sides compute the identical IEEE division);
+        # round only the projected column
         out = pa.table(
             {
                 "doc_a": t["doc_a"],
                 "doc_b": t["doc_b"],
-                "jaccard": rounded,
+                "jaccard": np.round(jac, 6),
             }
         )
-        return out.filter(pa.array(rounded >= threshold))
+        return out.filter(pa.array(jac >= threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
@@ -402,12 +404,14 @@ def minhash_lsh_pairs(
         .count()
         .drop_columns(["count()"])
     )
-    return _verify_pairs_distributed(
-        cand,
-        shingle_sets(docs, shingle_k).materialize(),
-        threshold,
-        n_hint=docs.count(),
-    )
+    sh = shingle_sets(docs, shingle_k).materialize()
+    # partition hint by data VOLUME, not doc count: each shingle-set row
+    # carries an ~8·|shingles| byte blob, so a doc-count hint under-partitions
+    # the verify joins by the shingles-per-doc factor (~100-1000×).  128 B is
+    # the per-row budget partitions_for's 50k-rows target implies (~6 MB per
+    # aggregator partition).
+    n_hint = max(docs.count(), (sh.size_bytes() or 0) // 128)
+    return _verify_pairs_distributed(cand, sh, threshold, n_hint=n_hint)
 
 
 def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -584,9 +588,14 @@ def ngram_jaccard_pairs(
         union = (
             t["n_a"].to_numpy() + t["n_b"].to_numpy()
         ).astype(np.float64) - inter_c
-        jac = np.round(np.where(union > 0, inter_c / union, 0.0), 6)
+        # unrounded threshold, rounded projection (mirrors the SQL oracle)
+        jac = np.where(union > 0, inter_c / union, 0.0)
         out = pa.table(
-            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard": jac}
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": np.round(jac, 6),
+            }
         )
         return out.filter(pa.array(jac >= threshold))
 

@@ -405,7 +405,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 """
 
 
@@ -495,7 +495,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= {threshold}
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 """
 
 

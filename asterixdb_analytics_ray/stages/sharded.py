@@ -272,7 +272,7 @@ def _to_dived(plain: np.ndarray, inv_shard: np.ndarray) -> np.ndarray:
     return out
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=-1)
 class _ShardWorker:
     """Stateful partition worker: holds its CSR-analog edge cache in process
     memory (the north-star layout — per-partition adjacency blocks live in
@@ -498,6 +498,16 @@ class ShardedPageRank:
                 if attempts >= max_retries or not checkpoint_dir:
                     raise
                 attempts += 1
+                # A lost worker/node (the fault class this retry targets —
+                # reference Driver.runJobs' recoverable failure) may have
+                # taken the cached actor fleet with it.  _ShardWorker has
+                # max_restarts, but an actor killed beyond restart (or a
+                # fleet whose prep refs died with their node) would make
+                # every retry fail identically — so when the inputs are at
+                # hand, rebuild the fleet/caches from scratch before
+                # resuming from the checkpoint.
+                if edges is not None and outdeg is not None:
+                    self.shutdown()
 
     def _run_once(
         self,
@@ -823,8 +833,16 @@ class ShardedMinLabel:
                 superstep, shard_refs = resumed
         if shard_refs is None:
             # labels are vertex ids: uint32 shards when they fit halve the
-            # kernel's per-edge gather DRAM traffic (exact — integer math)
-            ldt = np.uint32 if self.n < np.iinfo(np.uint32).max else np.int64
+            # kernel's per-edge gather DRAM traffic (exact — integer math).
+            # Cutoff is n + P (not n): PADDING slots are labeled up to
+            # shard_size·P − 1 ≤ n + P − 2, and the LP distinct-path
+            # sentinel (uint32 max) requires every slot's label — padding
+            # included — to stay strictly below dtype max.
+            ldt = (
+                np.uint32
+                if self.n + self.P < np.iinfo(np.uint32).max
+                else np.int64
+            )
             shard_refs = [
                 ray.put((np.arange(shard_size, dtype=np.int64) * P + p).astype(ldt))
                 for p in range(P)
@@ -961,6 +979,18 @@ def _labelprop_task(
     if pow2:
         key <<= shift
     else:
+        # arithmetic packing must fit int64 EXACTLY or labels silently wrap:
+        # pack key max ≈ shard_size·stride, tie-break key max ≈
+        # (n_edges + shard_size + 1)·stride.  The regime where arithmetic
+        # fits but pow2 doesn't is at most ~4×; beyond both, refuse.
+        shard_size = int(shards[p].shape[0])
+        if (shard_size + 1) * stride >= 2**63 or (
+            n_edges + shard_size + 1
+        ) * stride >= 2**63:
+            raise ValueError(
+                f"label-propagation packed keys overflow int64: "
+                f"shard_size={shard_size}, n_edges={n_edges}, stride={stride}"
+            )
         key *= stride
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
@@ -1069,8 +1099,14 @@ class ShardedLabelProp:
             if resumed is not None:
                 start, shard_refs = resumed
         if shard_refs is None:
-            # uint32 label shards when ids fit (exact; see ShardedMinLabel)
-            ldt = np.uint32 if self.n < np.iinfo(np.uint32).max else np.int64
+            # uint32 label shards when ids fit (exact; see ShardedMinLabel —
+            # the n + P cutoff keeps PADDING-slot labels below the distinct-
+            # path sentinel, uint32 max, not just real-slot labels)
+            ldt = (
+                np.uint32
+                if self.n + self.P < np.iinfo(np.uint32).max
+                else np.int64
+            )
             shard_refs = [
                 ray.put((np.arange(shard_size, dtype=np.int64) * P + p).astype(ldt))
                 for p in range(P)

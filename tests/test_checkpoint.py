@@ -323,3 +323,36 @@ def test_sharded_automatic_recovery(tmp_path, webmap_ds, ray_session):
     )
     assert fired["n"] == 1
     np.testing.assert_array_equal(res.state["label"], full.state["label"])
+
+
+def test_sharded_actor_fleet_recovery(tmp_path, webmap_ds, ray_session):
+    """A retry after a LOST WORKER must not reuse the dead actor fleet: the
+    runner rebuilds workers (shutdown + re-prepare) and resumes from the
+    checkpoint (reference ``Driver.runJobs:137-195`` — the recoverable
+    fault class is a lost node, not a driver-side hook error)."""
+    import ray
+
+    from asterixdb_analytics_ray.stages.sharded import ShardedPageRank
+
+    ds, outdeg, n = webmap_ds
+    full = ShardedPageRank(n=n, P=4).run(ds, outdeg, supersteps=10)
+
+    killed = {"n": 0}
+    r = ShardedPageRank(n=n, P=4, executor="actors")
+
+    def kill_one(metrics):
+        if metrics.superstep == 6 and killed["n"] == 0:
+            killed["n"] += 1
+            # kill beyond restart: every later call to this actor fails, so
+            # a retry that reused the cached fleet would fail identically
+            ray.kill(next(iter(r._workers.values())), no_restart=True)
+
+    res = r.run(
+        ds, outdeg, supersteps=10,
+        checkpoint_dir=str(tmp_path / "actrec"), checkpoint_every=2,
+        max_retries=3, post_superstep=kill_one,
+    )
+    assert killed["n"] == 1
+    np.testing.assert_allclose(
+        res.state["rank"], full.state["rank"], atol=1e-15
+    )
