@@ -360,6 +360,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_bucket: int = 512,
 ) -> ray.data.Dataset:
     """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHash-LSH.
 
@@ -367,6 +368,19 @@ def minhash_lsh_pairs(
     candidate pairs within buckets → DISTRIBUTED exact-Jaccard verification
     (candidates hash-joined to the per-doc shingle-set table — see
     ``_verify_pairs_distributed``) → dedup pairs.
+
+    ``max_bucket`` bounds the quadratic candidate emission of a HOT bucket
+    (a degenerate band hash — boilerplate/empty docs — puts k docs in one
+    bucket and the exact contract emits k(k−1)/2 pairs inside ONE
+    ``map_groups`` task; at corpus scale that serializes the pipeline and
+    OOMs the worker — the analog of the reference's hot-MsgList frame
+    segmentation, ``pregelix-api/.../graph/MsgList.java:34-81``).  Buckets
+    over the limit are sorted by a hash of the FULL signature and chunked,
+    emitting pairs only within chunks — identical/near-identical docs have
+    equal signature hashes, sort adjacent, and keep their pairs, while
+    collision-only crowds lose cross-chunk candidates (logged; every
+    surviving pair is still exact-verified).  Buckets ≤ ``max_bucket`` are
+    exact, so sane corpora (like the driver's) are unaffected.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)
@@ -384,18 +398,55 @@ def minhash_lsh_pairs(
             for r in range(rows_per_band):  # tiny fixed loop, vectorized inner
                 h = h * np.uint64(1099511628211) + seg[:, r]
             hashes[b_i * n : (b_i + 1) * n] = h
+        # full-signature hash: the hot-bucket sub-split key (equal for
+        # identical signatures, so true near-dups sort adjacent)
+        fh = np.zeros(n, dtype=np.uint64)
+        for r in range(num_perm):
+            fh = fh * np.uint64(1099511628211) + sig[:, r]
         return pa.table(
-            {"band_id": band_ids, "band_hash": hashes, "doc_id": doc_rep}
+            {
+                "band_id": band_ids,
+                "band_hash": hashes,
+                "doc_id": doc_rep,
+                "sig_hash": np.tile(fh, bands),
+            }
         )
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        g = g.drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        k = len(ids)
+        if k < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        if k <= max_bucket:
+            ids = np.sort(ids)
+            ia, ib = np.triu_indices(k, k=1)
+            return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        # hot bucket: signature-sorted chunking (see docstring)
+        order = np.lexsort((ids, g["sig_hash"].to_numpy()))
+        ids = ids[order]
+        dropped = k * (k - 1) // 2
+        pa_, pb_ = [], []
+        for s in range(0, k, max_bucket):
+            c = ids[s : s + max_bucket]
+            if len(c) < 2:
+                continue
+            ia, ib = np.triu_indices(len(c), k=1)
+            pa_.append(c[ia])
+            pb_.append(c[ib])
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        dropped -= len(a)
+        print(
+            f"[minhash-lsh] hot bucket: {k} docs > max_bucket={max_bucket}; "
+            f"chunked by signature hash, {dropped} cross-chunk candidate "
+            f"pairs dropped (survivors remain exact-verified)"
+        )
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        )
 
     cand = (
         banded.groupby(["band_id", "band_hash"])

@@ -901,6 +901,51 @@ class ShardedMinLabel:
 # ---------------------------------------------------------------------------
 
 
+_LP_ARENA: dict = {}
+
+
+def _malloc_recycle() -> None:
+    """Raise glibc's mmap/trim thresholds in THIS worker process (once) so
+    the LP round's large same-size temporaries are recycled from malloc's
+    free list instead of being munmap'd on free and re-faulted as zeroed
+    pages next round.  BASELINE.md's round-2 instrumentation measured that
+    churn — 32 workers faulting ~20 GB of fresh pages per round — as the
+    entire gap between 0.7-2.8 s single-core compute and 5-10 s round
+    walls.  No-op off glibc."""
+    if _LP_ARENA.get("_mallopt"):
+        return
+    _LP_ARENA["_mallopt"] = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 29)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 29)
+    except Exception:
+        pass
+
+
+def _lp_arena(n_edges: int, gather_dtype) -> dict:
+    """Per-worker-process reusable scratch for the generic LP round — the
+    fixed-size heavy temporaries (packed key, label gather buffer, run
+    mask).  Ray reuses worker processes across tasks and rounds, so these
+    pages are faulted once per worker (≤ one arena per CPU), not once per
+    task per round; which partition's task lands here doesn't matter, the
+    buffers are content-free scratch sized grow-only."""
+    _malloc_recycle()
+    a = _LP_ARENA
+    if a.get("cap", -1) < n_edges:
+        a["cap"] = n_edges
+        a["key"] = np.empty(n_edges, np.int64)
+        a["neq"] = np.empty(n_edges, np.bool_)
+    gdt = np.dtype(gather_dtype)
+    if a.get("gdt") != gdt or len(a["g"]) < n_edges:
+        a["gdt"] = gdt
+        a["g"] = np.empty(a["cap"], gdt)
+    return a
+
+
 @ray.remote
 def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
     """Edge cache for the histogram kernel: the CC-style dst-grouped static
@@ -975,9 +1020,16 @@ def _labelprop_task(
         int(shards[p].shape[0] - 1).bit_length() + shift <= 63
         and int(n_edges).bit_length() + shift <= 63
     )
-    key = prep["dst32"].astype(np.int64)
+    # all heavy fixed-size temporaries live in the per-worker arena: the
+    # packed key is REBUILT in place each round (copy + shift, two streaming
+    # passes) instead of freshly allocated, the label gather lands in a
+    # reused buffer, and the run mask is reused — so a steady-state round
+    # faults no new pages for these (see _lp_arena / _malloc_recycle)
+    ar = _lp_arena(n_edges, own.dtype)
+    key = ar["key"][:n_edges]
+    np.copyto(key, prep["dst32"], casting="safe")
     if pow2:
-        key <<= shift
+        np.left_shift(key, shift, out=key)
     else:
         # arithmetic packing must fit int64 EXACTLY or labels silently wrap:
         # pack key max ≈ shard_size·stride, tie-break key max ≈
@@ -991,25 +1043,40 @@ def _labelprop_task(
                 f"label-propagation packed keys overflow int64: "
                 f"shard_size={shard_size}, n_edges={n_edges}, stride={stride}"
             )
-        key *= stride
+        np.multiply(key, stride, out=key)
+    g = ar["g"]
     for q in range(P):
         s, e = bounds[q], bounds[q + 1]
         if s < e:
-            key[s:e] += shards[q][sdiv[s:e]]
+            np.take(shards[q], sdiv[s:e], out=g[s:e])
+            np.add(key[s:e], g[s:e], out=key[s:e])
     key.sort()
-    starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-    counts = np.diff(starts, append=len(key))
+    neq = ar["neq"][:n_edges]
+    neq[0] = True
+    np.not_equal(key[1:], key[:-1], out=neq[1:])
+    starts = np.flatnonzero(neq)
     heads = key[starts]
+    counts = np.diff(starts, append=n_edges)
     # per-dst argmax(count) with min-label tie-break, WITHOUT a second sort:
     # runs are already grouped by pv, so pack (count, inverted label) into
     # one comparison key and take a segmented max (a lexsort here would be
     # a second full sort)
     if pow2:
         mask = (np.int64(1) << shift) - 1
-        pv = heads >> shift
-        g_starts = np.flatnonzero(np.concatenate(([True], pv[1:] != pv[:-1])))
-        cmp = (counts << shift) | (mask - (heads & mask))
-        best = np.maximum.reduceat(cmp, g_starts)
+        # O(runs) buffers are consumed in place: starts becomes pv, the
+        # run-mask prefix becomes the group mask, heads/counts become the
+        # comparison key — no further O(runs) allocations this round
+        pv = starts
+        np.right_shift(heads, shift, out=pv)
+        gneq = neq[: len(pv)]
+        gneq[0] = True
+        np.not_equal(pv[1:], pv[:-1], out=gneq[1:])
+        g_starts = np.flatnonzero(gneq)
+        np.left_shift(counts, shift, out=counts)
+        np.bitwise_and(heads, mask, out=heads)
+        np.subtract(mask, heads, out=heads)
+        np.bitwise_or(counts, heads, out=counts)
+        best = np.maximum.reduceat(counts, g_starts)
         new = own.copy()
         new[pv[g_starts]] = mask - (best & mask)
     else:

@@ -282,3 +282,28 @@ def test_lp_sharded_multigraph_needs_generic_path(ray_session):
     generic = ShardedLabelProp(n=n, P=2, assume_simple=False).run(und, rounds=1)
     np.testing.assert_array_equal(generic, dense)
     assert dense[0] == 2  # the multiset mode, not the min
+
+
+def test_lp_arithmetic_packing_overflow_raises(ray_session):
+    """The arithmetic-packing fallback must REFUSE (not silently wrap) when
+    the packed or tie-break keys exceed int64 (advisor finding: numpy int64
+    wraps without error exactly in the regime the fallback exists for)."""
+    import ray
+
+    from asterixdb_analytics_ray.stages import sharded as sh
+
+    prep = {
+        "bounds": np.array([0, 2], dtype=np.int64),
+        "sdiv": np.array([0, 1], dtype=np.int64),
+        "dst32": np.array([0, 1], dtype=np.int32),
+        "seg_rel": np.array([], dtype=np.int32),
+        "seg_dst": np.array([], dtype=np.uint16),
+        "seg_bounds": np.array([0, 0], dtype=np.int64),
+    }
+    shards = (np.array([0, 1, 2, 3], dtype=np.int64),)
+    # stride 2^62: pow2 packing needs 2 + 62 > 63 bits -> falls back to
+    # arithmetic, where (shard_size+1)*stride >= 2^63 -> must raise
+    with pytest.raises(ray.exceptions.RayTaskError, match="overflow int64"):
+        ray.get(
+            sh._labelprop_task.remote(prep, 0, 1, 2**62, False, *shards)[0]
+        )

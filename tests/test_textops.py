@@ -95,3 +95,40 @@ def test_simhash_close_for_near_dups(docs):
     ham_far = bin(int(got[0]) ^ int(got[4])).count("1")
     assert got[0] == got[3]
     assert ham < ham_far
+
+
+def test_minhash_hot_bucket_bounded(ray_session):
+    """A degenerate corpus (hundreds of identical docs -> one band bucket)
+    must not emit O(k^2) candidate pairs from a single map_groups task: the
+    hot bucket is chunked by full-signature hash at max_bucket, and the
+    deterministic chunked pair count comes through verification intact
+    (identical docs all verify at jaccard 1.0)."""
+    k, cap = 300, 64
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(k, dtype=np.int64),
+            "text": ["identical boilerplate text body"] * k,
+        }
+    )
+    pairs = T.minhash_lsh_pairs(
+        ray.data.from_pandas(df), threshold=0.5, max_bucket=cap
+    ).to_pandas()
+    # chunked emission: ceil(k/cap) chunks of <=cap docs, triu within each.
+    # identical signatures sort stably by doc_id, so chunks are contiguous
+    # id ranges and every chunk pair survives exact verification at 1.0
+    expect = 0
+    for s in range(0, k, cap):
+        c = min(cap, k - s)
+        expect += c * (c - 1) // 2
+    assert len(pairs) == expect
+    assert expect < k * (k - 1) // 2  # strictly bounded below exact
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_minhash_small_buckets_exact_with_cap(docs):
+    """Buckets at or under max_bucket keep the exact all-pairs contract."""
+    base = T.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
+    capped = T.minhash_lsh_pairs(docs, threshold=0.4, max_bucket=2).to_pandas()
+    key = lambda d: set(zip(d["doc_a"], d["doc_b"]))
+    # with max_bucket=2 some candidates drop; with the default none do
+    assert key(capped) <= key(base)
