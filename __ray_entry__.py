@@ -15,6 +15,7 @@ algorithms are oracled as programmatically unrolled CTE chains
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -465,22 +466,37 @@ def _q_emb_kmeans_cells(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _media_path(sf_dir: str) -> str:
+    """Persist the deterministic synthetic media table once per sf so BOTH
+    the Ray pipeline and the DuckDB oracle read the SAME parquet (binary
+    payload column included) — the oracle recomputes features from the
+    stored payloads via the md5 chain (``sql_oracle.media_features_sql``)."""
+    import pyarrow.parquet as pq
+
+    from asterixdb_analytics_ray.pipelines.multimodal import synthetic_media
+    from asterixdb_analytics_ray.sources.transcripts import sf_from_dir
+
+    n = max(50, int(round(5_000 * sf_from_dir(sf_dir))))
+    path = f"/tmp/aar_data/media_{n}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(synthetic_media(n), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing demo: synthetic binary media → actor-pool feature
-    extraction (decode stubbed — no image/audio libs in this container)."""
+    """Multimodal plumbing demo: binary media parquet → actor-pool feature
+    extraction (decode runs the deterministic md5 fake — no codec libs in
+    this container; see ``multimodal._decode_payload`` for the PIL seam)."""
     import ray.data
 
-    from asterixdb_analytics_ray.pipelines.multimodal import (
-        extract_features,
-        synthetic_media,
-    )
-    from asterixdb_analytics_ray.sources.transcripts import sf_from_dir
+    from asterixdb_analytics_ray.pipelines.multimodal import extract_features
 
     import numpy as np
     import pyarrow as pa
 
-    n = max(50, int(round(5_000 * sf_from_dir(sf_dir))))
-    media = ray.data.from_arrow(synthetic_media(n))
+    media = ray.data.read_parquet(_media_path(sf_dir))
     feats = extract_features(media, concurrency=2, batch_size=32)
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -530,8 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
         "reachability": _q_reachability,
-        "max_clique": _q_max_clique,  # no SQL oracle (clique search)
-        "graph_sample": _q_graph_sample,  # no SQL oracle (iterative fill-rate)
+        "max_clique": _q_max_clique,
+        "graph_sample": _q_graph_sample,
         "events_bipartite_degree": _q_events_bipartite_degree,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
@@ -544,8 +560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dups": _q_doc_simhash_dups,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
-        "emb_kmeans_cells": _q_emb_kmeans_cells,  # no SQL oracle (iterative ML)
-        "media_features": _q_media_features,  # no SQL oracle (binary decode stub)
+        # no SQL oracle (iterative ML); numpy oracle in test_embeddings_imru
+        "emb_kmeans_cells": _q_emb_kmeans_cells,
+        "media_features": _q_media_features,
     }
 
 
@@ -579,4 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": so.quality_scores_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
+        "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
+        "graph_sample": so.graph_sample_sql(p),
+        "max_clique": so.max_clique_sql(p),
     }

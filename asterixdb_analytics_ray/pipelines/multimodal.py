@@ -64,25 +64,45 @@ def synthetic_media(n_items: int, seed: int = 9) -> pa.Table:
 
 
 def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
-    """STUB decoder. Real implementation would be e.g.::
+    """Decode one payload → FEATURE_DIM feature vector.
 
-        from PIL import Image; import io
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
-        return np.asarray(img, dtype=np.float32)
+    REAL-codec path: rows whose ``meta.codec`` names an encoded image format
+    are decoded with PIL (imported lazily — absent in this container, so the
+    path raises NotImplementedError here but activates unchanged wherever
+    PIL exists; ``tests/test_multimodal.py`` exercises it under a PIL skip
+    guard). Pixels are grayscale-normalized and mean-pooled into
+    FEATURE_DIM buckets.
 
-    The deterministic fake hashes the payload into a FEATURE_DIM vector so
-    outputs are stable across processes and parallelism levels.
+    FAKE path (synthetic media, no ``codec`` key): a deterministic md5
+    chain over the payload's lowercase hex — chosen (over shake_256) so an
+    independent SQL oracle can recompute the exact same features with
+    DuckDB's VARCHAR-only ``md5`` (``sql_oracle.media_features_sql``):
+    block j = md5(hex(payload) + chr(49+j)), each block → 4 little-endian
+    uint32s scaled to [0, 1).
     """
-    try:  # pragma: no cover - decode libs absent in this container
-        import PIL.Image  # noqa: F401
+    codec = (meta or {}).get("codec")
+    if codec in ("png", "jpeg", "bmp", "gif"):
+        try:
+            import io
 
-        raise NotImplementedError(
-            "real decode path not wired in this sandbox; see docstring"
-        )
-    except ImportError:
-        pass
-    digest = hashlib.shake_256(payload).digest(FEATURE_DIM * 4)
-    return np.frombuffer(digest, dtype="<u4").astype(np.float64) / float(2**32)
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - PIL absent here
+            raise NotImplementedError(
+                f"payload codec {codec!r} needs PIL, not present in this "
+                "container; the synthetic/fake path has no codec key"
+            ) from e
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        px = np.asarray(img, dtype=np.float64).ravel() / 255.0
+        pad = (-len(px)) % FEATURE_DIM
+        if pad:
+            px = np.concatenate([px, np.zeros(pad)])
+        return px.reshape(FEATURE_DIM, -1).mean(axis=1)
+    hexs = payload.hex().encode()
+    out = np.empty(FEATURE_DIM, dtype=np.float64)
+    for j in range(FEATURE_DIM * 4 // 16):  # md5 = 16 bytes = 4 floats
+        d = hashlib.md5(hexs + bytes([49 + j])).digest()
+        out[j * 4 : (j + 1) * 4] = np.frombuffer(d, dtype="<u4")
+    return out / float(2**32)
 
 
 class FeatureExtract:

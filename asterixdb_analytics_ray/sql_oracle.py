@@ -635,3 +635,117 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
 """
+
+
+def media_features_sql(media_path: str) -> str:
+    """Media feature extraction recomputed independently from the persisted
+    media parquet: width/height parsed from the JSON metadata, features from
+    the md5 chain over the payload's lowercase hex — exactly
+    ``multimodal._decode_payload``'s fake path (DuckDB's ``md5`` is
+    VARCHAR-only, which is why both sides hash the hex string): block j =
+    md5(hex(payload) || chr(49+j)), each block = 4 little-endian uint32s
+    scaled by 2^-32.  feat_mean is exact both sides (32 values with ≤32-bit
+    significands sum exactly in float64); feat_norm rounds at 9 decimals."""
+    blocks = 8  # FEATURE_DIM * 4 bytes / 16-byte md5 blocks
+    return f"""
+WITH m AS MATERIALIZED (SELECT * FROM read_parquet('{media_path}')),
+h AS MATERIALIZED (
+  SELECT item_id, md5(lower(hex(payload)) || chr(49 + CAST(j.range AS INT))) AS h
+  FROM m, range({blocks}) j
+),
+vals AS MATERIALIZED (
+  SELECT item_id,
+         (('0x' || substr(h, k.range*8 + 1, 2))::BIGINT
+        + ('0x' || substr(h, k.range*8 + 3, 2))::BIGINT * 256
+        + ('0x' || substr(h, k.range*8 + 5, 2))::BIGINT * 65536
+        + ('0x' || substr(h, k.range*8 + 7, 2))::BIGINT * 16777216)
+        / 4294967296.0 AS v
+  FROM h, range(4) k
+),
+wh AS MATERIALIZED (
+  SELECT item_id,
+         CAST(meta->>'$.width' AS INTEGER) AS width,
+         CAST(meta->>'$.height' AS INTEGER) AS height
+  FROM m
+)
+SELECT vals.item_id,
+       any_value(wh.width) AS width,
+       any_value(wh.height) AS height,
+       round(avg(v), 9) AS feat_mean,
+       round(sqrt(sum(v * v)), 9) AS feat_norm
+FROM vals JOIN wh USING (item_id)
+GROUP BY vals.item_id
+"""
+
+
+def graph_sample_sql(p: str, target: float = 0.3, rounds: int = 40) -> str:
+    """Seeded-BFS graph sampling unrolled (``GraphSampleVertex`` semantics,
+    matching ``pipelines/sampling.graph_sample_dense`` exactly): per round,
+    newly reached = undirected neighbors of the frontier minus selected,
+    truncated to the remaining quota by ascending vertex id; once the quota
+    is met or the frontier empties every later round is a no-op, so a fixed
+    unroll ≥ the reached component's diameter is exact."""
+    parts = [prelude(p)]
+    parts.append(
+        f""", quota AS MATERIALIZED (
+  SELECT CAST(ceil({target} * n) AS BIGINT) AS q FROM nv),
+s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v),
+f0 AS MATERIALIZED (SELECT v FROM s0)
+"""
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", n{i} AS MATERIALIZED (
+  SELECT u.dst AS v FROM und u JOIN f{i - 1} f ON u.src = f.v
+  EXCEPT SELECT v FROM s{i - 1}),
+t{i} AS MATERIALIZED (
+  SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM n{i})
+  WHERE rn <= (SELECT q FROM quota) - (SELECT count(*) FROM s{i - 1})),
+s{i} AS MATERIALIZED (SELECT v FROM s{i - 1} UNION ALL SELECT v FROM t{i}),
+f{i} AS MATERIALIZED (SELECT v FROM t{i})
+"""
+        )
+    parts.append(f"SELECT v FROM s{rounds}")
+    return "".join(parts)
+
+
+def max_clique_sql(p: str, max_k: int = 12) -> str:
+    """All MAXIMUM cliques via k-clique join unrolling (independent of the
+    engine's Bron-Kerbosch): c_k extends each ascending (k-1)-clique with a
+    vertex adjacent to all members (edges are src<dst oriented, so every
+    required edge appears exactly once), the answer is every clique at the
+    largest non-empty k.  Transcript graphs keep cliques small (tool
+    co-usage; measured max 8 at sf0.01), so a fixed ``max_k`` unroll is
+    exact — levels past the true maximum are empty and cost nothing.  A
+    graph whose maximum clique exceeded ``max_k`` would surface as a row
+    mismatch, never a silent pass."""
+    parts = [prelude(p)]
+    parts.append(", c2 AS MATERIALIZED (SELECT a AS v1, b AS v2 FROM ori)\n")
+    for k in range(3, max_k + 1):
+        prev_cols = ", ".join(f"c.v{i}" for i in range(1, k))
+        join_edges = " ".join(
+            f"JOIN ori o{i} ON o{i}.a = c.v{i} AND o{i}.b = nv.b"
+            for i in range(1, k - 1)
+        )
+        parts.append(
+            f""", c{k} AS MATERIALIZED (
+  SELECT {prev_cols}, nv.b AS v{k}
+  FROM c{k - 1} c JOIN ori nv ON nv.a = c.v{k - 1} {join_edges})
+"""
+        )
+    exists_union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS k FROM (SELECT 1) WHERE EXISTS (SELECT 1 FROM c{k})"
+        for k in range(2, max_k + 1)
+    )
+    parts.append(
+        f", best AS MATERIALIZED (SELECT max(k) AS k FROM ({exists_union}))\n"
+    )
+    selects = []
+    for k in range(2, max_k + 1):
+        cols = ", ".join(f"v{i}" for i in range(1, k + 1))
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS size, concat_ws(',', {cols}) "
+            f"AS members FROM c{k} WHERE (SELECT k FROM best) = {k}"
+        )
+    parts.append("\nUNION ALL\n".join(selects))
+    return "".join(parts)

@@ -163,3 +163,43 @@ def test_bgd_linear_recovers_weights(ray_session):
     job = BGDLinearJob(feature_cols=("x1", "x2", "x3"), target_col="y", lr=0.5)
     w = run_imru(job, ds, np.zeros(4), max_iters=200)
     np.testing.assert_allclose(w, [2.0, -1.0, 0.5, 3.0], atol=1e-3)
+
+
+def test_kmeans_cells_match_numpy_oracle(ray_session):
+    """The emb_kmeans_cells driver query vs an INDEPENDENT driver-side numpy
+    Lloyd's with identical init (first-64 rows, rng seed 3), iteration count
+    and tolerance — the reference-style golden for the one query without a
+    SQL formulation (iterative ML)."""
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        entry.queries()["emb_kmeans_cells"](sf)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")
+    pts = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    first = pts[:64]
+    rng = np.random.default_rng(3)
+    model = first[rng.choice(len(first), size=8, replace=False)]
+    for _ in range(10):  # Lloyd's, euclidean; empty cells keep their centroid
+        d2 = ((pts[:, None, :] - model[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        new = model.copy()
+        for c in range(8):
+            m = assign == c
+            if m.any():
+                new[c] = pts[m].mean(axis=0)
+        done = bool(np.abs(new - model).max() < 1e-6)
+        model = new
+        if done:
+            break
+    cn = model / np.linalg.norm(model, axis=1, keepdims=True)
+    pn = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    want = np.argmax(pn @ cn.T, axis=1)
+    ids = df["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    np.testing.assert_array_equal(got["cell"].to_numpy(), want[order])

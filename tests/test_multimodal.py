@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import ray.data
 
 from asterixdb_analytics_ray.pipelines.multimodal import (
@@ -30,3 +31,53 @@ def test_frame_sampling(ray_session):
     assert sorted(frames["item_id"].unique()) == [0, 3, 6, 9]
     assert sorted(frames["frame_idx"].unique()) == [0, 4]
     assert (frames["payload"].str.len() > 0).all()
+
+
+def test_real_codec_path_with_pil(ray_session):
+    """Real-codec seam: rows whose meta names an image codec decode through
+    PIL (mean-pooled grayscale features). Skips where PIL is absent (this
+    container); activates unchanged wherever it exists."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    import json
+
+    import pyarrow as pa
+
+    img = PIL.new("L", (16, 8))
+    img.putdata(list(range(128)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([0], pa.int64()),
+                "media_type": pa.array(["image"]),
+                "payload": pa.array([buf.getvalue()], pa.binary()),
+                "meta": pa.array(
+                    [json.dumps({"width": 16, "height": 8, "codec": "png"})]
+                ),
+            }
+        )
+    )
+    out = extract_features(media, concurrency=1, batch_size=1).to_pandas()
+    feats = np.stack(out["features"].to_numpy())[0]
+    # 128 pixels mean-pooled into FEATURE_DIM buckets of 4 consecutive
+    want = (np.arange(128) / 255.0).reshape(FEATURE_DIM, -1).mean(axis=1)
+    np.testing.assert_allclose(feats, want, atol=1e-12)
+
+
+def test_codec_row_without_pil_raises(ray_session):
+    """Without PIL, a codec-marked row must fail loudly (NotImplementedError
+    seam), never fall back silently to the fake features."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; the loud-failure path is for PIL-less hosts")
+    except ImportError:
+        pass
+    import json
+
+    from asterixdb_analytics_ray.pipelines.multimodal import _decode_payload
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_payload(b"\x89PNG fake", {"codec": "png"})

@@ -67,6 +67,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "sssp": so.sssp_sql,
         "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
+        "graph_sample": so.graph_sample_sql,
+        "max_clique": so.max_clique_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -81,6 +83,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_quality": so.quality_scores_sql,
         "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
+        "media_features": lambda: so.media_features_sql(
+            __import__("__ray_entry__")._media_path(SF_DIR)
+        ),
     }
     if name in view_based:
         return view_based[name]()
@@ -123,13 +128,15 @@ QUERY_NAMES = [
     "doc_quality",
     "emb_knn",
     "emb_cosine_dups",
+    "max_clique",
+    "graph_sample",
+    "media_features",
 ]
 
 ROWS_ONLY = [
-    "max_clique",
-    "graph_sample",
+    # numpy k-means oracle lives in test_embeddings_imru.py (iterative ML —
+    # the one query left without a SQL formulation)
     "emb_kmeans_cells",
-    "media_features",
 ]
 
 
