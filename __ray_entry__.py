@@ -281,17 +281,21 @@ def _q_max_clique(sf_dir: str):
 
 
 def _q_graph_sample(sf_dir: str):
-    """Seeded BFS sampling to a 30% fill rate (GraphSampleVertex semantics)."""
+    """Seeded BFS sampling to a 30% fill rate (GraphSampleVertex semantics),
+    via the SHARDED runner (scale path; bit-identical to the dense mode —
+    ``tests/test_sampling_stress.py::test_sharded_sample_matches_dense``)."""
     import numpy as np
     import pyarrow as pa
 
-    from asterixdb_analytics_ray.pipelines.sampling import graph_sample_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedSample
 
     views = _graph(sf_dir)
     g = views["graph"]
-    selected, _rounds = graph_sample_dense(
-        views["undirected"], g.n_nodes, seeds=np.array([0]), target_fraction=0.3
+    runner = ShardedSample(n=g.n_nodes, P=_sharded_p(g.n_nodes))
+    selected, _rounds = runner.run(
+        views["undirected"], seeds=np.array([0]), target_fraction=0.3
     )
+    runner.shutdown()
     return pa.table({"v": np.flatnonzero(selected).astype(np.int64)})
 
 

@@ -80,19 +80,48 @@ def knn_brute_force(
             }
         )
 
-    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out_q, out_v, out_s = [], [], []
-    for qi in range(len(query_ids)):
-        sub = parts[parts["query_id"] == qi]
-        order = np.lexsort((sub["vec_id"].to_numpy(), -sub["sim"].to_numpy()))[:k]
-        out_q.extend([int(query_ids[qi])] * len(order))
-        out_v.extend(sub["vec_id"].to_numpy()[order])
-        out_s.extend(np.round(sub["sim"].to_numpy()[order], SIM_DECIMALS))
+    return _topk_merge(
+        embeddings.map_batches(partial, batch_format="pyarrow"), query_ids, k
+    )
+
+
+def _topk_merge(
+    parts: ray.data.Dataset, query_ids: np.ndarray, k: int
+) -> pa.Table:
+    """Distributed final top-k over per-block partial top-ks: one per-query
+    ``groupby().map_groups`` (shuffle bounded by k·nq·num_blocks rows — at
+    production block counts the driver pandas merge this replaces would be
+    the only O(num_blocks) driver surface in the kNN path); the driver
+    receives only the k·nq winners."""
+    import pandas as pd
+
+    qmap = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put(qmap)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": qm[g["query_id"].to_numpy()[order]],
+                "vec_id": g["vec_id"].to_numpy()[order],
+                "sim": np.round(g["sim"].to_numpy()[order], SIM_DECIMALS),
+            }
+        )
+
+    df = (
+        parts.groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(
+            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+        )
+    )
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+            "vec_id": pa.array(df["vec_id"].to_numpy(), pa.int64()),
+            "sim": pa.array(df["sim"].to_numpy(), pa.float64()),
         }
     )
 
@@ -345,18 +374,6 @@ def knn_ivf(
             }
         )
 
-    parts = sub.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out_q, out_v, out_s = [], [], []
-    for qi in range(len(query_ids)):
-        subp = parts[parts["query_id"] == qi]
-        order = np.lexsort((subp["vec_id"].to_numpy(), -subp["sim"].to_numpy()))[:k]
-        out_q.extend([int(query_ids[qi])] * len(order))
-        out_v.extend(subp["vec_id"].to_numpy()[order])
-        out_s.extend(np.round(subp["sim"].to_numpy()[order], SIM_DECIMALS))
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        }
+    return _topk_merge(
+        sub.map_batches(partial, batch_format="pyarrow"), query_ids, k
     )

@@ -43,8 +43,17 @@ def label_propagation_dense(
     n: int,
     rounds: int = 5,
     scatter_batch_size: int | None = 65536,
+    max_driver_rows: int = 50_000_000,
 ) -> np.ndarray:
-    """Dense-mode LP → label vector after ``rounds`` synchronous rounds."""
+    """Dense-mode LP → label vector after ``rounds`` synchronous rounds.
+
+    The driver-side combine holds O(unique (dst, label) pairs) rows per
+    round — O(E) when labels are near-distinct (round 1 always is).  Dense
+    mode is the documented small-graph path, so that budget is ENFORCED:
+    a round whose partials exceed ``max_driver_rows`` (~16 B/row) raises
+    instead of silently ballooning the driver; use ``ShardedLabelProp``
+    (the scale path, identical semantics) or ``label_propagation_dataset``
+    (all-shuffle combine) beyond it."""
     label = np.arange(n, dtype=np.int64)
     nn = np.int64(n)
     for _ in range(rounds):
@@ -60,9 +69,18 @@ def label_propagation_dense(
 
         # combine partial (dst,label) counts driver-side: rows ≤ unique pairs
         parts_k, parts_c = [], []
+        seen = 0
         for b in undirected_edges.map_batches(
             scatter, batch_format="pyarrow", batch_size=scatter_batch_size
         ).iter_batches(batch_format="pyarrow"):
+            seen += b.num_rows
+            if seen > max_driver_rows:
+                raise ValueError(
+                    f"dense LP driver combine exceeded max_driver_rows="
+                    f"{max_driver_rows} (unique (dst,label) partials); use "
+                    "ShardedLabelProp or label_propagation_dataset at this "
+                    "scale"
+                )
             parts_k.append(b["key"].to_numpy())
             parts_c.append(b["cnt"].to_numpy())
         if not parts_k:

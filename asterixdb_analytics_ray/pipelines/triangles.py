@@ -15,11 +15,16 @@ join shape:
       → LEFT SEMI hash join wedges ⨝ edges on (b, c)   (edge-existence test)
       → groupby(a).count()  =  per-vertex counts; global = sum
 
-Skew note: a vertex of degree d emits d²/2 wedges; the oriented (min→max)
-representation bounds d by the count of HIGHER-id neighbors, and wedge
-emission streams per group so hubs spill rather than OOM. (Degree-ordered
-orientation — ranking by degree instead of id — is the standard further
-mitigation; id-orientation is kept for exact reference parity.)
+Skew note: a vertex emits out-degree²/2 wedges, so orientation choice decides
+hub cost.  Edges are oriented by DEGREE rank, (degree, id) ascending — the
+standard mitigation: every vertex's out-degree is bounded by its number of
+HIGHER-degree neighbors (≤ O(√E)), so a d-degree hub whose neighbors are
+leaves emits ZERO wedges instead of d²/2 (a 100k-degree hub: 5·10⁹ wedges
+under id-orientation; see ``tests/test_skew.py``).  Each triangle is found
+once, at its min-RANK vertex, then attributed back to its min-ID vertex —
+so per-vertex counts and the global total are IDENTICAL to the reference's
+id-oriented semantics (``TriangleCountingVertex.java:51-97``), verified by
+the same SQL oracle.
 """
 
 from __future__ import annotations
@@ -48,6 +53,43 @@ def triangle_count(
     # data-proportional partitioning (measured 9.3s → 4.1s at 153k edges);
     # ``num_partitions`` stays the large-graph ceiling — see blocks.py
     P = partitions_for(oriented_edges.count(), num_partitions)
+
+    # ---- degree-rank orientation (see module docstring) ----
+    # distributed degree count: per-block pre-combine, one small shuffle,
+    # O(n) driver state (two int64 vectors — same class as the outdeg
+    # arrays every PageRank run holds)
+    from ray.data.aggregate import Sum
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        v, c = np.unique(both, return_counts=True)
+        return pa.table({"v": v, "cnt": c.astype(np.int64)})
+
+    deg = np.zeros(n, dtype=np.int64)
+    deg_ds = (
+        oriented_edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    for b in deg_ds.iter_batches(batch_format="pyarrow"):
+        deg[b["v"].to_numpy()] = b["cnt"].to_numpy()
+    order = np.lexsort((np.arange(n), deg))  # ascending (degree, id)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    rank_ref = ray.put(rank)
+    inv_ref = ray.put(order)  # rank → original id
+
+    def relabel(t: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        s = r[t["src"].to_numpy()]
+        d = r[t["dst"].to_numpy()]
+        return pa.table(
+            {"src": np.minimum(s, d), "dst": np.maximum(s, d)}
+        )
+
+    redges = oriented_edges.map_batches(
+        relabel, batch_format="pyarrow"
+    ).materialize()
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -88,20 +130,31 @@ def triangle_count(
         return pa.table({"a": s[run0], "b": d[run0 + i], "c": d[run0 + j]})
 
     wedge_ds = (
-        oriented_edges.map_batches(add_part, batch_format="pyarrow")
+        redges.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(wedges_vec, batch_format="pyarrow")
     )
     closed = safe_join(
         wedge_ds,
-        oriented_edges,
+        redges,
         "left_semi",
         P,
         on=("b", "c"),
         right_on=("src", "dst"),
     )
+
+    def attribute(t: pa.Table) -> pa.Table:
+        """Rank-space triple → the triangle's min ORIGINAL id (reference
+        attribution: each triangle counted at its minimum vertex)."""
+        inv = ray.get(inv_ref)
+        a = inv[t["a"].to_numpy()]
+        b = inv[t["b"].to_numpy()]
+        c = inv[t["c"].to_numpy()]
+        return pa.table({"a": np.minimum(np.minimum(a, b), c)})
+
     per_vertex = (
-        closed.groupby("a")
+        closed.map_batches(attribute, batch_format="pyarrow")
+        .groupby("a")
         .count()
         .map_batches(
             lambda t: pa.table(

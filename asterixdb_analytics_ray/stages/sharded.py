@@ -1439,6 +1439,7 @@ class ShardedReachability:
     P: int
     source: int = 0
     dest: int = 0
+    algorithm: str = "reach_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, directed_edges: ray.data.Dataset) -> None:
@@ -1483,6 +1484,36 @@ class ShardedReachability:
         self,
         directed_edges: ray.data.Dataset | None = None,
         max_supersteps: int = 10_000,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
+        max_retries: int = 0,
+        post_superstep=None,
+    ) -> tuple[bool, BSPResult]:
+        """Shares the checkpoint/lineage/retry plumbing with the other
+        sharded runners (``ShardedPageRank.checkpoint/resume_refs``): bit
+        shards snapshot per superstep, a failed attempt reloads the newest
+        checkpoint and resumes automatically."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    directed_edges, max_supersteps, checkpoint_dir,
+                    checkpoint_every, resume or attempts > 0, post_superstep,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self,
+        directed_edges,
+        max_supersteps,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        post_superstep,
     ) -> tuple[bool, BSPResult]:
         P = self.P
         shard_size = (self.n + P - 1) // P
@@ -1491,15 +1522,24 @@ class ShardedReachability:
         if self._preps is None:
             self.prepare(directed_edges)
         preps = self._preps
-        shards = [np.zeros(shard_size, dtype=np.int64) for _ in range(P)]
-        shards[self.source % P][self.source // P] |= 1
-        shards[self.dest % P][self.dest // P] |= 2
-        shard_refs = [ray.put(s) for s in shards]
+        rounds: list[RoundMetrics] = []
+        superstep = 1
+        shard_refs: list | None = None
         live = tuple(
             q in (self.source % P, self.dest % P) for q in range(P)
         )
-        rounds: list[RoundMetrics] = []
-        superstep = 1
+        if resume and checkpoint_dir:
+            resumed = ShardedPageRank.resume_refs(self, checkpoint_dir)
+            if resumed is not None:
+                superstep, shard_refs = resumed
+                # one full-relaxation round after resume (exact: bit-OR is
+                # monotone, re-sent bits are already folded in)
+                live = tuple(True for _ in range(P))
+        if shard_refs is None:
+            shards = [np.zeros(shard_size, dtype=np.int64) for _ in range(P)]
+            shards[self.source % P][self.source // P] |= 1
+            shards[self.dest % P][self.dest // P] |= 2
+            shard_refs = [ray.put(s) for s in shards]
         found = False
         while superstep <= max_supersteps and not found:
             t0 = time.perf_counter()
@@ -1524,6 +1564,188 @@ class ShardedReachability:
                     time.perf_counter() - t0,
                 )
             )
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and superstep % checkpoint_every == 0
+            ):
+                ShardedPageRank.checkpoint(
+                    self, checkpoint_dir, superstep, shard_refs,
+                    {"changed": changed, "found": found},
+                )
+            if post_superstep is not None:
+                post_superstep(rounds[-1])
             if changed == 0:
                 break
         return found, BSPResult(state={}, rounds=rounds, n=self.n)
+
+
+# ---------------------------------------------------------------------------
+# Sharded graph sampling — frontier masks over the same layout
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_returns=2)
+def _sample_scatter_task(
+    prep: dict, p: int, P: int, live: tuple, selected, *frontiers
+):
+    """Partition p's newly-reached mask: ANY frontier neighbor (bit-max over
+    the static dst segments), minus already-selected vertices.  ``live``
+    skips source shards whose frontier emptied — the GraphSampleVertex
+    scatter at shard granularity (reference
+    ``pregelix-example/.../GraphSampleVertex.java``)."""
+    bounds = prep["bounds"]
+    sdiv = prep["sdiv"]
+    seg_rel = prep["seg_rel"]
+    seg_dst = prep["seg_dst"]
+    seg_bounds = prep["seg_bounds"]
+    newly = np.zeros(len(selected), dtype=np.uint8)
+    for q in range(P):
+        s, e = bounds[q], bounds[q + 1]
+        if s >= e or not live[q]:
+            continue
+        b0, b1 = seg_bounds[q], seg_bounds[q + 1]
+        cand = frontiers[q][sdiv[s:e]]
+        segmax = np.maximum.reduceat(cand, seg_rel[b0:b1])
+        newly[seg_dst[b0:b1]] |= segmax
+    newly[selected > 0] = 0
+    return newly, int(newly.sum())
+
+
+@ray.remote
+def _sample_count_below(newly: np.ndarray, p: int, P: int, T: int) -> int:
+    """#newly vertices in this shard with GLOBAL id < T (slot i ↔ id i·P+p;
+    slots ascend, so ids ascend — one searchsorted)."""
+    idx = np.flatnonzero(newly)
+    return int(np.searchsorted(idx * P + p, T, side="left"))
+
+
+@ray.remote(num_returns=3)
+def _sample_apply(selected, newly, p: int, P: int, T):
+    """Fold the (possibly quota-truncated) newly mask into selected; the
+    truncated mask is the next frontier.  ``T`` is the global-id threshold
+    from the driver's binary search (None = no truncation)."""
+    if T is not None:
+        idx = np.flatnonzero(newly)
+        keep = idx[idx * P + p < T]
+        newly = np.zeros_like(newly)
+        newly[keep] = 1
+    return selected | newly, newly, int(newly.sum())
+
+
+@dataclass
+class ShardedSample:
+    """Seeded-BFS graph sampling over the sharded layout — the scale path
+    for ``pipelines.sampling.graph_sample_dense`` (bit-identical semantics:
+    per round newly-reached = frontier neighbors − selected, truncated to
+    the remaining quota by ascending GLOBAL vertex id).  The dense runner's
+    driver-held O(n) frontier mask is replaced by per-shard uint8 masks in
+    the object store; quota truncation finds the exact global-id threshold
+    with a distributed binary search (O(log n) waves of counting tasks,
+    only in the round that overshoots), so the driver holds counts, never
+    vertex lists.  Fill rate per round is the reference's global aggregator
+    (``GraphSampleVertex`` + per-iteration aggregate)."""
+
+    n: int
+    P: int
+    _preps: dict | None = field(default=None, repr=False)
+
+    def prepare(self, undirected_edges: ray.data.Dataset) -> None:
+        shard_size = (self.n + self.P - 1) // self.P
+        part_refs = _resolve_partitioned(undirected_edges, "dst", self.P)
+        self._preps = {
+            p: _prep_block_min.remote(block, self.P, shard_size)
+            for p, block in part_refs.items()
+        }
+        if self._preps:
+            ray.wait(list(self._preps.values()), num_returns=len(self._preps))
+
+    def shutdown(self) -> None:
+        self._preps = None
+
+    def run(
+        self,
+        undirected_edges: ray.data.Dataset | None = None,
+        seeds: np.ndarray | None = None,
+        target_fraction: float = 0.5,
+        max_rounds: int = 10_000,
+    ) -> tuple[np.ndarray, int]:
+        """→ (selected mask over all n vertices, rounds used)."""
+        P = self.P
+        shard_size = (self.n + P - 1) // P
+        if self._preps is None:
+            self.prepare(undirected_edges)
+        preps = self._preps
+        quota = int(np.ceil(target_fraction * self.n))
+        sel = [np.zeros(shard_size, dtype=np.uint8) for _ in range(P)]
+        for v in np.asarray(seeds, dtype=np.int64):
+            sel[v % P][v // P] = 1
+        sel_refs = [ray.put(s) for s in sel]
+        front_refs = list(sel_refs)
+        n_selected = int(len(np.unique(np.asarray(seeds))))
+        live = tuple(
+            bool((np.asarray(seeds) % P == q).any()) for q in range(P)
+        )
+        rounds = 0
+        while n_selected < quota and any(live) and rounds < max_rounds:
+            rounds += 1
+            newly_refs, cnt_refs = {}, {}
+            for p in range(P):
+                prep = preps.get(p)
+                if prep is None:
+                    continue
+                nref, cref = _sample_scatter_task.remote(
+                    prep, p, P, live, sel_refs[p], *front_refs
+                )
+                newly_refs[p] = nref
+                cnt_refs[p] = cref
+            counts = dict(zip(cnt_refs, ray.get(list(cnt_refs.values()))))
+            total_new = sum(counts.values())
+            remaining = quota - n_selected
+            T = None
+            if total_new > remaining:
+                # exact global-id threshold: minimal T with
+                # Σ_p |newly_p ∩ [0, T)| == remaining (ids unique → the
+                # count step function hits `remaining` exactly)
+                lo, hi = 1, self.n
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    c = sum(
+                        ray.get(
+                            [
+                                _sample_count_below.remote(r, p, P, mid)
+                                for p, r in newly_refs.items()
+                            ]
+                        )
+                    )
+                    if c < remaining:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                T = lo
+            new_sel = list(sel_refs)
+            new_front = [ray.put(np.zeros(shard_size, dtype=np.uint8))] * 0
+            new_front = list(front_refs)
+            front_counts = {}
+            zero = None
+            for p in range(P):
+                if p in newly_refs:
+                    sref, fref, fcref = _sample_apply.remote(
+                        sel_refs[p], newly_refs[p], p, P, T
+                    )
+                    new_sel[p] = sref
+                    new_front[p] = fref
+                    front_counts[p] = fcref
+                else:
+                    if zero is None:
+                        zero = ray.put(np.zeros(shard_size, dtype=np.uint8))
+                    new_front[p] = zero
+            sel_refs, front_refs = new_sel, new_front
+            fc = dict(zip(front_counts, ray.get(list(front_counts.values()))))
+            live = tuple(fc.get(q, 0) > 0 for q in range(P))
+            n_selected += min(total_new, remaining)
+        mask = np.zeros(shard_size * P, dtype=bool)
+        for p in range(P):
+            sh = ray.get(sel_refs[p])
+            mask[p::P][: len(sh)] = sh > 0
+        return mask[: self.n], rounds

@@ -307,3 +307,22 @@ def test_lp_arithmetic_packing_overflow_raises(ray_session):
         ray.get(
             sh._labelprop_task.remote(prep, 0, 1, 2**62, False, *shards)[0]
         )
+
+
+def test_dense_lp_driver_budget_enforced(ray_session):
+    """Dense LP bounds its driver-side combine: a round whose (dst,label)
+    partials exceed the budget raises (pointing at the scale paths) instead
+    of ballooning the driver — round 1's all-distinct labels make partial
+    rows O(E), the worst case."""
+    from asterixdb_analytics_ray.sources.micrographs import as_dataset
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 200, 3000).astype(np.int64)
+    dst = rng.integers(0, 200, 3000).astype(np.int64)
+    ds = as_dataset(src, dst)
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        label_propagation_dense(ds, 200, rounds=2, max_driver_rows=100)
+    # generous budget: unchanged result
+    a = label_propagation_dense(ds, 200, rounds=2)
+    b = label_propagation_dense(ds, 200, rounds=2, max_driver_rows=10**7)
+    np.testing.assert_array_equal(a, b)

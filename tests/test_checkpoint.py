@@ -356,3 +356,30 @@ def test_sharded_actor_fleet_recovery(tmp_path, webmap_ds, ray_session):
     np.testing.assert_allclose(
         res.state["rank"], full.state["rank"], atol=1e-15
     )
+
+
+def test_sharded_reachability_checkpoint_resume(tmp_path, webmap_ds, ray_session):
+    """Reachability shares the checkpoint/lineage plumbing: a post-superstep
+    fault after a checkpoint recovers automatically and the resumed run
+    reports the same verdict as the clean run."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedReachability
+
+    ds, _outdeg, n = webmap_ds
+    clean_found, clean = ShardedReachability(n=n, P=4, source=0, dest=15).run(ds)
+
+    fired = {"n": 0}
+
+    def boom(metrics):
+        if metrics.superstep == 4 and fired["n"] == 0:
+            fired["n"] += 1
+            raise RuntimeError("injected failure")
+
+    r = ShardedReachability(n=n, P=4, source=0, dest=15)
+    found, res = r.run(
+        ds, checkpoint_dir=str(tmp_path / "reach"), checkpoint_every=2,
+        max_retries=3, post_superstep=boom,
+    )
+    assert fired["n"] == 1
+    assert found == clean_found
+    # resumed run starts past the checkpointed superstep
+    assert res.rounds[0].superstep >= 4

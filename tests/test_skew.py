@@ -95,3 +95,33 @@ def test_salted_aggregate_hot_key(ray_session):
     )
     assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
     np.testing.assert_allclose(got["msg"].to_numpy(), want["msg"].to_numpy(), rtol=1e-12)
+
+
+def test_triangle_count_hub_skew(ray_session):
+    """A 100k-degree hub with MINIMUM id — the id-orientation worst case
+    (C(100k,2) ≈ 5·10⁹ wedges) — must complete fast under degree-rank
+    orientation (the hub ranks LAST, its leaves have out-degree ≤ 1, wedge
+    count collapses to the closing triangles only), with per-vertex counts
+    still attributed at the min id (reference SkewTest analog: the 4146-
+    degree hub in ``pregelix-example/.../SkewTest.java:40-66``)."""
+    import time
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.triangles import triangle_count
+    from asterixdb_analytics_ray.sources.micrographs import as_dataset
+
+    hub_deg = 100_000
+    n = hub_deg + 1
+    # star: hub 0 — leaves 1..100k; plus one leaf-leaf edge closing ONE
+    # triangle (0, 1, 2)
+    src = np.concatenate([np.zeros(hub_deg, dtype=np.int64), [1]])
+    dst = np.concatenate([np.arange(1, n, dtype=np.int64), [2]])
+    ds = as_dataset(src, dst)
+    t0 = time.perf_counter()
+    per_vertex, total = triangle_count(ds, n)
+    wall = time.perf_counter() - t0
+    assert total == 1
+    pv = per_vertex.to_pandas()
+    assert pv.set_index("v")["triangles"].to_dict() == {0: 1}  # min-id attribution
+    assert wall < 60, f"hub wedge blowup: {wall:.1f}s"
