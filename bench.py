@@ -240,6 +240,33 @@ def run_bench() -> dict:
         _, total_tri = triangle_count(oriented, g.n_nodes)
         q["triangle_count"] = time.perf_counter() - t0
 
+    if _want("graph_sample") and undirected is not None:
+        import numpy as _np3
+
+        from asterixdb_analytics_ray.stages.sharded import ShardedSample
+
+        t0 = time.perf_counter()
+        ShardedSample(n=g.n_nodes, P=P_sh).run(
+            undirected, seeds=_np3.array([0]), target_fraction=0.3
+        )
+        q["graph_sample"] = time.perf_counter() - t0
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(docs_path) and BENCH_GRAPH != "conv_share":
+        import ray.data as _rd
+
+        from asterixdb_analytics_ray.pipelines import textops as _T
+
+        docs = _rd.read_parquet(docs_path).materialize()
+        if _want("doc_exact_dedup"):
+            t0 = time.perf_counter()
+            _T.exact_dedup(docs).materialize()
+            q["doc_exact_dedup"] = time.perf_counter() - t0
+        if _want("doc_minhash_dups"):
+            t0 = time.perf_counter()
+            _T.minhash_lsh_pairs(docs, threshold=0.5).materialize()
+            q["doc_minhash_dups"] = time.perf_counter() - t0
+
     value = q["pagerank"]
     return {
         "metric": "pagerank_convergence_sec",
