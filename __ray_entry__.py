@@ -564,7 +564,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dups": _q_doc_simhash_dups,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
-        # no SQL oracle (iterative ML); numpy oracle in test_embeddings_imru
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "media_features": _q_media_features,
     }
@@ -603,4 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),
+        "emb_kmeans_cells": so.kmeans_cells_sql(
+            os.path.join(_SF_ORACLE, "embeddings.parquet")
+        ),
     }

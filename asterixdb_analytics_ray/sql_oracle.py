@@ -749,3 +749,95 @@ def max_clique_sql(p: str, max_k: int = 12) -> str:
         )
     parts.append("\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+def kmeans_cells_sql(
+    emb_path: str,
+    n_clusters: int = 8,
+    iters: int = 10,
+    seed: int = 3,
+    tol: float = 1e-6,
+) -> str:
+    """IVF coarse k-means assignment recomputed independently: the engine's
+    IMRU Lloyd's loop (``imru.KMeansJob`` — euclidean argmin with
+    lowest-index tie-break, per-cluster means, empty cells keep their
+    centroid, STOP when max |new − old| < tol) unrolled as SQL iterations
+    with a sticky converged flag, then the final cosine argmax assignment
+    over normalized centroids (``embeddings.train_kmeans_centroids`` /
+    ``_q_emb_kmeans_cells``).  The ONLY inputs taken from the engine's
+    formulation are the seed-derived init row ids (which rows of the first
+    64 the rng picked — identification, not computation); every distance,
+    mean and assignment is DuckDB's own arithmetic.  Output (vec_id, cell)
+    is integer, so the comparison is exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    first = pq.read_table(emb_path, columns=["vec_id"])["vec_id"].to_numpy()
+    pool = first[: max(n_clusters * 8, 64)]
+    rng = np.random.default_rng(seed)
+    init_ids = pool[rng.choice(len(pool), size=n_clusters, replace=False)]
+    init_vals = ", ".join(
+        f"({cpos}, {int(vid)})" for cpos, vid in enumerate(init_ids)
+    )
+    parts = [
+        f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM emb
+),
+initmap(cpos, vid) AS (VALUES {init_vals}),
+c0 AS MATERIALIZED (
+  SELECT m.cpos, el.i, el.x AS v FROM initmap m JOIN el ON el.vec_id = m.vid
+),
+s0 AS MATERIALIZED (SELECT FALSE AS stopped)
+"""
+    ]
+    for t in range(1, iters + 1):
+        p, c = t - 1, t
+        parts.append(
+            f""", d{c} AS MATERIALIZED (
+  SELECT el.vec_id, cc.cpos, sum((el.x - cc.v) * (el.x - cc.v)) AS d2
+  FROM el JOIN c{p} cc USING (i) GROUP BY el.vec_id, cc.cpos),
+a{c} AS MATERIALIZED (
+  SELECT vec_id, cpos FROM (
+    SELECT vec_id, cpos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cpos ASC) AS rn
+    FROM d{c}) WHERE rn = 1),
+n{c} AS MATERIALIZED (
+  SELECT cc.cpos, cc.i, coalesce(m.v, cc.v) AS v
+  FROM c{p} cc LEFT JOIN (
+    SELECT a.cpos, el.i, avg(el.x) AS v
+    FROM a{c} a JOIN el USING (vec_id) GROUP BY a.cpos, el.i
+  ) m ON m.cpos = cc.cpos AND m.i = cc.i),
+s{c} AS MATERIALIZED (
+  SELECT (SELECT stopped FROM s{p}) OR
+         (SELECT max(abs(n.v - o.v)) FROM n{c} n
+          JOIN c{p} o ON o.cpos = n.cpos AND o.i = n.i) < {tol} AS stopped),
+c{c} AS MATERIALIZED (
+  SELECT o.cpos, o.i,
+         CASE WHEN (SELECT stopped FROM s{p}) THEN o.v ELSE n.v END AS v
+  FROM c{p} o JOIN n{c} n ON n.cpos = o.cpos AND n.i = o.i)
+"""
+        )
+    parts.append(
+        f""", cnrm AS MATERIALIZED (
+  SELECT cpos, CASE WHEN sqrt(sum(v * v)) > 0 THEN sqrt(sum(v * v)) ELSE 1 END AS nrm
+  FROM c{iters} GROUP BY cpos),
+cn AS MATERIALIZED (
+  SELECT c.cpos, c.i, c.v / cnrm.nrm AS v FROM c{iters} c JOIN cnrm USING (cpos)),
+pnrm AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN sqrt(sum(x * x)) > 0 THEN sqrt(sum(x * x)) ELSE 1 END AS nrm
+  FROM el GROUP BY vec_id),
+sims AS MATERIALIZED (
+  SELECT el.vec_id, cn.cpos, sum((el.x / pnrm.nrm) * cn.v) AS sim
+  FROM el JOIN pnrm USING (vec_id) JOIN cn USING (i)
+  GROUP BY el.vec_id, cn.cpos)
+SELECT vec_id, CAST(cpos AS BIGINT) AS cell FROM (
+  SELECT vec_id, cpos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cpos ASC) AS rn
+  FROM sims) WHERE rn = 1
+"""
+    )
+    return "".join(parts)

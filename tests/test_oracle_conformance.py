@@ -2,6 +2,7 @@
 ``__ray_entry__.queries()`` entry and its DuckDB oracle SQL side-by-side,
 compare row count, column names, and order-insensitive values."""
 
+import os
 import sys
 
 import duckdb
@@ -86,6 +87,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
         ),
+        "emb_kmeans_cells": lambda: so.kmeans_cells_sql(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ),
     }
     if name in view_based:
         return view_based[name]()
@@ -131,20 +135,8 @@ QUERY_NAMES = [
     "max_clique",
     "graph_sample",
     "media_features",
-]
-
-ROWS_ONLY = [
-    # numpy k-means oracle lives in test_embeddings_imru.py (iterative ML —
-    # the one query left without a SQL formulation)
     "emb_kmeans_cells",
 ]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(entrymod, name):
-    got = _to_pandas(entrymod.queries()[name](SF_DIR))
-    assert got is not None
-    assert name in ("doc_minhash_dups", "doc_ngram_jaccard") or len(got) > 0
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
