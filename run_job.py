@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
             "sssp",
             "sssp_sharded",
             "reachability",
+            "graph_sample",
         ],
     )
     ap.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
@@ -58,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-retries", type=int, default=0,
                     help="automatic reload-from-checkpoint retries on failure")
     ap.add_argument("--rounds", type=int, default=5, help="LP rounds")
+    ap.add_argument("--target-fraction", type=float, default=0.3,
+                    help="graph_sample fill-rate quota")
     ap.add_argument("--source", type=int, default=0, help="SSSP/reachability source vertex")
     ap.add_argument("--target", type=int, default=None, help="reachability target vertex (default: max id)")
     args = ap.parse_args(argv)
@@ -235,6 +238,23 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
         summary["rounds"] = len(res.rounds)
+    elif args.algorithm == "graph_sample":
+        from asterixdb_analytics_ray.graph import undirected_from_oriented
+        from asterixdb_analytics_ray.stages.sharded import ShardedSample
+
+        und = undirected_from_oriented(g.oriented().materialize()).materialize()
+        selected, sample_rounds = ShardedSample(
+            n=g.n_nodes, P=args.partitions
+        ).run(
+            und,
+            seeds=np.array([args.source]),
+            target_fraction=args.target_fraction,
+        )
+        result_table = pa.table(
+            {"v": np.flatnonzero(selected).astype(np.int64)}
+        )
+        summary["rounds"] = sample_rounds
+        summary["fill_rate"] = round(float(selected.sum()) / g.n_nodes, 6)
     run_sec = time.perf_counter() - t0
 
     if args.output and result_table is not None:
