@@ -157,15 +157,75 @@ def largest_cliques(
     num_partitions: int = 32,
 ) -> pa.Table:
     """The reference aggregator's deliverable: all maximum cliques, as a tiny
-    sorted table (size, members). Exact (see module docstring)."""
-    cl = maximal_cliques(oriented_edges, num_partitions).materialize()
+    sorted table (size, members). Exact (see module docstring).
+
+    Runs the decomposition in DEGREE-RANK space (same mitigation as
+    ``triangles.py``): edges are relabeled by ascending (degree, id), so a
+    hub's higher-rank neighborhood — the induced subgraph one ``map_groups``
+    task receives — is bounded by its higher-DEGREE neighbors (≤ O(√E))
+    instead of its full O(d²) higher-id neighborhood.  Exact for MAXIMUM
+    cliques: a maximum clique is maximal within every induced suffix
+    subgraph and is discovered intact at its min-rank member; members map
+    back to original ids before aggregation.  ``maximal_cliques`` itself
+    keeps the reference's id-order per-vertex contract (cliques at their
+    min-ID vertex) for callers that need it."""
+    import ray
+
+    # degree rank over the oriented edge set (streamed, O(V) driver state)
+    from ray.data.aggregate import Sum
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        v, c = np.unique(both, return_counts=True)
+        return pa.table({"v": v, "cnt": c.astype(np.int64)})
+
+    vs, cs = [], []
+    for b in (
+        oriented_edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        vs.append(b["v"].to_numpy())
+        cs.append(b["cnt"].to_numpy())
+    if not vs:
+        return pa.table(
+            {
+                "size": pa.array([], pa.int64()),
+                "members": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    v_all = np.concatenate(vs)
+    d_all = np.concatenate(cs)
+    n = int(v_all.max()) + 1
+    deg = np.zeros(n, dtype=np.int64)
+    deg[v_all] = d_all
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    rref, iref = ray.put(rank), ray.put(order)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        s = r[t["src"].to_numpy()]
+        d = r[t["dst"].to_numpy()]
+        return pa.table({"src": np.minimum(s, d), "dst": np.maximum(s, d)})
+
+    redges = oriented_edges.map_batches(
+        relabel, batch_format="pyarrow"
+    ).materialize()
+    inv = order
+
+    cl = maximal_cliques(redges, num_partitions).materialize()
     max_size = cl.max("size")
     if max_size is None:
         return pa.table(
             {"size": pa.array([], pa.int64()), "members": pa.array([], pa.list_(pa.int64()))}
         )
     rows = cl.filter(expr=f"size == {int(max_size)}").take_all()
-    members = sorted([list(map(int, r["members"])) for r in rows])
+    members = sorted(
+        sorted(int(inv[m]) for m in r["members"]) for r in rows
+    )
     return pa.table(
         {
             "size": pa.array([int(max_size)] * len(members), pa.int64()),

@@ -125,3 +125,29 @@ def test_triangle_count_hub_skew(ray_session):
     pv = per_vertex.to_pandas()
     assert pv.set_index("v")["triangles"].to_dict() == {0: 1}  # min-id attribution
     assert wall < 60, f"hub wedge blowup: {wall:.1f}s"
+
+
+def test_largest_cliques_hub_skew(ray_session):
+    """largest_cliques under a min-id 20k-degree star hub: degree-rank
+    decomposition keeps the hub's task-local induced subgraph tiny (its
+    higher-rank neighborhood is empty) where the id-oriented decomposition
+    would ship the full O(d²) neighborhood to one task."""
+    import time
+
+    from asterixdb_analytics_ray.pipelines.maxclique import largest_cliques
+    from asterixdb_analytics_ray.sources.micrographs import as_dataset
+
+    hub_deg = 20_000
+    n = hub_deg + 1
+    src = np.concatenate([np.zeros(hub_deg, dtype=np.int64), [1, 1, 2]])
+    dst = np.concatenate([np.arange(1, n, dtype=np.int64), [2, 3, 3]])
+    # unique oriented pairs
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    ds = as_dataset(pairs[:, 0], pairs[:, 1])
+    t0 = time.perf_counter()
+    out = largest_cliques(ds)
+    wall = time.perf_counter() - t0
+    # maximum clique: {0,1,2,3}? 0-1,0-2,0-3 (star), 1-2,1-3,2-3 -> 4-clique
+    assert out["size"][0].as_py() == 4
+    assert out["members"][0].as_py() == [0, 1, 2, 3]
+    assert wall < 60, f"hub blowup: {wall:.1f}s"
