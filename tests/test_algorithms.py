@@ -326,3 +326,35 @@ def test_dense_lp_driver_budget_enforced(ray_session):
     a = label_propagation_dense(ds, 200, rounds=2)
     b = label_propagation_dense(ds, 200, rounds=2, max_driver_rows=10**7)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_lp_sharded_randomized_parity_sweep(seed, ray_session):
+    """Randomized guard for the arena LP kernel: sharded LP vs the
+    independent numpy oracle across random graph shapes, sizes, P values
+    and both kernel paths (simple-graph sort-free round 1 vs generic)."""
+    from asterixdb_analytics_ray.sources.micrographs import as_dataset
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 300))
+    m = int(rng.integers(n, 6 * n))
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # simple undirected edge set (both directions, deduped)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    s = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    d = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    rounds = int(rng.integers(1, 6))
+    P = int(rng.choice([2, 3, 5, 8]))
+    want = label_propagation_numpy(pairs[:, 0], pairs[:, 1], n, rounds=rounds)
+    got = ShardedLabelProp(n=n, P=P).run(as_dataset(s, d), rounds=rounds)
+    np.testing.assert_array_equal(got, want)
+    got_gen = ShardedLabelProp(n=n, P=P, assume_simple=False).run(
+        as_dataset(s, d), rounds=rounds
+    )
+    np.testing.assert_array_equal(got_gen, want)
