@@ -932,7 +932,12 @@ def _lp_arena(n_edges: int, gather_dtype) -> dict:
     mask).  Ray reuses worker processes across tasks and rounds, so these
     pages are faulted once per worker (≤ one arena per CPU), not once per
     task per round; which partition's task lands here doesn't matter, the
-    buffers are content-free scratch sized grow-only."""
+    buffers are content-free scratch sized grow-only.
+
+    Memory bound: ~13 B × (edges of the largest partition) per worker
+    process.  At cluster scale, size P so E/P stays within the per-worker
+    heap budget (the same constraint that already bounds the kernel's
+    per-task temporaries — P grows with the cluster, E/P stays put)."""
     _malloc_recycle()
     a = _LP_ARENA
     if a.get("cap", -1) < n_edges:
