@@ -381,6 +381,15 @@ def minhash_lsh_pairs(
     collision-only crowds lose cross-chunk candidates (logged; every
     surviving pair is still exact-verified).  Buckets ≤ ``max_bucket`` are
     exact, so sane corpora (like the driver's) are unaffected.
+
+    Scale note: the cap bounds pair EMISSION; the bucket's rows (24 B each)
+    still ship to one ``map_groups`` task, so a bucket of 10M docs ingests
+    ~240 MB — survivable, but a corpus where millions of documents share a
+    band hash is mass-duplicated and should run ``exact_dedup`` FIRST
+    (standard pipeline order: near-dup detection assumes exact dups are
+    already collapsed; identical docs are indistinguishable to ANY
+    signature-based split, so no partitioning can separate them without
+    dropping true pairs).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)

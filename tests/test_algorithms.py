@@ -180,6 +180,17 @@ def test_multi_job_chaining_shared_bulk_load(ray_session):
         cc.state["label"], connected_components_dense(und, n).state["label"]
     )
     np.testing.assert_array_equal(lp, label_propagation_dense(und, n, rounds=5))
+    # the new sampler chains over the same bulk load too
+    from asterixdb_analytics_ray.pipelines.sampling import graph_sample_dense
+    from asterixdb_analytics_ray.stages.sharded import ShardedSample
+
+    sel, _ = ShardedSample(n=n, P=4).run(
+        loaded, seeds=np.array([0]), target_fraction=0.5
+    )
+    dense_sel, _ = graph_sample_dense(
+        und, n, seeds=np.array([0]), target_fraction=0.5
+    )
+    np.testing.assert_array_equal(sel, dense_sel)
     with pytest.raises(ValueError, match="incompatible"):
         ShardedMinLabel(n=n, P=8).run(loaded)  # wrong partition count
 
