@@ -1638,6 +1638,22 @@ def _sample_apply(selected, newly, p: int, P: int, T):
     return selected | newly, newly, int(newly.sum())
 
 
+@ray.remote
+def _pack_bits(sel: np.ndarray, front: np.ndarray) -> np.ndarray:
+    """(selected, frontier) uint8 masks → one bit-packed checkpoint shard."""
+    return (sel | (front << 1)).astype(np.uint8)
+
+
+@ray.remote
+def _unpack_bit(packed: np.ndarray, bit: int) -> np.ndarray:
+    return ((packed >> bit) & 1).astype(np.uint8)
+
+
+@ray.remote
+def _mask_count(m: np.ndarray) -> int:
+    return int(m.sum())
+
+
 @dataclass
 class ShardedSample:
     """Seeded-BFS graph sampling over the sharded layout — the scale path
@@ -1653,6 +1669,7 @@ class ShardedSample:
 
     n: int
     P: int
+    algorithm: str = "sample_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
 
     def prepare(self, undirected_edges: ray.data.Dataset) -> None:
@@ -1674,24 +1691,73 @@ class ShardedSample:
         seeds: np.ndarray | None = None,
         target_fraction: float = 0.5,
         max_rounds: int = 10_000,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
+        max_retries: int = 0,
+        post_round=None,
     ) -> tuple[np.ndarray, int]:
-        """→ (selected mask over all n vertices, rounds used)."""
+        """→ (selected mask over all n vertices, rounds used).
+
+        Checkpoint/resume shares the common plumbing: per-round snapshots
+        pack (selected, frontier) into one uint8 bit shard (bit0 selected,
+        bit1 frontier) — round boundaries are exact resume points because
+        quota truncation is resolved WITHIN a round."""
+        attempts = 0
+        while True:
+            try:
+                return self._run_once(
+                    undirected_edges, seeds, target_fraction, max_rounds,
+                    checkpoint_dir, checkpoint_every,
+                    resume or attempts > 0, post_round,
+                )
+            except Exception:
+                if attempts >= max_retries or not checkpoint_dir:
+                    raise
+                attempts += 1
+
+    def _run_once(
+        self,
+        undirected_edges,
+        seeds,
+        target_fraction,
+        max_rounds,
+        checkpoint_dir,
+        checkpoint_every,
+        resume,
+        post_round,
+    ) -> tuple[np.ndarray, int]:
         P = self.P
         shard_size = (self.n + P - 1) // P
         if self._preps is None:
             self.prepare(undirected_edges)
         preps = self._preps
         quota = int(np.ceil(target_fraction * self.n))
-        sel = [np.zeros(shard_size, dtype=np.uint8) for _ in range(P)]
-        for v in np.asarray(seeds, dtype=np.int64):
-            sel[v % P][v // P] = 1
-        sel_refs = [ray.put(s) for s in sel]
-        front_refs = list(sel_refs)
-        n_selected = int(len(np.unique(np.asarray(seeds))))
-        live = tuple(
-            bool((np.asarray(seeds) % P == q).any()) for q in range(P)
-        )
+        sel_refs: list | None = None
         rounds = 0
+        if resume and checkpoint_dir:
+            resumed = ShardedPageRank.resume_refs(self, checkpoint_dir)
+            if resumed is not None:
+                step, packed = resumed
+                rounds = step
+                man = read_manifest(checkpoint_dir, step)
+                n_selected = int(man.metrics["n_selected"])
+                sel_refs = [_unpack_bit.remote(r, 0) for r in packed]
+                front_refs = [_unpack_bit.remote(r, 1) for r in packed]
+                fcounts = ray.get(
+                    [_mask_count.remote(r) for r in front_refs]
+                )
+                live = tuple(c > 0 for c in fcounts)
+        if sel_refs is None:
+            sel = [np.zeros(shard_size, dtype=np.uint8) for _ in range(P)]
+            for v in np.asarray(seeds, dtype=np.int64):
+                sel[v % P][v // P] = 1
+            sel_refs = [ray.put(s) for s in sel]
+            front_refs = list(sel_refs)
+            n_selected = int(len(np.unique(np.asarray(seeds))))
+            live = tuple(
+                bool((np.asarray(seeds) % P == q).any()) for q in range(P)
+            )
         while n_selected < quota and any(live) and rounds < max_rounds:
             rounds += 1
             newly_refs, cnt_refs = {}, {}
@@ -1749,6 +1815,21 @@ class ShardedSample:
             fc = dict(zip(front_counts, ray.get(list(front_counts.values()))))
             live = tuple(fc.get(q, 0) > 0 for q in range(P))
             n_selected += min(total_new, remaining)
+            if (
+                checkpoint_dir
+                and checkpoint_every
+                and rounds % checkpoint_every == 0
+            ):
+                packed = [
+                    _pack_bits.remote(sel_refs[p], front_refs[p])
+                    for p in range(P)
+                ]
+                ShardedPageRank.checkpoint(
+                    self, checkpoint_dir, rounds, packed,
+                    {"n_selected": n_selected, "quota": quota},
+                )
+            if post_round is not None:
+                post_round(rounds, n_selected)
         mask = np.zeros(shard_size * P, dtype=bool)
         for p in range(P):
             sh = ray.get(sel_refs[p])

@@ -383,3 +383,31 @@ def test_sharded_reachability_checkpoint_resume(tmp_path, webmap_ds, ray_session
     assert found == clean_found
     # resumed run starts past the checkpointed superstep
     assert res.rounds[0].superstep >= 4
+
+
+def test_sharded_sample_checkpoint_resume(tmp_path, webmap_ds, ray_session):
+    """ShardedSample kill/resume: a post-round fault after a checkpoint
+    recovers automatically and the resumed run's selected set is
+    bit-identical to the clean run (round boundaries are exact resume
+    points — quota truncation resolves within a round)."""
+    from asterixdb_analytics_ray.stages.sharded import ShardedSample
+
+    ds, _outdeg, n = webmap_ds
+    clean_sel, clean_rounds = ShardedSample(n=n, P=4).run(
+        ds, seeds=np.array([0]), target_fraction=0.9
+    )
+
+    fired = {"n": 0}
+
+    def boom(rounds, n_selected):
+        if rounds == 2 and fired["n"] == 0:
+            fired["n"] += 1
+            raise RuntimeError("injected failure")
+
+    sel, rounds = ShardedSample(n=n, P=4).run(
+        ds, seeds=np.array([0]), target_fraction=0.9,
+        checkpoint_dir=str(tmp_path / "smp"), checkpoint_every=1,
+        max_retries=3, post_round=boom,
+    )
+    assert fired["n"] == 1
+    np.testing.assert_array_equal(sel, clean_sel)
