@@ -249,6 +249,10 @@ def main(argv: list[str] | None = None) -> int:
             und,
             seeds=np.array([args.source]),
             target_fraction=args.target_fraction,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else None,
+            resume=args.resume,
+            max_retries=args.max_retries,
         )
         result_table = pa.table(
             {"v": np.flatnonzero(selected).astype(np.int64)}
