@@ -975,6 +975,36 @@ def _prep_block_lp(block: pa.Table, P: int, shard_size: int) -> dict:
 def _labelprop_task(
     prep: dict, p: int, P: int, stride: int, distinct: bool, *shards
 ):
+    """Stateless-task executor wrapper over ``_labelprop_kernel``."""
+    return _labelprop_kernel(prep, p, P, stride, distinct, shards)
+
+
+@ray.remote(num_cpus=0, max_restarts=-1)
+class _LPShardWorker:
+    """Stateful LP partition worker: the edge cache (and, transparently,
+    the per-process scratch arena) lives in worker memory across rounds —
+    on a multi-node cluster this avoids re-fetching the ~12 B/edge cache to
+    whichever node a stateless task lands on each round (same rationale as
+    ``_ShardWorker`` for PageRank; both executors ship)."""
+
+    def __init__(self, prep: dict, p: int, P: int):
+        self.prep = prep
+        self.p = p
+        self.P = P
+
+    def ready(self) -> int:
+        return self.p
+
+    @ray.method(num_returns=2)
+    def step(self, stride: int, distinct: bool, *shards):
+        return _labelprop_kernel(
+            self.prep, self.p, self.P, stride, distinct, shards
+        )
+
+
+def _labelprop_kernel(
+    prep: dict, p: int, P: int, stride: int, distinct: bool, shards: tuple
+):
     """One partition's histogram-argmax round: gather neighbor labels, count
     per (local dst, label), adopt the most frequent (min label on ties).
 
@@ -1112,8 +1142,10 @@ class ShardedLabelProp:
     n: int
     P: int
     assume_simple: bool = True
+    executor: str = "tasks"  # "tasks" (plasma-shared cache) | "actors"
     algorithm: str = "lp_sharded"  # checkpoint-manifest label
     _preps: dict | None = field(default=None, repr=False)
+    _workers: dict | None = field(default=None, repr=False)
 
     def prepare(self, edges: ray.data.Dataset) -> None:
         """``edges`` must be the UNDIRECTED (symmetrized) edge set, or a
@@ -1124,11 +1156,22 @@ class ShardedLabelProp:
             p: _prep_block_lp.remote(block, self.P, shard_size)
             for p, block in part_refs.items()
         }
-        if self._preps:
+        if self.executor == "actors":
+            self._workers = {
+                p: _LPShardWorker.remote(prep_ref, p, self.P)
+                for p, prep_ref in self._preps.items()
+            }
+            ray.get([w.ready.remote() for w in self._workers.values()])
+        elif self._preps:
             ray.wait(list(self._preps.values()), num_returns=len(self._preps))
 
     def shutdown(self) -> None:
-        """Release the per-partition edge caches (ClearState analog)."""
+        """Release the per-partition edge caches and any worker fleet
+        (ClearState analog)."""
+        if self._workers:
+            for w in self._workers.values():
+                ray.kill(w)
+        self._workers = None
         self._preps = None
 
     def run(
@@ -1155,6 +1198,10 @@ class ShardedLabelProp:
                 if attempts >= max_retries or not checkpoint_dir:
                     raise
                 attempts += 1
+                # a lost worker may have taken the actor fleet with it:
+                # rebuild from the input when we have it (see ShardedPageRank)
+                if edges is not None:
+                    self.shutdown()
 
     def _run_once(
         self, edges, rounds, checkpoint_dir, checkpoint_every, resume
@@ -1188,9 +1235,14 @@ class ShardedLabelProp:
             new_refs = list(shard_refs)
             distinct = self.assume_simple and r == 0
             for p, prep in preps.items():
-                new_refs[p], _ = _labelprop_task.remote(
-                    prep, p, P, stride, distinct, *shard_refs
-                )
+                if self._workers is not None:
+                    new_refs[p], _ = self._workers[p].step.remote(
+                        stride, distinct, *shard_refs
+                    )
+                else:
+                    new_refs[p], _ = _labelprop_task.remote(
+                        prep, p, P, stride, distinct, *shard_refs
+                    )
             shard_refs = new_refs
             if (
                 checkpoint_dir

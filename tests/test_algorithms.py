@@ -369,3 +369,27 @@ def test_lp_sharded_randomized_parity_sweep(seed, ray_session):
         as_dataset(s, d), rounds=rounds
     )
     np.testing.assert_array_equal(got_gen, want)
+
+
+def test_lp_sharded_actor_executor_parity(ray_session):
+    """LP actor executor (worker-resident edge cache, multi-node path)
+    equals the stateless-task executor bit-for-bit."""
+    from asterixdb_analytics_ray.sources.micrographs import as_dataset
+    from asterixdb_analytics_ray.stages.sharded import ShardedLabelProp
+
+    rng = np.random.default_rng(7)
+    n = 150
+    src = rng.integers(0, n, 800).astype(np.int64)
+    dst = rng.integers(0, n, 800).astype(np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    s = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    d = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    und = as_dataset(s, d)
+    tasks = ShardedLabelProp(n=n, P=4).run(und, rounds=4)
+    act_runner = ShardedLabelProp(n=n, P=4, executor="actors")
+    actors = act_runner.run(und, rounds=4)
+    act_runner.shutdown()
+    np.testing.assert_array_equal(tasks, actors)
