@@ -305,6 +305,40 @@ def _q_doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.4)
 
 
+def _q_events_windowed_counts(sf_dir: str):
+    """Tumbling-window per-type aggregate (1h windows) over events."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import windowed_counts
+
+    return windowed_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+    )
+
+
+def _q_events_asof_click(sf_dir: str):
+    """As-of join: each error event's most recent preceding click by the
+    same user (the custom-operator example from the brief — hash-grouped
+    per-key vectorized searchsorted; DuckDB native ASOF JOIN oracle)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import asof_last_event
+
+    return asof_last_event(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -553,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_clique": _q_max_clique,
         "graph_sample": _q_graph_sample,
         "events_bipartite_degree": _q_events_bipartite_degree,
+        "events_windowed_counts": _q_events_windowed_counts,
+        "events_asof_click": _q_events_asof_click,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -588,6 +624,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": so.sssp_weighted_sql(p),
         "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
+        "events_windowed_counts": so.windowed_counts_sql(),
+        "events_asof_click": so.asof_last_event_sql(),
         "doc_ngram_jaccard": so.ngram_jaccard_sql(0.4),
         "doc_language_id": so.language_id_sql(),
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),

@@ -1,0 +1,130 @@
+"""Event-stream operators — windowed aggregates and as-of joins.
+
+Two operators a training-data / telemetry pipeline needs that Ray Data has
+no built-in for, expressed Ray-Data-first:
+
+* ``windowed_counts`` — tumbling-window aggregate: the window id is a pure
+  per-row function of the timestamp (``epoch_us // width``), so the whole
+  operator is one ``map_batches`` projection + one hash-shuffle aggregate —
+  no sessionization state, no ordering requirement, arbitrarily parallel.
+
+* ``asof_last_event`` — per-key as-of join (for each left event, the most
+  recent right event with ``right.ts <= left.ts`` for the same key).
+  Partitioning assumption (documented per the custom-operator contract):
+  rows are hash-grouped by the join key, and each group is one task's
+  vectorized ``searchsorted`` over that key's time-sorted right side —
+  correct for any data, efficient while a single key's history fits a task
+  (keys are users/conversations here; a million-event key is ~16 MB).
+  Ties (equal timestamps) resolve identically to DuckDB's ``ASOF JOIN``
+  (``>=`` match, then max event id among equal-ts candidates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def windowed_counts(
+    events: ray.data.Dataset, window_us: int = 3_600_000_000
+) -> ray.data.Dataset:
+    """Tumbling-window per-type aggregate over the events stream.
+
+    → (window_us: int64 epoch-µs window start, event_type, n: int64,
+    sum_value: float64 rounded to 6).  The window id is computed per batch
+    (zero-copy Arrow), the aggregate is the one wide shuffle.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    w = np.int64(window_us)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()  # timestamp[us] → epoch µs
+        return pa.table(
+            {
+                "window_us": (ts // w) * w,
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    agg = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": t["window_us"],
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": np.round(t["sum_value"].to_numpy(), 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_last_event(
+    events: ray.data.Dataset,
+    left_type: str = "error",
+    right_type: str = "click",
+) -> ray.data.Dataset:
+    """For each ``left_type`` event, the most recent ``right_type`` event by
+    the same user at or before its timestamp (−1 when none).
+
+    → (event_id, prev_event_id: int64, lag_sec: float64 rounded to 6;
+    lag −1.0 when unmatched).  One hash shuffle on the join key; each
+    user's group is a vectorized two-sided merge (sort right by ts,
+    ``searchsorted`` the left timestamps into it).
+    """
+    import pyarrow.compute as pc
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "is_left": pc.equal(t["event_type"], left_type),
+            }
+        )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]]
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "prev_event_id": [], "lag_sec": []}
+            )
+        right = g[~g["is_left"]]
+        lid = left["event_id"].to_numpy()
+        lts = left["ts_us"].to_numpy()
+        prev = np.full(len(lid), -1, dtype=np.int64)
+        lag = np.full(len(lid), -1.0)
+        if len(right):
+            # sort by (ts, event_id): equal-ts candidates resolve to the
+            # max event id, matching the SQL oracle's tie-break
+            order = np.lexsort((right["event_id"].to_numpy(), right["ts_us"].to_numpy()))
+            rts = right["ts_us"].to_numpy()[order]
+            rid = right["event_id"].to_numpy()[order]
+            pos = np.searchsorted(rts, lts, side="right") - 1
+            hit = pos >= 0
+            prev[hit] = rid[pos[hit]]
+            lag[hit] = np.round((lts[hit] - rts[pos[hit]]) / 1e6, 6)
+        return pd.DataFrame(
+            {"event_id": lid, "prev_event_id": prev, "lag_sec": lag}
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof_group, batch_format="pandas")
+    )

@@ -841,3 +841,33 @@ SELECT vec_id, CAST(cpos AS BIGINT) AS cell FROM (
 """
     )
     return "".join(parts)
+
+
+def windowed_counts_sql(window_us: int = 3_600_000_000) -> str:
+    """Tumbling-window per-type aggregate (``pipelines/events.py``)."""
+    return f"""
+SELECT (epoch_us(ts) // {window_us}) * {window_us} AS window_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def asof_last_event_sql(
+    left_type: str = "error", right_type: str = "click"
+) -> str:
+    """As-of join recomputed with DuckDB's NATIVE ``ASOF LEFT JOIN`` — the
+    independent formulation of ``events.asof_last_event`` (>= match; the
+    generator emits unique (user, ts) per type, so ties cannot arise)."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{left_type}'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{right_type}')
+SELECT l.event_id,
+       coalesce(r.event_id, -1) AS prev_event_id,
+       coalesce(round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6), -1.0)
+         AS lag_sec
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

@@ -1,0 +1,82 @@
+"""Windowed aggregate + as-of join operators (pipelines/events.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from asterixdb_analytics_ray.pipelines.events import (
+    asof_last_event,
+    windowed_counts,
+)
+
+
+def _events(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts_us", "user_id", "event_type", "value"]
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "ts": pa.array(df["ts_us"], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "value": pa.array(df["value"], pa.float64()),
+            }
+        )
+    )
+
+
+def test_windowed_counts_tumbling(ray_session):
+    H = 3_600_000_000
+    ds = _events(
+        [
+            (0, 10, 1, "view", 1.0),
+            (1, H - 1, 1, "view", 2.0),
+            (2, H, 1, "view", 4.0),      # next window
+            (3, H + 5, 2, "click", 8.0),
+        ]
+    )
+    got = (
+        windowed_counts(ds, window_us=H)
+        .to_pandas()
+        .sort_values(["window_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == [2, 1, 1]
+    assert got["sum_value"].tolist() == [3.0, 8.0, 4.0]
+    assert got["window_us"].tolist() == [0, H, H]
+
+
+def test_asof_join_semantics(ray_session):
+    ds = _events(
+        [
+            (0, 100, 1, "click", 0.0),
+            (1, 200, 1, "click", 0.0),
+            (2, 200, 1, "error", 0.0),   # equal ts -> >= matches click 1
+            (3, 150, 1, "error", 0.0),   # between clicks -> click 0
+            (4, 50, 1, "error", 0.0),    # before any click -> unmatched
+            (5, 300, 2, "error", 0.0),   # other user, no clicks -> unmatched
+        ]
+    )
+    got = (
+        asof_last_event(ds)
+        .to_pandas()
+        .set_index("event_id")["prev_event_id"]
+        .to_dict()
+    )
+    assert got == {2: 1, 3: 0, 4: -1, 5: -1}
+
+
+def test_asof_lag_seconds(ray_session):
+    ds = _events(
+        [
+            (0, 1_000_000, 7, "click", 0.0),
+            (1, 3_500_000, 7, "error", 0.0),
+        ]
+    )
+    got = asof_last_event(ds).to_pandas()
+    assert got["lag_sec"].tolist() == [2.5]

@@ -73,6 +73,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
+        "events_windowed_counts": so.windowed_counts_sql,
+        "events_asof_click": so.asof_last_event_sql,
         "doc_ngram_jaccard": lambda: so.ngram_jaccard_sql(0.4),
         "doc_minhash_dups": lambda: so.minhash_lsh_sql(0.4),
         "doc_language_id": so.language_id_sql,
@@ -121,6 +123,8 @@ QUERY_NAMES = [
     "sssp_weighted",
     "reachability",
     "events_bipartite_degree",
+    "events_windowed_counts",
+    "events_asof_click",
     "doc_ngram_jaccard",
     "doc_minhash_dups",
     "doc_language_id",
