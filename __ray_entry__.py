@@ -339,6 +339,23 @@ def _q_events_asof_click(sf_dir: str):
     )
 
 
+def _q_events_range_join(sf_dir: str):
+    """Banded range join: per error event, clicks by the same user within
+    the preceding hour (inclusive)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import range_join_counts
+
+    return range_join_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -589,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bipartite_degree": _q_events_bipartite_degree,
         "events_windowed_counts": _q_events_windowed_counts,
         "events_asof_click": _q_events_asof_click,
+        "events_range_join": _q_events_range_join,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -626,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
         "events_windowed_counts": so.windowed_counts_sql(),
         "events_asof_click": so.asof_last_event_sql(),
+        "events_range_join": so.range_join_counts_sql(),
         "doc_ngram_jaccard": so.ngram_jaccard_sql(0.4),
         "doc_language_id": so.language_id_sql(),
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),

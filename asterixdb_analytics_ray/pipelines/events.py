@@ -128,3 +128,56 @@ def asof_last_event(
         .groupby("user_id")
         .map_groups(asof_group, batch_format="pandas")
     )
+
+
+def range_join_counts(
+    events: ray.data.Dataset,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_us: int = 3_600_000_000,
+) -> ray.data.Dataset:
+    """Banded range join: for each ``left_type`` event, the COUNT of
+    ``right_type`` events by the same user within ``[ts − window, ts]``
+    (inclusive).  Same partitioning contract as ``asof_last_event`` (hash
+    group by key, vectorized two-sided ``searchsorted`` per group); the
+    equivalent SQL is the inequality join the oracle runs.
+    → (event_id, n_prior: int64)."""
+    import pyarrow.compute as pc
+
+    w = np.int64(window_us)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "is_left": pc.equal(t["event_type"], left_type),
+            }
+        )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]]
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": [], "n_prior": []})
+        right = g[~g["is_left"]]
+        lts = left["ts_us"].to_numpy()
+        n = np.zeros(len(lts), dtype=np.int64)
+        if len(right):
+            rts = np.sort(right["ts_us"].to_numpy())
+            n = np.searchsorted(rts, lts, side="right") - np.searchsorted(
+                rts, lts - w, side="left"
+            )
+        return pd.DataFrame(
+            {"event_id": left["event_id"].to_numpy(), "n_prior": n}
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_group, batch_format="pandas")
+    )

@@ -871,3 +871,22 @@ SELECT l.event_id,
          AS lag_sec
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+
+def range_join_counts_sql(
+    left_type: str = "error",
+    right_type: str = "click",
+    window_us: int = 3_600_000_000,
+) -> str:
+    """Banded range join recomputed as a plain inequality join."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = '{left_type}'),
+r AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = '{right_type}')
+SELECT l.event_id,
+       count(r.t) AS n_prior
+FROM l LEFT JOIN r
+  ON r.user_id = l.user_id AND r.t >= l.t - {window_us} AND r.t <= l.t
+GROUP BY l.event_id
+"""

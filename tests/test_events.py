@@ -80,3 +80,25 @@ def test_asof_lag_seconds(ray_session):
     )
     got = asof_last_event(ds).to_pandas()
     assert got["lag_sec"].tolist() == [2.5]
+
+
+def test_range_join_counts(ray_session):
+    from asterixdb_analytics_ray.pipelines.events import range_join_counts
+
+    H = 3_600_000_000
+    ds = _events(
+        [
+            (0, 0, 1, "click", 0.0),
+            (1, H // 2, 1, "click", 0.0),
+            (2, H, 1, "error", 0.0),       # both clicks inside [0, H]
+            (3, H + 1, 1, "error", 0.0),   # click at 0 falls out (exclusive lo)
+            (4, 10, 2, "error", 0.0),      # no clicks for user 2
+        ]
+    )
+    got = (
+        range_join_counts(ds, window_us=H)
+        .to_pandas()
+        .set_index("event_id")["n_prior"]
+        .to_dict()
+    )
+    assert got == {2: 2, 3: 1, 4: 0}

@@ -75,6 +75,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_bipartite_degree": so.events_bipartite_degree_sql,
         "events_windowed_counts": so.windowed_counts_sql,
         "events_asof_click": so.asof_last_event_sql,
+        "events_range_join": so.range_join_counts_sql,
         "doc_ngram_jaccard": lambda: so.ngram_jaccard_sql(0.4),
         "doc_minhash_dups": lambda: so.minhash_lsh_sql(0.4),
         "doc_language_id": so.language_id_sql,
@@ -125,6 +126,7 @@ QUERY_NAMES = [
     "events_bipartite_degree",
     "events_windowed_counts",
     "events_asof_click",
+    "events_range_join",
     "doc_ngram_jaccard",
     "doc_minhash_dups",
     "doc_language_id",
