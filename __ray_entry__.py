@@ -299,6 +299,14 @@ def _q_graph_sample(sf_dir: str):
     return pa.table({"v": np.flatnonzero(selected).astype(np.int64)})
 
 
+def _q_doc_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-shingle sketch registers (mergeable sketch;
+    ≤ 1024 rows shuffle regardless of corpus size)."""
+    from asterixdb_analytics_ray.pipelines.textops import hll_registers
+
+    return hll_registers(_docs_ds(sf_dir))
+
+
 def _q_doc_ngram_jaccard(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.textops import ngram_jaccard_pairs
 
@@ -615,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": _q_doc_language_id,
         "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
+        "doc_hll_registers": _q_doc_hll_registers,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -649,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_language_id": so.language_id_sql(),
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),
         "doc_simhash": so.simhash_sql(),
+        "doc_hll_registers": so.hll_registers_sql(),
         "doc_simhash_dups": so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),

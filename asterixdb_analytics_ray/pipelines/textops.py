@@ -660,3 +660,73 @@ def ngram_jaccard_pairs(
         return out.filter(pa.array(jac >= threshold))
 
     return withsizes.map_batches(finish, batch_format="pyarrow")
+
+
+def hll_registers(
+    docs: ray.data.Dataset, b: int = 10, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """HyperLogLog distinct-shingle sketch → its NON-EMPTY registers
+    (reg: int32, rho: int32), a 2^b-register HLL over the corpus's word
+    ``shingle_k``-gram hashes (the same 64-bit md5-prefix hashes the
+    MinHash pipeline uses, so the fold is fully vectorized per batch).
+
+    The classic mergeable sketch for web-scale distinct counting: each
+    batch folds its shingles into a local 2^b register array (the
+    per-block partial), the global combine is ``groupby(reg).max`` — at
+    most 2^b rows ever shuffle, regardless of corpus size.  Register =
+    top ``b`` hash bits, rho = leading-zero count of the remaining 64−b
+    bits + 1 — recomputed EXACTLY by the SQL oracle (integer match; see
+    ``sql_oracle.hll_registers_sql``).  ``hll_estimate`` turns the
+    registers into the cardinality estimate (tested against the exact
+    distinct count in pytest; the float estimator stays out of the
+    integer-exact driver gate)."""
+    from ray.data.aggregate import Max
+
+    m = 1 << b
+    shift = np.uint64(64 - b)
+    mask = np.uint64((1 << (64 - b)) - 1)
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int32)
+        for t in df["text"]:
+            h = _shingle_hashes(t, shingle_k)
+            if not len(h):
+                continue
+            idx = (h >> shift).astype(np.int64)
+            v = h & mask
+            bl = np.zeros(len(v), dtype=np.int32)  # bit_length, vectorized
+            for s in (32, 16, 8, 4, 2, 1):
+                big = v >= (np.uint64(1) << np.uint64(s))
+                bl[big] += s
+                v[big] >>= np.uint64(s)
+            bl[v > 0] += 1
+            rho = (int(shift) + 1 - bl).astype(np.int32)
+            np.maximum.at(regs, idx, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "reg": nz.astype(np.int32),
+                "rho": regs[nz],
+            }
+        )
+
+    return (
+        docs.map_batches(fn, batch_format="pandas")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(registers: "pa.Table | pd.DataFrame", b: int = 10) -> float:
+    """Registers table → HLL cardinality estimate (Flajolet et al. 2007,
+    64-bit hash: small-range linear counting, no large-range correction)."""
+    df = registers.to_pandas() if hasattr(registers, "to_pandas") else registers
+    m = 1 << b
+    M = np.zeros(m)
+    M[df["reg"].to_numpy()] = df["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-M))
+    V = int((M == 0).sum())
+    if E <= 2.5 * m and V:
+        E = m * np.log(m / V)
+    return float(E)

@@ -890,3 +890,38 @@ FROM l LEFT JOIN r
   ON r.user_id = l.user_id AND r.t >= l.t - {window_us} AND r.t <= l.t
 GROUP BY l.event_id
 """
+
+
+def hll_registers_sql(b: int = 10, k: int = 3) -> str:
+    """The HLL sketch's registers recomputed independently over the SAME
+    word-k-gram shingle hashes the MinHash oracle uses (DuckDB md5 prefix
+    as UBIGINT): register = top-b bits, rho = 64−b − bit_length(remainder)
+    + 1 — ``bin()`` gives the exact bit length, no float log2.
+    Integer-exact vs ``textops.hll_registers``."""
+    shift = 64 - b
+    mask = (1 << shift) - 1
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+shh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists)
+),
+rr AS (
+  SELECT CAST(h >> {shift} AS INTEGER) AS reg,
+         CAST(CASE WHEN (h & {mask}) = 0 THEN {shift + 1}
+              ELSE {shift + 1} - length(bin(h & {mask})) END AS INTEGER)
+           AS rho
+  FROM shh
+)
+SELECT reg, max(rho) AS rho FROM rr GROUP BY reg
+"""

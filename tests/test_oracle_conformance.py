@@ -80,6 +80,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_minhash_dups": lambda: so.minhash_lsh_sql(0.4),
         "doc_language_id": so.language_id_sql,
         "doc_simhash": so.simhash_sql,
+        "doc_hll_registers": so.hll_registers_sql,
         "doc_simhash_dups": lambda: so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql,
         "doc_fingerprints": so.fingerprints_sql,
@@ -132,6 +133,7 @@ QUERY_NAMES = [
     "doc_language_id",
     "doc_simhash",
     "doc_simhash_dups",
+    "doc_hll_registers",
     "doc_token_counts",
     "doc_fingerprints",
     "doc_exact_dedup",

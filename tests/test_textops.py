@@ -132,3 +132,43 @@ def test_minhash_small_buckets_exact_with_cap(docs):
     key = lambda d: set(zip(d["doc_a"], d["doc_b"]))
     # with max_bucket=2 some candidates drop; with the default none do
     assert key(capped) <= key(base)
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """HLL estimate within the sketch's error bound of the exact distinct
+    shingle count on a high-cardinality synthetic corpus (1024 registers →
+    ~3.3% standard error; assert 10%)."""
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(2000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40)) for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df)
+    regs = T.hll_registers(ds)
+    est = T.hll_estimate(regs.to_pandas())
+    exact = len(
+        {s for t in texts for s in
+         (" ".join(t.split()[i:i + 3]) for i in range(len(t.split()) - 2))}
+    )
+    assert abs(est - exact) / exact < 0.10, (est, exact)
+
+
+def test_hll_registers_merge_associative(ray_session):
+    """Register tables from corpus halves merge (max) to the full corpus's
+    registers — the sketch's defining mergeability property."""
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(100)]
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64), "text": texts})
+    full = (
+        T.hll_registers(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("reg")["rho"]
+    )
+    a = T.hll_registers(ray.data.from_pandas(df.iloc[:50])).to_pandas()
+    b = T.hll_registers(ray.data.from_pandas(df.iloc[50:])).to_pandas()
+    merged = (
+        pd.concat([a, b]).groupby("reg")["rho"].max()
+    )
+    pd.testing.assert_series_equal(merged, full, check_names=False)
