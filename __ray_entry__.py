@@ -474,6 +474,39 @@ def _q_doc_simhash_dups(sf_dir: str):
     return simhash_dup_pairs(_docs_ds(sf_dir), max_dist=3)
 
 
+def _q_doc_top_tokens(sf_dir: str):
+    """Global token heavy hitters (top-20, integer-exact tie-break)."""
+    from asterixdb_analytics_ray.pipelines.corpus import top_tokens
+
+    return top_tokens(_docs_ds(sf_dir), k=20)
+
+
+def _q_doc_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (df via distributed token join; selection
+    ranked by integer keys so float ulps can't change the row set)."""
+    from asterixdb_analytics_ray.pipelines.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs_ds(sf_dir), top=3)
+
+
+_SAMPLE_RATES = {"en": 0.5}
+
+
+def _q_doc_hash_sample(sf_dir: str):
+    """Deterministic stratified hash sample (en at 0.5, others 0.2) —
+    map-side only, reproducible at any parallelism."""
+    from asterixdb_analytics_ray.pipelines.corpus import hash_sample
+
+    return hash_sample(_docs_ds(sf_dir), rate=0.2, rates_by_lang=_SAMPLE_RATES)
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """Per-language exact token-length quantiles via bounded histogram."""
+    from asterixdb_analytics_ray.pipelines.corpus import length_quantiles
+
+    return length_quantiles(_docs_ds(sf_dir))
+
+
 _KNN_QUERY_IDS = (0, 1, 2)
 
 
@@ -624,6 +657,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
         "doc_hll_registers": _q_doc_hll_registers,
+        "doc_top_tokens": _q_doc_top_tokens,
+        "doc_tfidf_terms": _q_doc_tfidf_terms,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -659,6 +696,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),
         "doc_simhash": so.simhash_sql(),
         "doc_hll_registers": so.hll_registers_sql(),
+        "doc_top_tokens": so.top_tokens_sql(20),
+        "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
+        "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),
+        "doc_length_quantiles": so.length_quantiles_sql(),
         "doc_simhash_dups": so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),

@@ -1,0 +1,222 @@
+"""Corpus-statistics operators over the ``documents`` table: token heavy
+hitters, per-document TF-IDF top terms, deterministic hash sampling, and
+exact per-language length quantiles.
+
+These round out the training-data-pipeline surface next to the dedup /
+quality stack in ``textops.py`` (reference analog: the Hadoop MR utility
+jobs in ``pregelix-example/.../utils/`` — FilterCount, FindLargest,
+VertexAggregator — which are exactly count/top-k/sample shapes).
+
+Scale notes (100 TB corpus):
+- every stage does its heavy reduction per batch (partial counts) before
+  the groupby, so shuffle volume is bounded by distinct keys per block,
+  not rows;
+- ``hash_sample`` is pure map-side: no shuffle, restart-safe (the keep
+  decision is a deterministic function of doc_id alone), and the SQL
+  oracle recomputes the identical md5-prefix hash;
+- ``length_quantiles`` reduces to a (lang, n_tokens) histogram — bounded
+  by distinct lengths, not documents — so the driver-side quantile pick
+  touches a kilobyte-scale table no matter the corpus size;
+- ``tfidf_top_terms`` ranks by the integer key (tf DESC, df ASC, token)
+  so the selected row set cannot be perturbed by float ulp differences
+  between numpy and the SQL oracle; the tfidf score itself is emitted
+  rounded to 9 decimals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages.blocks import partitions_for, safe_join
+
+
+def _explode_tokens(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, token, tf) — whitespace tokenization (matches DuckDB
+    ``string_split_regex(trim(text), '\\s+')``), tf counted batch-locally
+    (each document is a single row, so its term frequencies are complete
+    within the batch — no shuffle needed for tf)."""
+    toks = df["text"].str.split()
+    n = toks.str.len().fillna(0).astype(np.int64)
+    flat = pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n.to_numpy()),
+            "token": [t for lst in toks for t in (lst or [])],
+        }
+    )
+    if not len(flat):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "token": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        flat.groupby(["doc_id", "token"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype(np.int64)
+    return out
+
+
+def top_tokens(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """Global token heavy hitters: (token, n) for the k most frequent
+    tokens, ties broken by token ascending (both deterministic and
+    SQL-reproducible).
+
+    Per-batch ``value_counts`` is the local combine (stepPartial), the
+    ``groupby(token).sum`` is the final combine (stepFinal) — shuffle rows
+    are bounded by distinct tokens per block. The final sort+limit runs
+    over the aggregated vocabulary table only."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"token": counts.index.astype(object), "n": counts.to_numpy(np.int64)}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, top: int = 3, n_docs: int | None = None
+) -> ray.data.Dataset:
+    """Per-document top-``top`` TF-IDF terms: (doc_id, token, tf, tfidf).
+
+    tfidf = tf · ln(N / df). Document frequencies come from one
+    token-keyed aggregate over the exploded (doc_id, token, tf) table and
+    are joined back (distributed hash join — the vocabulary of a 100 TB
+    corpus does not fit a broadcast). Ranking uses the integer key
+    (tf DESC, df ASC, token ASC): the float score can never change which
+    rows are selected, only annotate them. idf is evaluated with
+    ``math.log`` on the (small) set of distinct df values per batch so the
+    engine and the DuckDB oracle call the same libm."""
+    n_docs = int(docs.count()) if n_docs is None else int(n_docs)
+
+    ex = docs.map_batches(_explode_tokens, batch_format="pandas")
+    n_ex = ex.count()
+    npart = partitions_for(n_ex)
+    df_tbl = ex.groupby("token").aggregate(Count(alias_name="df"))
+    joined = safe_join(ex, df_tbl, "inner", npart, on=("token",))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["tf", "df", "token"], ascending=[False, True, True]
+        ).head(top)
+        uniq = {d: math.log(n_docs / d) for d in g["df"].unique()}
+        idf = g["df"].map(uniq).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "token": g["token"].to_numpy(object),
+                "tf": g["tf"].to_numpy(np.int64),
+                "tfidf": np.round(g["tf"].to_numpy(np.float64) * idf, 9),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(rank_group, batch_format="pandas")
+
+
+def _hash64(ids: np.ndarray) -> np.ndarray:
+    """uint64 md5-prefix hash of the decimal doc_id string — identical to
+    DuckDB ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT``
+    (same construction as textops._shingle_hashes)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def hash_sample(
+    docs: ray.data.Dataset,
+    rate: float = 0.25,
+    rates_by_lang: dict[str, float] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic corpus sample: keep a document iff
+    hash64(doc_id) < rate · 2^64. Pure map-side (no shuffle, no RNG
+    state), so it is trivially resumable and the same rows are kept on
+    every run, at any parallelism, on any cluster size — the property a
+    reservoir sampler gives up. ``rates_by_lang`` overrides the global
+    rate per language (stratified sampling)."""
+    W = float(1 << 64)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(df["doc_id"].to_numpy())
+        if rates_by_lang is None:
+            thr = np.full(len(df), rate * W)
+        else:
+            thr = (
+                df["lang"]
+                .map(lambda l: rates_by_lang.get(l, rate))
+                .to_numpy(np.float64)
+                * W
+            )
+        return df[h.astype(np.float64) < thr]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def length_quantiles(
+    docs: ray.data.Dataset, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> pd.DataFrame:
+    """Exact per-language token-length quantiles: (lang, p25, p50, p75,
+    p95) with the discrete lower-quantile definition — the smallest
+    n_tokens whose cumulative count reaches ceil(q·n).
+
+    Exactness without a sort: the corpus reduces to a (lang, n_tokens)
+    histogram (per-batch partial counts → one small groupby), bounded by
+    languages × distinct lengths, so the driver-side cumsum/pick touches a
+    tiny table regardless of corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().fillna(0).astype(np.int64)
+        counts = (
+            pd.DataFrame({"lang": df["lang"], "n_tokens": n_tok})
+            .groupby(["lang", "n_tokens"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        counts["n"] = counts["n"].astype(np.int64)
+        return counts
+
+    hist = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["n_tokens"].to_numpy(np.int64)
+        row = {"lang": lang}
+        for q in qs:
+            target = math.ceil(q * total)
+            row[f"p{int(round(q * 100))}"] = int(
+                vals[int(np.searchsorted(cum, target))]
+            )
+        rows.append(row)
+    return (
+        pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    )

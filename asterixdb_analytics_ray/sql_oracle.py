@@ -925,3 +925,94 @@ rr AS (
 )
 SELECT reg, max(rho) AS rho FROM rr GROUP BY reg
 """
+
+
+def top_tokens_sql(k: int = 20) -> str:
+    """Global token heavy hitters (corpus.top_tokens): exact counts over
+    the same whitespace tokenization, ties at the k-boundary broken by
+    token ascending on both sides."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(ws) AS token FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {k}
+"""
+
+
+def tfidf_top_terms_sql(top: int = 3) -> str:
+    """Per-doc TF-IDF top terms (corpus.tfidf_top_terms). The row set is
+    ranked by the INTEGER key (tf DESC, df ASC, token ASC) — identical to
+    the engine by construction — and the float score is ln-based
+    (DuckDB ln = libm = engine's math.log), rounded to 9 decimals."""
+    return f"""
+WITH {_TOKS_CTE},
+ex AS MATERIALIZED (SELECT doc_id, unnest(ws) AS token FROM toks),
+tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+dfq AS MATERIALIZED (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC
+         ) AS r
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       round(CAST(tf AS DOUBLE) * ln((SELECT n FROM nq) / df), 9) AS tfidf
+FROM ranked WHERE r <= {top}
+"""
+
+
+def hash_sample_sql(
+    rate: float = 0.25, rates_by_lang: "dict[str, float] | None" = None
+) -> str:
+    """Deterministic hash sample (corpus.hash_sample): the identical
+    md5-prefix uint64 hash of the decimal doc_id, compared in float64
+    against rate·2^64 — thresholds are inlined with full-precision Python
+    repr so both sides compare against the same double."""
+    W = float(1 << 64)
+    if rates_by_lang:
+        cases = " ".join(
+            f"WHEN lang = '{lang}' THEN {r * W!r}"
+            for lang, r in sorted(rates_by_lang.items())
+        )
+        thr = f"CASE {cases} ELSE {rate * W!r} END"
+    else:
+        thr = repr(rate * W)
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS DOUBLE) < {thr}
+"""
+
+
+def length_quantiles_sql(qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> str:
+    """Per-language exact token-length quantiles (corpus.length_quantiles):
+    the same discrete lower-quantile — smallest n_tokens whose cumulative
+    histogram count reaches ceil(q·n) — recomputed via window cumsum."""
+    picks = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= ceil({q!r} * total) THEN n_tokens END) "
+        f"AS BIGINT) AS p{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+WITH lt AS MATERIALIZED (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+hist AS (SELECT lang, n_tokens, count(*) AS n FROM lt GROUP BY 1, 2),
+cum AS (
+  SELECT lang, n_tokens,
+         sum(n) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS total
+  FROM hist
+)
+SELECT lang,
+       {picks}
+FROM cum GROUP BY lang
+"""

@@ -1,0 +1,128 @@
+"""Unit tests for pipelines/corpus.py — independent brute-force oracles in
+pandas (the SQL conformance path is covered by test_oracle_conformance.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from asterixdb_analytics_ray.pipelines import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s0"),
+        (2, "der schnelle braune fuchs springt", "de", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s2"),
+        (4, "completely different words entirely here now", "en", "s3"),
+        (5, "", "en", "s4"),
+        (6, "fox fox fox den", "en", "s5"),
+        (7, "a b c d e f g h i j k", "de", "s5"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session, docs_df):
+    return ray.data.from_pandas(docs_df)
+
+
+def test_top_tokens_exact(docs, docs_df):
+    got = C.top_tokens(docs, k=5).to_pandas()
+    exact = (
+        docs_df["text"].str.split().explode().dropna().value_counts()
+    )
+    want = (
+        pd.DataFrame({"token": exact.index, "n": exact.to_numpy(np.int64)})
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["n", "token"], ascending=[False, True]).reset_index(
+            drop=True
+        ),
+        want,
+        check_dtype=False,
+    )
+
+
+def test_tfidf_top_terms(docs, docs_df):
+    got = C.tfidf_top_terms(docs, top=2).to_pandas()
+    # brute force
+    n_docs = len(docs_df)
+    tf = (
+        docs_df.assign(token=docs_df["text"].str.split())
+        .explode("token")
+        .dropna(subset=["token"])
+        .groupby(["doc_id", "token"])
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    df_counts = tf.groupby("token").size().rename("df").reset_index()
+    m = tf.merge(df_counts, on="token")
+    m["tfidf"] = np.round(
+        m["tf"] * m["df"].map(lambda d: math.log(n_docs / d)), 9
+    )
+    want = (
+        m.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+        )
+        .groupby("doc_id")
+        .head(2)[["doc_id", "token", "tf", "tfidf"]]
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every selected token actually occurs in its document
+    texts = docs_df.set_index("doc_id")["text"]
+    for _, r in got.iterrows():
+        assert r["token"] in texts[r["doc_id"]].split()
+
+
+def test_hash_sample_deterministic_and_stratified(docs):
+    a = C.hash_sample(docs, rate=0.5).to_pandas().sort_values("doc_id")
+    b = C.hash_sample(docs, rate=0.5).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    # lower rate selects a subset of the higher rate's rows (nested samples)
+    small = set(C.hash_sample(docs, rate=0.2).to_pandas()["doc_id"])
+    assert small <= set(a["doc_id"])
+    # stratified: rate 0 for one language removes exactly that language
+    strat = C.hash_sample(docs, rate=1.0, rates_by_lang={"de": 0.0}).to_pandas()
+    assert set(strat["lang"]) == {"en"}
+    assert len(strat) == 6
+
+
+def test_hash_sample_parallelism_invariant(docs):
+    one = C.hash_sample(docs.repartition(1), rate=0.5).to_pandas()
+    four = C.hash_sample(docs.repartition(4), rate=0.5).to_pandas()
+    assert sorted(one["doc_id"]) == sorted(four["doc_id"])
+
+
+def test_length_quantiles_exact(docs, docs_df):
+    got = C.length_quantiles(docs, qs=(0.5, 0.75))
+    lens = docs_df.assign(
+        n_tokens=docs_df["text"].str.split().str.len().fillna(0).astype(int)
+    )
+    for _, row in got.iterrows():
+        vals = np.sort(
+            lens[lens["lang"] == row["lang"]]["n_tokens"].to_numpy()
+        )
+        for q, col in ((0.5, "p50"), (0.75, "p75")):
+            # discrete lower quantile: ceil(q*n)-th smallest (1-based)
+            want = vals[math.ceil(q * len(vals)) - 1]
+            assert row[col] == want, (row["lang"], col)
+
+
+def test_length_quantiles_empty_text_counts_as_zero(docs):
+    got = C.length_quantiles(docs, qs=(0.25,))
+    assert (got["p25"] >= 0).all()

@@ -81,6 +81,12 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_language_id": so.language_id_sql,
         "doc_simhash": so.simhash_sql,
         "doc_hll_registers": so.hll_registers_sql,
+        "doc_top_tokens": lambda: so.top_tokens_sql(20),
+        "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
+        "doc_hash_sample": lambda: so.hash_sample_sql(
+            0.2, __import__("__ray_entry__")._SAMPLE_RATES
+        ),
+        "doc_length_quantiles": so.length_quantiles_sql,
         "doc_simhash_dups": lambda: so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql,
         "doc_fingerprints": so.fingerprints_sql,
@@ -138,6 +144,10 @@ QUERY_NAMES = [
     "doc_fingerprints",
     "doc_exact_dedup",
     "doc_quality",
+    "doc_top_tokens",
+    "doc_tfidf_terms",
+    "doc_hash_sample",
+    "doc_length_quantiles",
     "emb_knn",
     "emb_cosine_dups",
     "max_clique",
