@@ -507,6 +507,38 @@ def _q_doc_length_quantiles(sf_dir: str):
     return length_quantiles(_docs_ds(sf_dir))
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) over the events stream."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import sessionize
+
+    return sessionize(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _q_doc_decontaminate(sf_dir: str):
+    """Eval-set n-gram contamination flags (broadcast shingle blocklist)."""
+    from asterixdb_analytics_ray.pipelines.corpus import decontaminate
+
+    return decontaminate(_docs_ds(sf_dir), eval_max_doc_id=5)
+
+
+def _q_doc_best_per_source(sf_dir: str):
+    """Group-wise argmax dedup: longest doc per source."""
+    from asterixdb_analytics_ray.pipelines.corpus import best_per_source
+
+    return best_per_source(_docs_ds(sf_dir))
+
+
+def _q_doc_cms_registers(sf_dir: str):
+    """Count-Min sketch registers over the corpus token stream."""
+    from asterixdb_analytics_ray.pipelines.textops import cms_registers
+
+    return cms_registers(_docs_ds(sf_dir))
+
+
 _KNN_QUERY_IDS = (0, 1, 2)
 
 
@@ -657,6 +689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
         "doc_hll_registers": _q_doc_hll_registers,
+        "events_sessionize": _q_events_sessionize,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_best_per_source": _q_doc_best_per_source,
+        "doc_cms_registers": _q_doc_cms_registers,
         "doc_top_tokens": _q_doc_top_tokens,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_hash_sample": _q_doc_hash_sample,
@@ -696,6 +732,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),
         "doc_simhash": so.simhash_sql(),
         "doc_hll_registers": so.hll_registers_sql(),
+        "events_sessionize": so.sessionize_sql(),
+        "doc_decontaminate": so.decontaminate_sql(5),
+        "doc_best_per_source": so.best_per_source_sql(),
+        "doc_cms_registers": so.cms_registers_sql(),
         "doc_top_tokens": so.top_tokens_sql(20),
         "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
         "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),

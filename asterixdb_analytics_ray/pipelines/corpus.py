@@ -220,3 +220,91 @@ def length_quantiles(
     return (
         pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
     )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    eval_max_doc_id: int = 5,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Eval-set contamination check: for every training document (doc_id
+    ≥ ``eval_max_doc_id``), the fraction of its word-``shingle_k``-gram
+    set that also appears in ANY eval document (doc_id < eval_max_doc_id).
+
+    → (doc_id, n_shingles, n_hit: int64, contaminated: int32 0/1 at
+    ``threshold``).
+
+    The eval shingle-hash set is built once and broadcast via ``ray.put``
+    (the decontamination blocklist is small relative to the corpus — the
+    standard shape: eval benchmarks are MBs, training data is TBs), so the
+    scan is pure map-side: no shuffle, no join, one pass over the corpus.
+    Hashes are the md5-prefix uint64s shared with the MinHash/HLL stack,
+    so the SQL oracle reproduces the same sets from the shingle strings.
+    """
+    import ray as _ray
+
+    from .textops import _shingle_hashes
+
+    evals = docs.filter(expr=f"doc_id < {eval_max_doc_id}").to_pandas()
+    eval_set = np.unique(
+        np.concatenate(
+            [_shingle_hashes(t, shingle_k) for t in evals["text"]]
+            or [np.array([], dtype=np.uint64)]
+        )
+    )
+    eval_ref = _ray.put(np.sort(eval_set))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ev = _ray.get(eval_ref)
+        n_sh = np.zeros(len(df), dtype=np.int64)
+        n_hit = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            h = _shingle_hashes(t, shingle_k)
+            n_sh[i] = len(h)
+            if len(h) and len(ev):
+                idx = np.searchsorted(ev, h)
+                idx[idx == len(ev)] = 0
+                n_hit[i] = int(np.sum(ev[idx] == h))
+        frac = np.divide(
+            n_hit, n_sh, out=np.zeros(len(df), dtype=np.float64), where=n_sh > 0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_shingles": n_sh,
+                "n_hit": n_hit,
+                "contaminated": (frac >= threshold).astype(np.int32),
+            }
+        )
+
+    return docs.filter(expr=f"doc_id >= {eval_max_doc_id}").map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+def best_per_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Group-wise dedup: keep the single best document per ``source`` —
+    best = longest by n_chars, ties to the smallest doc_id (both integer
+    keys, so engine and SQL select the identical rows).
+
+    Two-level combine, same shape as a MessageCombiner: each batch keeps
+    its local best per source (stepPartial), then one small groupby picks
+    the global best (stepFinal) — shuffle rows bounded by distinct sources
+    per block, never the corpus."""
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return d.drop_duplicates("source", keep="first")[
+            ["source", "doc_id", "n_chars"]
+        ]
+
+    def global_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(1).reset_index(drop=True)
+
+    return (
+        docs.map_batches(local_best, batch_format="pandas")
+        .groupby("source")
+        .map_groups(global_best, batch_format="pandas")
+    )

@@ -181,3 +181,39 @@ def range_join_counts(
         .groupby("user_id")
         .map_groups(count_group, batch_format="pandas")
     )
+
+
+def sessionize(
+    events: ray.data.Dataset, gap_us: int = 1_800_000_000
+) -> ray.data.Dataset:
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever consecutive events are more than ``gap_us`` apart.
+
+    → (user_id, session_id: int64 0-based per user, n_events: int64,
+    start_us, end_us: int64 epoch-µs).
+
+    Partitioning assumption (same contract as ``asof_last_event``): rows
+    hash-group by user and each user's history is one task's vectorized
+    diff/cumsum — correct for any data, efficient while one user's events
+    fit a task. Ordering inside a user is (ts, event_id) so equal
+    timestamps break ties identically to the SQL oracle's window ORDER BY.
+    """
+    g = np.int64(gap_us)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1] > g).astype(np.int64)
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"session_id": sid, "ts": ts})
+        agg = out.groupby("session_id").agg(
+            n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max")
+        )
+        agg = agg.reset_index()
+        agg.insert(0, "user_id", df["user_id"].iloc[0])
+        for c in ("session_id", "n_events", "start_us", "end_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")

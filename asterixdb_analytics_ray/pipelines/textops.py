@@ -730,3 +730,68 @@ def hll_estimate(registers: "pa.Table | pd.DataFrame", b: int = 10) -> float:
     if E <= 2.5 * m and V:
         E = m * np.log(m / V)
     return float(E)
+
+
+def cms_registers(
+    docs: ray.data.Dataset, depth: int = 4, width: int = 1024
+) -> ray.data.Dataset:
+    """Count-Min sketch over the corpus's token stream → its NON-EMPTY
+    registers (r: int32, c: int32, n: int64). The mergeable heavy-hitter
+    companion to ``hll_registers``: each batch folds its token counts into
+    a local depth×width int64 array (the per-block partial), the global
+    combine is ``groupby((r, c)).sum`` — at most depth·width rows ever
+    shuffle, regardless of corpus size.
+
+    Row hash r of a token = md5-prefix uint64 of ``f"{r} {token}"`` mod
+    width — string-keyed like the shingle hashes, so the SQL oracle
+    recomputes the registers integer-exactly (``sql_oracle
+    .cms_registers_sql``). ``cms_estimate`` answers point queries (min
+    over rows), upper-bounding the true count; pytest checks the bound and
+    exactness for hot tokens."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        regs = np.zeros((depth, width), dtype=np.int64)
+        counts: dict[str, int] = {}
+        for toks in df["text"].str.split():
+            for t in toks or ():
+                counts[t] = counts.get(t, 0) + 1
+        for t, n in counts.items():
+            for r in range(depth):
+                h = int.from_bytes(
+                    hashlib.md5(f"{r} {t}".encode()).digest()[:8], "big"
+                )
+                regs[r, h % width] += n
+        r_idx, c_idx = np.nonzero(regs)
+        return pa.table(
+            {
+                "r": r_idx.astype(np.int32),
+                "c": c_idx.astype(np.int32),
+                "n": regs[r_idx, c_idx],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(fn, batch_format="pandas")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_estimate(
+    registers: "pa.Table | pd.DataFrame",
+    token: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> int:
+    """Point-query the sketch: estimated count of ``token`` = min over
+    rows of its register (classic CMS upper bound; Cormode–Muthukrishnan
+    2005)."""
+    df = registers.to_pandas() if hasattr(registers, "to_pandas") else registers
+    lut = {(int(r), int(c)): int(n) for r, c, n in zip(df["r"], df["c"], df["n"])}
+    est = []
+    for r in range(depth):
+        h = int.from_bytes(hashlib.md5(f"{r} {token}".encode()).digest()[:8], "big")
+        est.append(lut.get((r, h % width), 0))
+    return min(est)

@@ -1016,3 +1016,105 @@ SELECT lang,
        {picks}
 FROM cum GROUP BY lang
 """
+
+
+def sessionize_sql(gap_us: int = 1_800_000_000) -> str:
+    """Gap-based sessionization (events.sessionize): same (ts, event_id)
+    ordering, lag-diff session breaks, cumulative-sum session ids —
+    integer-exact."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events
+),
+flags AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > {gap_us} THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+sess AS (
+  SELECT user_id, tsu,
+         sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flags
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tsu) AS BIGINT) AS start_us,
+       CAST(max(tsu) AS BIGINT) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def decontaminate_sql(
+    eval_max_doc_id: int = 5, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Eval-set contamination (corpus.decontaminate) recomputed on the
+    shingle STRINGS (set identity is hash-independent, as in the n-gram
+    Jaccard oracle); empty-text docs kept with zero counts via the left
+    join."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+ev AS MATERIALIZED (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh_lists
+  WHERE doc_id < {eval_max_doc_id}
+),
+trs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh_lists
+  WHERE doc_id >= {eval_max_doc_id}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END) AS n_hit
+  FROM trs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN coalesce(a.n_shingles, 0) > 0
+                  AND CAST(a.n_hit AS DOUBLE) / a.n_shingles >= {threshold!r}
+            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id >= {eval_max_doc_id}
+"""
+
+
+def best_per_source_sql() -> str:
+    """Group-wise argmax dedup (corpus.best_per_source): longest doc per
+    source, ties to the smallest doc_id — integer keys only."""
+    return """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def cms_registers_sql(depth: int = 4, width: int = 1024) -> str:
+    """Count-Min registers (textops.cms_registers) recomputed over the
+    same token stream: row hash = md5-prefix uint64 of '{r} {token}' mod
+    width — integer-exact."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS MATERIALIZED (SELECT unnest(ws) AS token FROM toks),
+rr AS (SELECT unnest(range({depth})) AS r),
+folds AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ' ' || token), 1, 16))
+                ::UBIGINT % {width} AS INTEGER) AS c
+  FROM tok CROSS JOIN rr
+)
+SELECT CAST(r AS INTEGER) AS r, c, CAST(count(*) AS BIGINT) AS n
+FROM folds GROUP BY r, c
+"""

@@ -126,3 +126,46 @@ def test_length_quantiles_exact(docs, docs_df):
 def test_length_quantiles_empty_text_counts_as_zero(docs):
     got = C.length_quantiles(docs, qs=(0.25,))
     assert (got["p25"] >= 0).all()
+
+
+def test_decontaminate_flags_overlap(docs):
+    # eval set = docs 0-2; doc 3 is an exact dup of doc 0 → fully contaminated
+    got = (
+        C.decontaminate(docs, eval_max_doc_id=3, threshold=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(got.index) == {3, 4, 5, 6, 7}
+    assert got.loc[3, "n_hit"] == got.loc[3, "n_shingles"] > 0
+    assert got.loc[3, "contaminated"] == 1
+    assert got.loc[4, "n_hit"] == 0 and got.loc[4, "contaminated"] == 0
+    # empty doc: zero shingles, not contaminated
+    assert got.loc[5, "n_shingles"] == 0 and got.loc[5, "contaminated"] == 0
+
+
+def test_best_per_source(docs, docs_df):
+    got = C.best_per_source(docs).to_pandas().set_index("source")
+    want = (
+        docs_df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .drop_duplicates("source")
+        .set_index("source")
+    )
+    assert len(got) == docs_df["source"].nunique()
+    for src in want.index:
+        assert got.loc[src, "doc_id"] == want.loc[src, "doc_id"]
+
+
+def test_cms_registers_and_estimate(docs, docs_df):
+    from asterixdb_analytics_ray.pipelines.textops import cms_estimate, cms_registers
+
+    regs = cms_registers(docs, depth=4, width=1024).to_pandas()
+    exact = docs_df["text"].str.split().explode().dropna().value_counts()
+    # total mass per row equals total token count
+    assert (regs.groupby("r")["n"].sum() == exact.sum()).all()
+    # point estimates upper-bound the true counts; with 1024 cells and a
+    # tiny vocab they are exact
+    for tok, n in exact.items():
+        est = cms_estimate(regs, tok, depth=4, width=1024)
+        assert est >= n
+        assert est == n  # no collisions at this vocab size
+    assert cms_estimate(regs, "zzz-never-seen", 4, 1024) in (0, 1, 2)

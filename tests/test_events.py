@@ -102,3 +102,33 @@ def test_range_join_counts(ray_session):
         .to_dict()
     )
     assert got == {2: 2, 3: 1, 4: 0}
+
+
+def test_sessionize_gap_breaks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import sessionize
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # user 1: three events close together, then a 2-hour gap, then one more
+    for i, off in enumerate([0, 60, 120, 7320]):
+        rows.append((i, base + pd.Timedelta(seconds=off), 1, "click", 1.0))
+    # user 2: single event
+    rows.append((10, base, 2, "view", 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (
+        sessionize(ray.data.from_pandas(df), gap_us=1_800_000_000)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    u1 = got[got["user_id"] == 1]
+    assert list(u1["session_id"]) == [0, 1]
+    assert list(u1["n_events"]) == [3, 1]
+    assert u1.iloc[0]["end_us"] - u1.iloc[0]["start_us"] == 120_000_000
+    u2 = got[got["user_id"] == 2]
+    assert len(u2) == 1 and u2.iloc[0]["n_events"] == 1

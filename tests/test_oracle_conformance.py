@@ -81,6 +81,10 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_language_id": so.language_id_sql,
         "doc_simhash": so.simhash_sql,
         "doc_hll_registers": so.hll_registers_sql,
+        "events_sessionize": so.sessionize_sql,
+        "doc_decontaminate": lambda: so.decontaminate_sql(5),
+        "doc_best_per_source": so.best_per_source_sql,
+        "doc_cms_registers": so.cms_registers_sql,
         "doc_top_tokens": lambda: so.top_tokens_sql(20),
         "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
         "doc_hash_sample": lambda: so.hash_sample_sql(
@@ -144,6 +148,10 @@ QUERY_NAMES = [
     "doc_fingerprints",
     "doc_exact_dedup",
     "doc_quality",
+    "events_sessionize",
+    "doc_decontaminate",
+    "doc_best_per_source",
+    "doc_cms_registers",
     "doc_top_tokens",
     "doc_tfidf_terms",
     "doc_hash_sample",
