@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..stages.blocks import partitions_for, safe_join
 
@@ -93,30 +93,62 @@ def top_tokens(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
 
 
 def tfidf_top_terms(
-    docs: ray.data.Dataset, top: int = 3, n_docs: int | None = None
+    docs: ray.data.Dataset,
+    top: int = 3,
+    n_docs: int | None = None,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Per-document top-``top`` TF-IDF terms: (doc_id, token, tf, tfidf).
 
     tfidf = tf · ln(N / df). Document frequencies come from one
-    token-keyed aggregate over the exploded (doc_id, token, tf) table and
-    are joined back (distributed hash join — the vocabulary of a 100 TB
-    corpus does not fit a broadcast). Ranking uses the integer key
-    (tf DESC, df ASC, token ASC): the float score can never change which
-    rows are selected, only annotate them. idf is evaluated with
-    ``math.log`` on the (small) set of distinct df values per batch so the
-    engine and the DuckDB oracle call the same libm."""
+    token-keyed aggregate over the exploded (doc_id, token, tf) table.
+    Scale-adaptive combine:
+
+    * vocabulary ≤ ``max_broadcast_vocab`` rows (the normal case — even a
+      100 TB corpus's vocab is millions, not billions): the (token, df)
+      table is broadcast via ``ray.put`` and the whole operator becomes
+      ONE batch-local pass over ``docs`` — explode, look up df, select
+      per-doc top-N — with zero joins (document rows are atomic, so a
+      doc's terms never straddle tasks);
+    * larger: distributed hash join of the exploded table with the df
+      table, then per-doc selection inside doc-id buckets (hundreds of
+      vectorized group calls, not one per document).
+
+    Ranking uses the integer key (tf DESC, df ASC, token ASC): the float
+    score can never change which rows are selected, only annotate them.
+    idf is evaluated with ``math.log`` on the (small) set of distinct df
+    values per batch so the engine and the DuckDB oracle call the same
+    libm."""
+    import ray as _ray
+
     n_docs = int(docs.count()) if n_docs is None else int(n_docs)
 
-    ex = docs.map_batches(_explode_tokens, batch_format="pandas")
-    n_ex = ex.count()
-    npart = partitions_for(n_ex)
-    df_tbl = ex.groupby("token").aggregate(Count(alias_name="df"))
-    joined = safe_join(ex, df_tbl, "inner", npart, on=("token",))
+    # Document frequencies with a per-batch partial combine (stepPartial):
+    # each batch ships ≤ its distinct tokens, not its exploded rows — the
+    # same two-level combine shape as top_tokens. Materialized because both
+    # branches read it (and the vocabulary is the SMALL side by design).
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = _explode_tokens(df)["token"].value_counts()
+        return pd.DataFrame(
+            {"token": counts.index.astype(object), "df": counts.to_numpy(np.int64)}
+        )
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+    df_tbl = (
+        docs.map_batches(_df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    n_vocab = df_tbl.count()
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-doc top-N + score over rows already carrying df
+        (requires each doc's rows complete within ``g``)."""
         g = g.sort_values(
-            ["tf", "df", "token"], ascending=[False, True, True]
-        ).head(top)
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+        )
+        g = g.groupby("doc_id", sort=False).head(top)
         uniq = {d: math.log(n_docs / d) for d in g["df"].unique()}
         idf = g["df"].map(uniq).to_numpy(np.float64)
         return pd.DataFrame(
@@ -128,7 +160,43 @@ def tfidf_top_terms(
             }
         )
 
-    return joined.groupby("doc_id").map_groups(rank_group, batch_format="pandas")
+    if n_vocab <= max_broadcast_vocab:
+        vocab = df_tbl.to_pandas()
+        dref = _ray.put(
+            pd.Series(
+                vocab["df"].to_numpy(np.int64), index=vocab["token"]
+            )
+        )
+
+        def local(df: pd.DataFrame) -> pd.DataFrame:
+            e = _explode_tokens(df)
+            e["df"] = e["token"].map(_ray.get(dref)).astype(np.int64)
+            return _finish(e)
+
+        return docs.map_batches(local, batch_format="pandas")
+
+    ex = docs.map_batches(_explode_tokens, batch_format="pandas").materialize()
+    npart = partitions_for(ex.count())
+    joined = safe_join(ex, df_tbl, "inner", npart, on=("token",))
+
+    # Per-doc top-N WITHOUT one-UDF-call-per-doc: bucket docs (hundreds of
+    # groups instead of millions), then select inside each bucket with
+    # vectorized pandas groupby.head — C-speed per bucket, exact per doc.
+    n_buckets = np.int64(max(32, npart * 4))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["doc_id"].to_numpy(np.int64) % n_buckets
+        return df
+
+    return (
+        joined.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _finish(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def _hash64(ids: np.ndarray) -> np.ndarray:

@@ -193,27 +193,53 @@ def sessionize(
     start_us, end_us: int64 epoch-µs).
 
     Partitioning assumption (same contract as ``asof_last_event``): rows
-    hash-group by user and each user's history is one task's vectorized
-    diff/cumsum — correct for any data, efficient while one user's events
-    fit a task. Ordering inside a user is (ts, event_id) so equal
-    timestamps break ties identically to the SQL oracle's window ORDER BY.
+    hash-group by user — bucketed so one task handles MANY users
+    vectorized (one UDF call per user-bucket, not per user; session breaks
+    fall out of one sorted diff over the whole bucket with user-change
+    flags). Correct for any data, efficient while a bucket's events fit a
+    task. Ordering inside a user is (ts, event_id) so equal timestamps
+    break ties identically to the SQL oracle's window ORDER BY.
     """
     g = np.int64(gap_us)
+    n_buckets = np.int64(256)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1] > g).astype(np.int64)
-        sid = np.cumsum(new) - 1
-        out = pd.DataFrame({"session_id": sid, "ts": ts})
-        agg = out.groupby("session_id").agg(
-            n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max")
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "tsu": df["ts"].astype("int64").to_numpy(),
+            }
         )
-        agg = agg.reset_index()
-        agg.insert(0, "user_id", df["user_id"].iloc[0])
-        for c in ("session_id", "n_events", "start_us", "end_us"):
+        out["bucket"] = out["user_id"] % n_buckets
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "tsu", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["tsu"].to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        new[1:] = ((uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > g)).astype(np.int64)
+        run = np.cumsum(new) - 1  # global session run id within the bucket
+        out = pd.DataFrame({"user_id": uid, "run": run, "ts": ts})
+        agg = out.groupby("run", sort=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            start_us=("ts", "min"),
+            end_us=("ts", "max"),
+        )
+        # renumber runs 0-based per user (runs are already in user order)
+        sid = agg.groupby("user_id").cumcount()
+        agg = agg.reset_index(drop=True)
+        agg["session_id"] = sid.to_numpy()
+        cols = ["user_id", "session_id", "n_events", "start_us", "end_us"]
+        agg = agg[cols]
+        for c in cols:
             agg[c] = agg[c].astype(np.int64)
         return agg
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        events.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

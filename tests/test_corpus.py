@@ -169,3 +169,19 @@ def test_cms_registers_and_estimate(docs, docs_df):
         assert est >= n
         assert est == n  # no collisions at this vocab size
     assert cms_estimate(regs, "zzz-never-seen", 4, 1024) in (0, 1, 2)
+
+
+def test_tfidf_join_path_matches_broadcast_path(docs):
+    a = (
+        C.tfidf_top_terms(docs, top=2)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    b = (
+        C.tfidf_top_terms(docs, top=2, max_broadcast_vocab=0)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
