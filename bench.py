@@ -266,6 +266,23 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             _T.minhash_lsh_pairs(docs, threshold=0.5).materialize()
             q["doc_minhash_dups"] = time.perf_counter() - t0
+        if _want("doc_tfidf_terms"):
+            from asterixdb_analytics_ray.pipelines import corpus as _C
+
+            t0 = time.perf_counter()
+            _C.tfidf_top_terms(docs, top=3).materialize()
+            q["doc_tfidf_terms"] = time.perf_counter() - t0
+
+    events_path = os.path.join(SF_DIR, "events.parquet")
+    if os.path.exists(events_path) and BENCH_GRAPH != "conv_share":
+        if _want("events_sessionize"):
+            import ray.data as _rd2
+
+            from asterixdb_analytics_ray.pipelines import events as _EV
+
+            t0 = time.perf_counter()
+            _EV.sessionize(_rd2.read_parquet(events_path)).materialize()
+            q["events_sessionize"] = time.perf_counter() - t0
 
     value = q["pagerank"]
     return {
