@@ -377,3 +377,74 @@ def knn_ivf(
     return _topk_merge(
         sub.map_batches(partial, batch_format="pyarrow"), query_ids, k
     )
+
+
+def label_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-label cluster statistics over the embedding column:
+    (label, n, centroid_norm, dispersion), where centroid_norm = ‖mean
+    vector‖₂ and dispersion = mean ‖v‖² − ‖centroid‖² (the within-cluster
+    variance identity).
+
+    One streaming pass of mergeable sufficient statistics: each batch
+    emits (label, n, Σv, Σ‖v‖²) partials — shuffle rows bounded by
+    labels × blocks, never vectors — and the per-label merge is a tiny
+    ``map_groups`` (labels are few by construction). Floats are rounded
+    to 6 decimals: block-parallel summation order differs from the SQL
+    oracle's, so ~1e-13-relative float drift is expected; a 1e-6 grid
+    makes the comparison robust to it."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table(
+                {
+                    "label": pa.array([], type=t.schema.field("label").type),
+                    "n": pa.array([], type=pa.int64()),
+                    "sum_vec": pa.array([], type=pa.list_(pa.float64())),
+                    "sum_sq": pa.array([], type=pa.float64()),
+                }
+            )
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        sums, sqs, ns = [], [], []
+        for j, lab in enumerate(labs):
+            rows = order[
+                starts[j] : starts[j + 1] if j + 1 < len(labs) else None
+            ]
+            block = m[rows]
+            sums.append(block.sum(axis=0))
+            sqs.append(float((block * block).sum()))
+            ns.append(len(rows))
+        return pa.table(
+            {
+                "label": pa.array(list(labs)),
+                "n": pa.array(ns, type=pa.int64()),
+                "sum_vec": _list_col(np.stack(sums)),
+                "sum_sq": pa.array(sqs, type=pa.float64()),
+            }
+        )
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        import pandas as pd
+        n = int(g["n"].sum())
+        sv = np.stack(g["sum_vec"].to_numpy()).sum(axis=0)
+        ssq = float(g["sum_sq"].sum())
+        centroid = sv / n
+        c2 = float(centroid @ centroid)
+        return pd.DataFrame(
+            {
+                "label": [g["label"].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "centroid_norm": [round(math.sqrt(c2), 6)],
+                "dispersion": [round(ssq / n - c2, 6)],
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1118,3 +1118,26 @@ folds AS (
 SELECT CAST(r AS INTEGER) AS r, c, CAST(count(*) AS BIGINT) AS n
 FROM folds GROUP BY r, c
 """
+
+
+def label_centroids_sql() -> str:
+    """Per-label centroid/dispersion stats (embeddings.label_centroids):
+    positional unnest of the vector column, the same sufficient-statistic
+    expressions (‖mean‖, E‖v‖² − ‖mean‖²), rounded to 6 (summation-order tolerant)."""
+    return """
+WITH ex AS MATERIALIZED (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+pern AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+dims AS (SELECT label, i, sum(x) AS sx FROM ex GROUP BY label, i),
+c2 AS (
+  SELECT d.label, sum((sx / n) * (sx / n)) AS c2
+  FROM dims d JOIN pern USING (label) GROUP BY d.label
+),
+msq AS (SELECT label, sum(x * x) AS ssq FROM ex GROUP BY label)
+SELECT p.label, CAST(p.n AS BIGINT) AS n,
+       round(sqrt(c2.c2), 6) AS centroid_norm,
+       round(msq.ssq / p.n - c2.c2, 6) AS dispersion
+FROM pern p JOIN c2 USING (label) JOIN msq USING (label)
+"""

@@ -203,3 +203,21 @@ def test_kmeans_cells_match_numpy_oracle(ray_session):
     ids = df["vec_id"].to_numpy()
     order = np.argsort(ids)
     np.testing.assert_array_equal(got["cell"].to_numpy(), want[order])
+
+
+def test_label_centroids_match_numpy(emb):
+    import numpy as np
+
+    from asterixdb_analytics_ray.pipelines.embeddings import label_centroids
+
+    ds, _ = emb
+    got = label_centroids(ds).to_pandas().set_index("label")
+    df = ds.to_pandas()
+    for lab, g in df.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        cent = m.mean(axis=0)
+        c2 = float(cent @ cent)
+        disp = float((m * m).sum() / len(m) - c2)
+        assert got.loc[lab, "n"] == len(m)
+        assert abs(got.loc[lab, "centroid_norm"] - np.sqrt(c2)) < 1e-5
+        assert abs(got.loc[lab, "dispersion"] - disp) < 1e-5
