@@ -539,6 +539,13 @@ def _q_doc_cms_registers(sf_dir: str):
     return cms_registers(_docs_ds(sf_dir))
 
 
+def _q_doc_lm_score(sf_dir: str):
+    """Unigram LM quality score (mean token log-prob, broadcast counts)."""
+    from asterixdb_analytics_ray.pipelines.corpus import lm_score
+
+    return lm_score(_docs_ds(sf_dir))
+
+
 def _q_emb_label_centroids(sf_dir: str):
     """Per-label centroid norm + dispersion via mergeable sufficient stats."""
     from asterixdb_analytics_ray.pipelines.embeddings import label_centroids
@@ -705,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": _q_doc_hash_sample,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_simhash_dups": _q_doc_simhash_dups,
+        "doc_lm_score": _q_doc_lm_score,
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -753,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": so.fingerprints_sql(),
         "doc_exact_dedup": so.exact_dedup_sql(),
         "doc_quality": so.quality_scores_sql(),
+        "doc_lm_score": so.lm_score_sql(),
         "emb_label_centroids": so.label_centroids_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),

@@ -376,3 +376,57 @@ def best_per_source(docs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("source")
         .map_groups(global_best, batch_format="pandas")
     )
+
+
+def lm_score(
+    docs: ray.data.Dataset, n_total: int | None = None
+) -> ray.data.Dataset:
+    """Unigram language-model quality score: (doc_id, n_tokens, lm_score)
+    where lm_score = mean over the doc's tokens of ln(count(token) / T)
+    (T = corpus token count) — the classic cheap LM-based quality filter
+    (docs of rare/garbled tokens score low, fluent docs high). Empty docs
+    score 0.
+
+    Same two-pass shape as tf-idf's broadcast path: per-batch partial
+    token counts → vocabulary-bounded shuffle → broadcast (token, count)
+    via ``ray.put`` → one batch-local scoring pass. Scores are rounded to
+    6 decimals (per-doc summation-order tolerance vs the SQL oracle)."""
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame(
+            {"token": counts.index.astype(object), "n": counts.to_numpy(np.int64)}
+        )
+
+    counts_tbl = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    T = int(counts_tbl["n"].sum()) if n_total is None else int(n_total)
+    logp = {
+        t: math.log(int(n) / T)
+        for t, n in zip(counts_tbl["token"], counts_tbl["n"])
+    }
+    import ray as _ray
+
+    lref = _ray.put(logp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp = _ray.get(lref)
+        toks = df["text"].str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        scores = np.zeros(len(df), dtype=np.float64)
+        for i, lst in enumerate(toks):
+            if lst:
+                scores[i] = math.fsum(lp[t] for t in lst) / len(lst)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "lm_score": np.round(scores, 6),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -1141,3 +1141,22 @@ SELECT p.label, CAST(p.n AS BIGINT) AS n,
        round(msq.ssq / p.n - c2.c2, 6) AS dispersion
 FROM pern p JOIN c2 USING (label) JOIN msq USING (label)
 """
+
+
+def lm_score_sql() -> str:
+    """Unigram LM score (corpus.lm_score): mean ln(count/T) per doc,
+    empty docs 0, rounded to 6 (per-doc summation-order tolerance)."""
+    return f"""
+WITH {_TOKS_CTE},
+ex AS MATERIALIZED (SELECT doc_id, unnest(ws) AS token FROM toks),
+cnt AS MATERIALIZED (SELECT token, count(*) AS n FROM ex GROUP BY token),
+tt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt),
+per AS (
+  SELECT e.doc_id, avg(ln(c.n / (SELECT t FROM tt))) AS s, count(*) AS n_tok
+  FROM ex e JOIN cnt c USING (token) GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.s, 0.0), 6) AS lm_score
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

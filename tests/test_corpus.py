@@ -257,3 +257,20 @@ def test_hash_sample_nested_property(ray_session, ids, r1, r2):
     a, b = ids_of(lo), ids_of(hi)
     assert a <= b  # samples are nested across rates
     assert b == ids_of(hi)  # deterministic: same rate → same rows
+
+
+def test_lm_score_brute_force(docs, docs_df):
+    got = C.lm_score(docs).to_pandas().set_index("doc_id")
+    toks = docs_df["text"].str.split()
+    counts = toks.explode().dropna().value_counts()
+    T = int(counts.sum())
+    for did, lst in zip(docs_df["doc_id"], toks):
+        if not lst:
+            assert got.loc[did, "lm_score"] == 0.0
+            continue
+        want = sum(math.log(counts[t] / T) for t in lst) / len(lst)
+        assert abs(got.loc[did, "lm_score"] - want) < 1e-5
+    # rare-token doc scores lower than common-token doc
+    rare = got.loc[7, "lm_score"]   # "a b c ..." all-unique tokens
+    common = got.loc[0, "lm_score"]  # mostly corpus-frequent tokens
+    assert rare < common

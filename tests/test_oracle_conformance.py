@@ -96,6 +96,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_fingerprints": so.fingerprints_sql,
         "doc_exact_dedup": so.exact_dedup_sql,
         "doc_quality": so.quality_scores_sql,
+        "doc_lm_score": so.lm_score_sql,
         "emb_label_centroids": so.label_centroids_sql,
         "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
@@ -157,6 +158,7 @@ QUERY_NAMES = [
     "doc_tfidf_terms",
     "doc_hash_sample",
     "doc_length_quantiles",
+    "doc_lm_score",
     "emb_label_centroids",
     "emb_knn",
     "emb_cosine_dups",
