@@ -1,6 +1,7 @@
 """Corpus-statistics operators over the ``documents`` table: token heavy
-hitters, per-document TF-IDF top terms, deterministic hash sampling, and
-exact per-language length quantiles.
+hitters, per-document TF-IDF top terms, deterministic hash sampling, exact
+per-language length quantiles, eval-set decontamination, group-wise argmax
+dedup, and unigram LM quality scoring.
 
 These round out the training-data-pipeline surface next to the dedup /
 quality stack in ``textops.py`` (reference analog: the Hadoop MR utility
