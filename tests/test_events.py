@@ -132,3 +132,54 @@ def test_sessionize_gap_breaks(ray_session):
     assert u1.iloc[0]["end_us"] - u1.iloc[0]["start_us"] == 120_000_000
     u2 = got[got["user_id"] == 2]
     assert len(u2) == 1 and u2.iloc[0]["n_events"] == 1
+
+
+def test_sessionize_randomized_parity(ray_session):
+    """Randomized brute-force parity for the bucket-vectorized kernel:
+    per-user sorted gap-split in plain pandas vs the distributed operator,
+    including equal-timestamp ties and single-event users."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    gap = 1_000_000  # 1s
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 400, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 20_000_000, n), unit="us"
+            ).astype("datetime64[us]"),
+            "event_type": "e",
+            "value": 1.0,
+        }
+    )
+    got = (
+        sessionize(ray.data.from_pandas(df), gap_us=gap)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        sid, start = 0, 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > gap:
+                rows.append((uid, sid, i - start, ts[start], ts[i - 1]))
+                sid += 1
+                start = i
+    want = (
+        pd.DataFrame(
+            rows,
+            columns=["user_id", "session_id", "n_events", "start_us", "end_us"],
+        )
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
