@@ -518,6 +518,22 @@ def _q_events_sessionize(sf_dir: str):
     )
 
 
+def _q_events_session_ids(sf_dir: str):
+    """Per-event session assignment (event_id → session_id, 30-min gap)
+    — the join-back map for session features, same bucket kernel as
+    sessionize."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import session_ids
+
+    return session_ids(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts"],
+        )
+    )
+
+
 def _q_doc_decontaminate(sf_dir: str):
     """Eval-set n-gram contamination flags (broadcast shingle blocklist)."""
     from asterixdb_analytics_ray.pipelines.corpus import decontaminate
@@ -704,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": _q_doc_simhash,
         "doc_hll_registers": _q_doc_hll_registers,
         "events_sessionize": _q_events_sessionize,
+        "events_session_ids": _q_events_session_ids,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
@@ -749,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": so.simhash_sql(),
         "doc_hll_registers": so.hll_registers_sql(),
         "events_sessionize": so.sessionize_sql(),
+        "events_session_ids": so.session_ids_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),

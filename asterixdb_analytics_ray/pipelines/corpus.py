@@ -48,7 +48,13 @@ def _explode_tokens(df: pd.DataFrame) -> pd.DataFrame:
     flat = pd.DataFrame(
         {
             "doc_id": np.repeat(df["doc_id"].to_numpy(), n.to_numpy()),
-            "token": [t for lst in toks for t in (lst or [])],
+            # .str.split() yields NaN for null text — (lst or []) would
+            # raise on the truthy float; guard with an isinstance check
+            "token": [
+                t
+                for lst in toks
+                for t in (lst if isinstance(lst, list) else [])
+            ],
         }
     )
     if not len(flat):

@@ -109,13 +109,19 @@ def _topk_merge(
             }
         )
 
-    df = (
-        parts.groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
-        .sort_values(
-            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    df = parts.groupby("query_id").map_groups(topk, batch_format="pandas").to_pandas()
+    if len(df) == 0:
+        # map_groups over an empty Dataset yields a column-less frame;
+        # return the empty typed result instead of KeyError-ing on sort
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
         )
+    df = df.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
     )
     return pa.table(
         {

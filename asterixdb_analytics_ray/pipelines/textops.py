@@ -448,10 +448,15 @@ def minhash_lsh_pairs(
         a = np.concatenate(pa_)
         b = np.concatenate(pb_)
         dropped -= len(a)
-        print(
+        import warnings
+
+        warnings.warn(
             f"[minhash-lsh] hot bucket: {k} docs > max_bucket={max_bucket}; "
             f"chunked by signature hash, {dropped} cross-chunk candidate "
-            f"pairs dropped (survivors remain exact-verified)"
+            f"pairs dropped (survivors remain exact-verified). Raise "
+            f"max_bucket (or run exact_dedup first) to avoid recall loss.",
+            RuntimeWarning,
+            stacklevel=2,
         )
         return pd.DataFrame(
             {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}

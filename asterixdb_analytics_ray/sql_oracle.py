@@ -1046,6 +1046,29 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def session_ids_sql(gap_us: int = 1_800_000_000) -> str:
+    """Per-event session assignment (events.session_ids): the same
+    lag-diff/cumsum windows as ``sessionize_sql`` but emitting the
+    (event_id → session_id) map instead of session aggregates —
+    integer-exact."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events
+),
+flags AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > {gap_us} THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+         AS session_id
+FROM flags
+"""
+
+
 def decontaminate_sql(
     eval_max_doc_id: int = 5, k: int = 3, threshold: float = 0.5
 ) -> str:

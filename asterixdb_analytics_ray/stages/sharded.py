@@ -1801,6 +1801,12 @@ class ShardedSample:
                 )
                 live = tuple(c > 0 for c in fcounts)
         if sel_refs is None:
+            if seeds is None:
+                raise ValueError(
+                    "ShardedSample: no checkpoint found to resume from and "
+                    "no seeds provided — pass seeds or point checkpoint_dir "
+                    "at an existing run"
+                )
             sel = [np.zeros(shard_size, dtype=np.uint8) for _ in range(P)]
             for v in np.asarray(seeds, dtype=np.int64):
                 sel[v % P][v // P] = 1
@@ -1847,7 +1853,6 @@ class ShardedSample:
                         hi = mid
                 T = lo
             new_sel = list(sel_refs)
-            new_front = [ray.put(np.zeros(shard_size, dtype=np.uint8))] * 0
             new_front = list(front_refs)
             front_counts = {}
             zero = None

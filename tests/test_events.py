@@ -183,3 +183,145 @@ def test_sessionize_randomized_parity(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+def test_asof_range_randomized_parity(ray_session):
+    """Randomized brute-force parity for the bucket-vectorized composite-key
+    as-of / range-join kernels: many users per bucket, equal-timestamp ties
+    (max-event-id tie-break), users with no rights, users with no lefts."""
+    import numpy as np
+    import pandas as pd
+
+    from asterixdb_analytics_ray.pipelines.events import (
+        asof_last_event,
+        range_join_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    w = 2_000_000  # 2s band
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                int(rng.integers(0, 30_000_000)),
+                int(rng.integers(0, 700)),
+                "error" if rng.random() < 0.4 else "click",
+                0.0,
+            )
+        )
+    ds = _events(rows)
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts_us", "user_id", "event_type", "value"]
+    )
+
+    # brute force per left event
+    want_prev, want_lag, want_n = {}, {}, {}
+    for _, r in df[df["event_type"] == "error"].iterrows():
+        cand = df[
+            (df["event_type"] == "click")
+            & (df["user_id"] == r["user_id"])
+            & (df["ts_us"] <= r["ts_us"])
+        ]
+        if len(cand):
+            best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+            want_prev[r["event_id"]] = int(best["event_id"])
+            want_lag[r["event_id"]] = round(
+                (r["ts_us"] - best["ts_us"]) / 1e6, 6
+            )
+        else:
+            want_prev[r["event_id"]] = -1
+            want_lag[r["event_id"]] = -1.0
+        want_n[r["event_id"]] = int(
+            (
+                (df["event_type"] == "click")
+                & (df["user_id"] == r["user_id"])
+                & (df["ts_us"] <= r["ts_us"])
+                & (df["ts_us"] >= r["ts_us"] - w)
+            ).sum()
+        )
+
+    got = asof_last_event(ds).to_pandas().set_index("event_id")
+    assert got["prev_event_id"].to_dict() == want_prev
+    assert got["lag_sec"].to_dict() == want_lag
+    gotn = (
+        range_join_counts(ds, window_us=w)
+        .to_pandas()
+        .set_index("event_id")["n_prior"]
+        .to_dict()
+    )
+    assert gotn == want_n
+
+
+def test_session_ids_parity_with_sessionize(ray_session):
+    """session_ids assigns every event; aggregating the assignment
+    reproduces sessionize exactly (same randomized corpus incl. ties)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import (
+        session_ids,
+        sessionize,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    gap = 1_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 400, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 20_000_000, n), unit="us"
+            ).astype("datetime64[us]"),
+            "event_type": "e",
+            "value": 1.0,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    assign = session_ids(ds, gap_us=gap).to_pandas()
+    assert len(assign) == n and assign["event_id"].is_unique
+
+    joined = assign.merge(
+        df[["event_id", "ts"]].assign(tsu=df["ts"].astype("int64")),
+        on="event_id",
+    )
+    agg = (
+        joined.groupby(["user_id", "session_id"])
+        .agg(n_events=("tsu", "size"), start_us=("tsu", "min"), end_us=("tsu", "max"))
+        .reset_index()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        sessionize(ds, gap_us=gap)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(agg, want, check_dtype=False)
+
+
+def test_topk_merge_empty_embeddings(ray_session):
+    """Empty embeddings input returns an empty typed kNN table (regression:
+    map_groups over an empty Dataset yields a column-less frame)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import knn_brute_force
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = knn_brute_force(
+        empty, np.zeros((2, 4)), np.array([0, 1], dtype=np.int64), k=5
+    )
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "sim"]

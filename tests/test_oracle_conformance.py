@@ -82,6 +82,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_simhash": so.simhash_sql,
         "doc_hll_registers": so.hll_registers_sql,
         "events_sessionize": so.sessionize_sql,
+        "events_session_ids": so.session_ids_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
@@ -151,6 +152,7 @@ QUERY_NAMES = [
     "doc_exact_dedup",
     "doc_quality",
     "events_sessionize",
+    "events_session_ids",
     "doc_decontaminate",
     "doc_best_per_source",
     "doc_cms_registers",
