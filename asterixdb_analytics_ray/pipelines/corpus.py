@@ -386,7 +386,9 @@ def best_per_source(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def lm_score(
-    docs: ray.data.Dataset, n_total: int | None = None
+    docs: ray.data.Dataset,
+    n_total: int | None = None,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Unigram language-model quality score: (doc_id, n_tokens, lm_score)
     where lm_score = mean over the doc's tokens of ln(count(token) / T)
@@ -394,10 +396,22 @@ def lm_score(
     (docs of rare/garbled tokens score low, fluent docs high). Empty docs
     score 0.
 
-    Same two-pass shape as tf-idf's broadcast path: per-batch partial
-    token counts → vocabulary-bounded shuffle → broadcast (token, count)
-    via ``ray.put`` → one batch-local scoring pass. Scores are rounded to
-    6 decimals (per-doc summation-order tolerance vs the SQL oracle)."""
+    Scale-adaptive, same contract as ``tfidf_top_terms``:
+
+    * vocabulary ≤ ``max_broadcast_vocab``: broadcast the (token → ln p)
+      Series via ``ray.put`` and score in ONE batch-local pass — exploded
+      ``Series.map`` lookup (vectorized, no per-token Python dict loop) +
+      per-doc ``np.add.reduceat`` segment sums;
+    * larger (a 100 TB web corpus's long-tail vocab can be 10⁸–10⁹
+      entries): distributed hash join of the exploded (doc_id, token, tf)
+      table with the (token, n) table, per-doc mean inside doc-id buckets
+      (hundreds of vectorized group calls), empty docs unioned in
+      map-side — no driver- or worker-resident vocabulary anywhere.
+
+    ln is evaluated with ``math.log`` on DISTINCT counts only (so engine
+    and DuckDB oracle call the same libm); scores are rounded to 6
+    decimals (per-doc summation-order tolerance vs the SQL oracle)."""
+    import ray as _ray
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         counts = df["text"].str.split().explode().dropna().value_counts()
@@ -405,35 +419,101 @@ def lm_score(
             {"token": counts.index.astype(object), "n": counts.to_numpy(np.int64)}
         )
 
-    counts_tbl = (
+    counts_ds = (
         docs.map_batches(count_partial, batch_format="pandas")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .materialize()
     )
-    T = int(counts_tbl["n"].sum()) if n_total is None else int(n_total)
-    logp = {
-        t: math.log(int(n) / T)
-        for t, n in zip(counts_tbl["token"], counts_tbl["n"])
-    }
-    import ray as _ray
+    n_vocab = counts_ds.count()
+    T = int(counts_ds.sum("n")) if n_total is None else int(n_total)
 
-    lref = _ray.put(logp)
+    if n_vocab <= max_broadcast_vocab:
+        vocab = counts_ds.to_pandas()
+        # math.log per DISTINCT count value (distinct counts ≪ vocab)
+        by_count = {
+            int(n): math.log(int(n) / T) for n in pd.unique(vocab["n"])
+        }
+        lref = _ray.put(
+            pd.Series(
+                vocab["n"].map(by_count).to_numpy(np.float64),
+                index=vocab["token"],
+            )
+        )
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        lp = _ray.get(lref)
-        toks = df["text"].str.split()
-        n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        scores = np.zeros(len(df), dtype=np.float64)
-        for i, lst in enumerate(toks):
-            if lst:
-                scores[i] = math.fsum(lp[t] for t in lst) / len(lst)
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            lp = _ray.get(lref)
+            toks = df["text"].str.split()
+            n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            scores = np.zeros(len(df), dtype=np.float64)
+            flat = toks.explode().dropna()
+            if len(flat):
+                vals = flat.map(lp).to_numpy(np.float64)
+                nz = n_tok > 0
+                starts = np.cumsum(n_tok) - n_tok
+                sums = np.add.reduceat(vals, starts[nz])
+                scores[nz] = sums / n_tok[nz]
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_tokens": n_tok,
+                    "lm_score": np.round(scores, 6),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    # distributed fallback: explode → hash join on token → bucketed mean
+    ex = docs.map_batches(_explode_tokens, batch_format="pandas").materialize()
+    npart = partitions_for(ex.count())
+    joined = safe_join(ex, counts_ds, "inner", npart, on=("token",))
+    n_buckets = np.int64(max(32, npart * 4))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["doc_id"].to_numpy(np.int64) % n_buckets
+        return df
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        by_count = {int(n): math.log(int(n) / T) for n in pd.unique(g["n"])}
+        contrib = g["tf"].to_numpy(np.float64) * g["n"].map(
+            by_count
+        ).to_numpy(np.float64)
+        a = (
+            pd.DataFrame(
+                {"doc_id": g["doc_id"], "c": contrib, "tf": g["tf"]}
+            )
+            .groupby("doc_id", sort=False)
+            .agg(s=("c", "sum"), n_tokens=("tf", "sum"))
+        )
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "n_tokens": n_tok,
-                "lm_score": np.round(scores, 6),
+                "doc_id": a.index.to_numpy(np.int64),
+                "n_tokens": a["n_tokens"].to_numpy(np.int64),
+                "lm_score": np.round(
+                    a["s"].to_numpy() / a["n_tokens"].to_numpy(np.float64), 6
+                ),
             }
         )
 
-    return docs.map_batches(score, batch_format="pandas")
+    scored = (
+        joined.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: agg_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+    def empties(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().fillna(0).astype(np.int64)
+        e = df[n_tok.to_numpy() == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": e["doc_id"].to_numpy(np.int64),
+                "n_tokens": np.zeros(len(e), dtype=np.int64),
+                "lm_score": np.zeros(len(e), dtype=np.float64),
+            }
+        )
+
+    return scored.union(docs.map_batches(empties, batch_format="pandas"))

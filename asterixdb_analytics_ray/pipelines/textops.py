@@ -184,25 +184,53 @@ def language_id(
     import json
 
     profiles = {r["lang"]: json.loads(r["profile"]) for r in profs}
-    ref = ray.put(profiles)
+    # pre-assemble the scoring matrix ONCE on the driver: combined gram
+    # vocabulary (≤ top·n_langs rows) and a (|vocab| × n_langs) weight
+    # matrix, broadcast together — the per-batch work is then one
+    # vectorized Series.map lookup + one bincount + one matmul, no
+    # per-doc/per-lang Python loops (the per-doc Counter scoring this
+    # replaces was the last per-doc-Python corpus stage)
+    langs = sorted(profiles)
+    vocab: dict[str, int] = {}
+    for lang in langs:
+        for g_ in profiles[lang]:
+            vocab.setdefault(g_, len(vocab))
+    W = np.zeros((len(vocab), len(langs)))
+    for j, lang in enumerate(langs):
+        for g_, w in profiles[lang].items():
+            W[vocab[g_], j] = w
+    vocab_ser = pd.Series(
+        np.arange(len(vocab), dtype=np.int64), index=list(vocab)
+    )
+    ref = ray.put((langs, vocab_ser, W))
 
     # plain tasks (broadcast profiles fetched zero-copy per task): an actor
     # pool would pin CPUs and can starve concurrent stages on small clusters
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        profiles: dict[str, dict[str, float]] = ray.get(ref)
-        preds = []
-        for t in df["text"]:
-            c = Counter(_char_ngrams(t))
-            total = sum(c.values()) or 1
-            best, best_s = None, -1.0
-            for lang, prof in sorted(profiles.items()):
-                s = sum(prof.get(g, 0.0) * cnt for g, cnt in c.items()) / total
-                if s > best_s:
-                    best, best_s = lang, s
-            preds.append(best)
-        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": preds})
+        langs, vocab_ser, W = ray.get(ref)
+        nv, nl = len(vocab_ser), len(langs)
+        n = len(df)
+        grams_per_doc = [_char_ngrams(t) for t in df["text"]]
+        counts = np.fromiter(
+            (len(g) for g in grams_per_doc), dtype=np.int64, count=n
+        )
+        flat = [g_ for gs in grams_per_doc for g_ in gs]
+        scores = np.zeros((n, nl))
+        if flat:
+            gid = pd.Series(flat).map(vocab_ser).to_numpy(np.float64)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            hit = ~np.isnan(gid)
+            C = np.bincount(
+                doc_of[hit] * nv + gid[hit].astype(np.int64),
+                minlength=n * nv,
+            ).reshape(n, nv)
+            # normalization by doc total is a positive per-row scalar —
+            # argmax-invariant, so it is skipped entirely
+            scores = C.astype(np.float64) @ W
+        # argmax takes the FIRST maximal column = smallest lang (columns
+        # sorted), matching the oracle's (score DESC, lang ASC) tie-break
+        pred = np.asarray(langs, dtype=object)[np.argmax(scores, axis=1)]
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
 
     return docs.map_batches(classify, batch_format="pandas")
 
@@ -361,6 +389,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_bucket: int = 512,
+    salt_hot: bool = True,
 ) -> ray.data.Dataset:
     """Near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) via MinHash-LSH.
 
@@ -382,17 +411,33 @@ def minhash_lsh_pairs(
     surviving pair is still exact-verified).  Buckets ≤ ``max_bucket`` are
     exact, so sane corpora (like the driver's) are unaffected.
 
-    Scale note: the cap bounds pair EMISSION; the bucket's rows (24 B each)
-    still ship to one ``map_groups`` task, so a bucket of 10M docs ingests
-    ~240 MB — survivable, but a corpus where millions of documents share a
-    band hash is mass-duplicated and should run ``exact_dedup`` FIRST
-    (standard pipeline order: near-dup detection assumes exact dups are
-    already collapsed; identical docs are indistinguishable to ANY
-    signature-based split, so no partitioning can separate them without
-    dropping true pairs).
+    ``salt_hot`` (default on) bounds the bucket's ROW ingestion too: a
+    pre-shuffle count pass (per-batch partial combine, so it ships only
+    distinct band hashes per block) flags buckets over ``max_bucket`` and
+    salts their shuffle key BEFORE the groupby —
+
+    * by ``sig_hash % k`` (k = ⌈bucket/max_bucket⌉): equal/near-identical
+      signatures still co-locate, collision-only crowds split across
+      tasks (the same recall contract as the sorted chunking, enforced a
+      shuffle earlier);
+    * a signature CLASS that is itself over ``max_bucket`` (mass-identical
+      docs — the run-``exact_dedup``-first case) is further spread by a
+      doc-id hash into its own salt namespace, so even 1M identical docs
+      land in ~max_bucket-row tasks (their cross-task pairs are dropped,
+      as the chunking already dropped them — documented recall loss,
+      warned on the DRIVER, and every surviving pair stays exact-verified).
+
+    Sane corpora (like the driver's) have no over-cap buckets: the salt
+    column is never added and results are bit-identical to ``salt_hot=
+    False``.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_k)
+    if salt_hot:
+        # banded is consumed up to 3× (bucket counts, sig-class counts,
+        # the pair shuffle) — materialize the signatures so only the cheap
+        # numpy band hashing re-runs, never the md5 shingle pass
+        sigs = sigs.materialize()
 
     def to_bands(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -422,6 +467,115 @@ def minhash_lsh_pairs(
         )
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    group_keys = ["band_id", "band_hash"]
+    if salt_hot:
+        from ray.data.aggregate import Sum as _Sum
+
+        def _bucket_counts(t: pa.Table) -> pa.Table:
+            g = t.group_by(["band_id", "band_hash"]).aggregate(
+                [("doc_id", "count")]
+            )
+            return g.rename_columns(["band_id", "band_hash", "c"])
+
+        hot_df = (
+            banded.map_batches(_bucket_counts, batch_format="pyarrow")
+            .groupby(["band_id", "band_hash"])
+            .aggregate(_Sum("c", alias_name="c"))
+            .filter(expr=f"c > {max_bucket}")
+            .to_pandas()
+        )
+        if len(hot_df):
+            import warnings
+
+            warnings.warn(
+                f"[minhash-lsh] {len(hot_df)} hot LSH bucket(s) over "
+                f"max_bucket={max_bucket} (largest {int(hot_df['c'].max())} "
+                f"docs); salting their shuffle keys — cross-salt candidate "
+                f"pairs are dropped (survivors remain exact-verified). Run "
+                f"exact_dedup first if the corpus is mass-duplicated.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hot_ref = ray.put(hot_df[["band_id", "band_hash", "c"]])
+
+            # signature classes that are THEMSELVES over the cap (counted
+            # only among hot-bucket rows, so this aggregate stays small)
+            def _sig_counts(df: pd.DataFrame) -> pd.DataFrame:
+                hd = ray.get(hot_ref)
+                m = df.merge(
+                    hd[["band_id", "band_hash"]], on=["band_id", "band_hash"]
+                )
+                g = (
+                    m.groupby(
+                        ["band_id", "band_hash", "sig_hash"], sort=False
+                    )
+                    .size()
+                    .rename("c2")
+                    .reset_index()
+                )
+                g["c2"] = g["c2"].astype(np.int64)
+                return g
+
+            hot_sig_df = (
+                banded.map_batches(_sig_counts, batch_format="pandas")
+                .groupby(["band_id", "band_hash", "sig_hash"])
+                .aggregate(_Sum("c2", alias_name="c2"))
+                .filter(expr=f"c2 > {max_bucket}")
+                .to_pandas()
+            )
+            hs_ref = ray.put(hot_sig_df) if len(hot_sig_df) else None
+            KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+            def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+                hd = ray.get(hot_ref)
+                salt = np.zeros(len(df), dtype=np.int64)
+                m = df.merge(hd, on=["band_id", "band_hash"], how="left")
+                hot = m["c"].notna().to_numpy()
+                if hot.any():
+                    k = np.maximum(
+                        1.0,
+                        np.ceil(m["c"].to_numpy(np.float64)[hot] / max_bucket),
+                    ).astype(np.uint64)
+                    salt[hot] = (
+                        df["sig_hash"].to_numpy()[hot] % k
+                    ).astype(np.int64)
+                if hs_ref is not None:
+                    hs = ray.get(hs_ref)
+                    m2 = df.merge(
+                        hs, on=["band_id", "band_hash", "sig_hash"], how="left"
+                    )
+                    shot = m2["c2"].notna().to_numpy()
+                    if shot.any():
+                        k2 = np.maximum(
+                            1.0,
+                            np.ceil(
+                                m2["c2"].to_numpy(np.float64)[shot]
+                                / max_bucket
+                            ),
+                        ).astype(np.uint64)
+                        spread = (
+                            df["doc_id"].to_numpy()[shot].astype(np.uint64)
+                            * KNUTH
+                        ) % k2
+                        cls = (
+                            df["sig_hash"].to_numpy()[shot]
+                            % np.uint64(65536)
+                        ).astype(np.int64)
+                        # negative namespace keeps mass-identical classes
+                        # apart from the sig-salted rest of the bucket; a
+                        # 16-bit class collision only merges two groups
+                        # (extra candidates, all still exact-verified)
+                        salt[shot] = -1 - (
+                            cls * np.int64(1 << 32)
+                            + spread.astype(np.int64)
+                        )
+                out = df.copy()
+                out["salt"] = salt
+                return out
+
+            banded = banded.map_batches(add_salt, batch_format="pandas")
+            group_keys = ["band_id", "band_hash", "salt"]
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id")
@@ -463,7 +617,7 @@ def minhash_lsh_pairs(
         )
 
     cand = (
-        banded.groupby(["band_id", "band_hash"])
+        banded.groupby(group_keys)
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .count()

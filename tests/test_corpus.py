@@ -274,3 +274,54 @@ def test_lm_score_brute_force(docs, docs_df):
     rare = got.loc[7, "lm_score"]   # "a b c ..." all-unique tokens
     common = got.loc[0, "lm_score"]  # mostly corpus-frequent tokens
     assert rare < common
+
+
+def test_lm_score_fallback_matches_broadcast(docs):
+    """An adversarially small max_broadcast_vocab forces the distributed
+    hash-join fallback; results (incl. empty docs) must match the broadcast
+    path exactly at round-6."""
+    a = (
+        C.lm_score(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        C.lm_score(docs, max_broadcast_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_lm_score_null_text(ray_session):
+    """Null text values score 0 with 0 tokens on both paths (regression:
+    str.split() yields NaN for None and the old per-row loop crashed)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["hello world", None, "hello"],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    for kw in ({}, {"max_broadcast_vocab": 1}):
+        got = C.lm_score(ds, **kw).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_tokens"] == 0 and got.loc[1, "lm_score"] == 0.0
+        assert got.loc[0, "n_tokens"] == 2
+
+
+def test_tfidf_null_text(ray_session):
+    """Null text must not crash _explode_tokens (regression)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["a b a", None, "b c"],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    got = C.tfidf_top_terms(ray.data.from_pandas(df), top=2).to_pandas()
+    assert set(got["doc_id"]) == {0, 2}

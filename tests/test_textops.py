@@ -111,7 +111,8 @@ def test_minhash_hot_bucket_bounded(ray_session):
         }
     )
     pairs = T.minhash_lsh_pairs(
-        ray.data.from_pandas(df), threshold=0.5, max_bucket=cap
+        ray.data.from_pandas(df), threshold=0.5, max_bucket=cap,
+        salt_hot=False,
     ).to_pandas()
     # chunked emission: ceil(k/cap) chunks of <=cap docs, triu within each.
     # identical signatures sort stably by doc_id, so chunks are contiguous
@@ -123,6 +124,52 @@ def test_minhash_hot_bucket_bounded(ray_session):
     assert len(pairs) == expect
     assert expect < k * (k - 1) // 2  # strictly bounded below exact
     assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_minhash_hot_bucket_row_salting(ray_session):
+    """salt_hot (default) bounds a degenerate bucket's ROW ingestion by
+    salting the shuffle key pre-shuffle: a mass-identical corpus spreads
+    across ~⌈k/cap⌉ doc-hash salt classes per bucket, the driver sees a
+    RuntimeWarning, and the deterministic per-class pair count survives
+    exact verification at jaccard 1.0."""
+    k, cap = 300, 64
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(k, dtype=np.int64),
+            "text": ["identical boilerplate text body"] * k,
+        }
+    )
+    with pytest.warns(RuntimeWarning, match="hot LSH bucket"):
+        pairs = T.minhash_lsh_pairs(
+            ray.data.from_pandas(df), threshold=0.5, max_bucket=cap
+        ).to_pandas()
+    # simulate the salting: identical sigs -> one hot sig class per bucket,
+    # spread by (doc_id * KNUTH) % ceil(k/cap); within a class, bucket_pairs
+    # chunks sorted ids at cap
+    KNUTH = np.uint64(0x9E3779B97F4A7C15)
+    k2 = int(np.ceil(k / cap))
+    spread = (np.arange(k, dtype=np.uint64) * KNUTH) % np.uint64(k2)
+    expect = 0
+    for s in range(k2):
+        ids = np.sort(np.arange(k)[spread == s])
+        for st in range(0, len(ids), cap):
+            c = min(cap, len(ids) - st)
+            expect += c * (c - 1) // 2
+    assert len(pairs) == expect
+    assert expect < k * (k - 1) // 2  # strictly bounded below exact
+    assert (pairs["jaccard"] == 1.0).all()
+    # every salt class is ~k/k2 rows: the biggest single map_groups input
+    # is bounded far below the full bucket
+    assert max(np.bincount(spread.astype(np.int64))) < k
+
+
+def test_minhash_salting_identity_on_sane_corpus(docs):
+    """No bucket over max_bucket -> the salt column is never added and
+    results are identical to salt_hot=False."""
+    a = T.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
+    b = T.minhash_lsh_pairs(docs, threshold=0.4, salt_hot=False).to_pandas()
+    key = lambda d: sorted(zip(d["doc_a"], d["doc_b"], d["jaccard"]))
+    assert key(a) == key(b)
 
 
 def test_minhash_small_buckets_exact_with_cap(docs):
