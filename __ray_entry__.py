@@ -562,6 +562,14 @@ def _q_doc_lm_score(sf_dir: str):
     return lm_score(_docs_ds(sf_dir))
 
 
+def _q_corpus_pipeline(sf_dir: str):
+    """Composed end-to-end training-data pipeline: exact dedup → MinHash
+    near-dup drop → eval decontamination → quality filter → hash sample."""
+    from asterixdb_analytics_ray.pipelines.corpus import corpus_pipeline
+
+    return corpus_pipeline(_docs_ds(sf_dir))
+
+
 def _q_emb_label_centroids(sf_dir: str):
     """Per-label centroid norm + dispersion via mergeable sufficient stats."""
     from asterixdb_analytics_ray.pipelines.embeddings import label_centroids
@@ -730,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_simhash_dups": _q_doc_simhash_dups,
         "doc_lm_score": _q_doc_lm_score,
+        "corpus_pipeline": _q_corpus_pipeline,
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -780,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": so.exact_dedup_sql(),
         "doc_quality": so.quality_scores_sql(),
         "doc_lm_score": so.lm_score_sql(),
+        "corpus_pipeline": so.corpus_pipeline_sql(),
         "emb_label_centroids": so.label_centroids_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),

@@ -385,6 +385,142 @@ def best_per_source(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def corpus_pipeline(
+    docs: ray.data.Dataset,
+    near_threshold: float = 0.5,
+    eval_max_doc_id: int = 5,
+    contam_threshold: float = 0.5,
+    min_quality: float = 12.0,
+    sample_rate: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """The composed end-to-end training-data pipeline — every stage exists
+    and is individually oracle-checked; this chains them the way a real
+    corpus build runs them, streaming, with no driver-side materialization
+    of documents anywhere:
+
+      1. **exact dedup** (content-addressed, min doc_id wins) — standard
+         pipeline order: near-dup detection assumes exact dups are already
+         collapsed (see ``minhash_lsh_pairs``' contract);
+      2. **MinHash-LSH near-dup drop**: every verified pair (jaccard ≥
+         ``near_threshold``) drops its LARGER doc_id — keep-first-by-id, the
+         SQL-expressible greedy rule. The drop set is applied with a
+         distributed left-outer anti-join (at web scale the near-dup set is
+         a large fraction of the corpus — never broadcast);
+      3. **eval decontamination**: the eval side (doc_id <
+         ``eval_max_doc_id``) comes from the ORIGINAL corpus (an eval doc
+         dropped by dedup must still poison training docs); training docs
+         with shingle-overlap ≥ ``contam_threshold`` are dropped, eval docs
+         themselves never enter the output;
+      4. **quality filter**: heuristic score (``textops.quality_scores``
+         formula) ≥ ``min_quality``;
+      5. **deterministic hash sample** at ``sample_rate`` (pure function of
+         doc_id — resumable, cluster-size independent).
+
+    Stages 3–5 are FUSED into one map pass (one read of each surviving
+    text). Returns (doc_id, n_tokens, score). 100 TB shape: two digest
+    shuffles (dedup + anti-join) + the LSH band shuffle; everything else is
+    map-side against a broadcast eval set (MBs — benchmarks are small)."""
+    import ray as _ray
+
+    from .textops import STOPWORDS, _shingle_hashes, exact_dedup, minhash_lsh_pairs
+
+    survivors = exact_dedup(docs).materialize()  # consumed by 2 stages
+    n_surv = survivors.count()
+
+    pairs = minhash_lsh_pairs(
+        survivors,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=near_threshold,
+        shingle_k=shingle_k,
+    )
+    # distinct larger-id per pair → (doc_id, _dup) drop table
+    drops = (
+        pairs.select_columns(["doc_b"])
+        .groupby("doc_b")
+        .count()
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_b"].to_numpy(np.int64),
+                    "_dup": np.ones(len(df), dtype=np.int8),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if drops.count() > 0:
+        kept = safe_join(
+            survivors, drops, "left_outer", partitions_for(n_surv), on=("doc_id",)
+        )
+    else:
+        kept = survivors  # empty right side would strip the join schema
+
+    # broadcast eval shingle set (from the ORIGINAL docs — see docstring)
+    evals = docs.filter(expr=f"doc_id < {eval_max_doc_id}").to_pandas()
+    eval_set = np.unique(
+        np.concatenate(
+            [_shingle_hashes(t, shingle_k) for t in evals["text"]]
+            or [np.array([], dtype=np.uint64)]
+        )
+    )
+    eval_ref = _ray.put(np.sort(eval_set))
+    W = float(1 << 64)
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        if "_dup" in df.columns:
+            df = df[df["_dup"].isna()]
+        ids = df["doc_id"].to_numpy(np.int64)
+        # cheapest gates first: the sample + eval-exclusion need no text
+        gate = _hash64(ids).astype(np.float64) < sample_rate * W
+        gate &= ids >= eval_max_doc_id
+        df = df[gate]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not len(df):
+            return empty
+        toks = df["text"].str.split()
+        n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        stops = toks.map(
+            lambda ws: sum(w in STOPWORDS for w in ws)
+            if isinstance(ws, list)
+            else 0
+        ).to_numpy(np.float64)
+        safe = np.maximum(n_tok.astype(np.float64), 1.0)
+        ratio = np.round(stops / safe, 6)  # quality_scores' exact formula
+        score = np.round(n_tok * (1.0 - ratio), 6)
+        qok = score >= min_quality
+        ev = _ray.get(eval_ref)
+        contam = np.zeros(len(df), dtype=bool)
+        for i, t in enumerate(df["text"]):
+            if not qok[i]:
+                continue  # already dropped — skip the shingle pass
+            h = _shingle_hashes(t, shingle_k)
+            if len(h) and len(ev):
+                idx = np.searchsorted(ev, h)
+                idx[idx == len(ev)] = 0
+                contam[i] = int(np.sum(ev[idx] == h)) / len(h) >= contam_threshold
+        m = qok & ~contam
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[m],
+                "n_tokens": n_tok[m],
+                "score": score[m],
+            }
+        )
+
+    return kept.map_batches(fused, batch_format="pandas")
+
+
 def lm_score(
     docs: ray.data.Dataset,
     n_total: int | None = None,

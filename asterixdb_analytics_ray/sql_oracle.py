@@ -409,20 +409,17 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
 """
 
 
-def minhash_lsh_sql(
-    threshold: float = 0.4,
+def _minhash_pair_ctes(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 3,
+    src: str = "documents",
 ) -> str:
-    """The ENTIRE MinHash-LSH near-dup pipeline recomputed in SQL: shingle
-    hashes (md5 first 8 bytes, matching ``textops._shingle_hashes``), MinHash
-    signatures under the engine's exact uint64 WRAP arithmetic
-    ((a·x mod 2^64 + b) mod 2^64 mod (2^61−1), emulated with HUGEINT and an
-    explicit 2^64 modulus), FNV band folding with the same wrap, bucket
-    self-join for candidates, and exact-Jaccard verification on the hash
-    sets. Permutation constants come from the same seeded generator the
-    engine uses, inlined as a VALUES table."""
+    """The MinHash-LSH candidate+verify chain as a composable CTE fragment
+    (no leading WITH, no final SELECT): defines ``toks → sh_lists → shh →
+    sig → band → cand → sizes → inter`` over source relation ``src``
+    (any relation with (doc_id, text)). ``minhash_lsh_sql`` and
+    ``corpus_pipeline_sql`` both build on it."""
     from .pipelines.textops import _minhash_params
 
     a, b = _minhash_params(num_perm)
@@ -443,7 +440,12 @@ def minhash_lsh_sql(
         return h
 
     return f"""
-WITH {_TOKS_CTE},
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM {src}
+),
 sh_lists AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(ws) >= {k} THEN
@@ -489,13 +491,108 @@ inter AS MATERIALIZED (
   JOIN shh x ON x.doc_id = c.doc_a
   JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
   GROUP BY 1, 2
-)
+)"""
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.4,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> str:
+    """The ENTIRE MinHash-LSH near-dup pipeline recomputed in SQL: shingle
+    hashes (md5 first 8 bytes, matching ``textops._shingle_hashes``), MinHash
+    signatures under the engine's exact uint64 WRAP arithmetic
+    ((a·x mod 2^64 + b) mod 2^64 mod (2^61−1), emulated with HUGEINT and an
+    explicit 2^64 modulus), FNV band folding with the same wrap, bucket
+    self-join for candidates, and exact-Jaccard verification on the hash
+    sets. Permutation constants come from the same seeded generator the
+    engine uses, inlined as a VALUES table."""
+    return f"""
+WITH {_minhash_pair_ctes(num_perm, bands, k)}
 SELECT doc_a, doc_b,
        round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
+"""
+
+
+def corpus_pipeline_sql(
+    near_threshold: float = 0.5,
+    eval_max_doc_id: int = 5,
+    contam_threshold: float = 0.5,
+    min_quality: float = 12.0,
+    sample_rate: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> str:
+    """The COMPOSED training-data pipeline (corpus.corpus_pipeline) in one
+    SQL statement: exact dedup (min doc_id per text) → MinHash-LSH pairs
+    over the survivors (the full `_minhash_pair_ctes` chain with src=dd) →
+    drop every pair's larger id → eval decontamination against the ORIGINAL
+    corpus's eval shingles → quality-score filter → deterministic md5
+    hash sample. Each fragment is the already-green per-stage oracle;
+    composition validates the chaining itself (stage ordering, survivor
+    threading)."""
+    W = float(1 << 64)
+    return f"""
+WITH dd AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+{_minhash_pair_ctes(num_perm, bands, k, src="dd")},
+mh AS MATERIALIZED (
+  SELECT doc_b FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {near_threshold}
+),
+keep1 AS MATERIALIZED (
+  SELECT doc_id, text FROM dd
+  WHERE doc_id NOT IN (SELECT doc_b FROM mh)
+    AND doc_id >= {eval_max_doc_id}
+),
+ev_lists AS MATERIALIZED (
+  SELECT CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM (SELECT CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\\s+') END AS ws
+        FROM documents WHERE doc_id < {eval_max_doc_id})
+),
+ev AS MATERIALIZED (SELECT DISTINCT unnest(shingles) AS s FROM ev_lists),
+trs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh_lists
+  WHERE doc_id IN (SELECT doc_id FROM keep1)
+),
+contam AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS n_sh,
+           sum(CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END) AS n_hit
+    FROM trs GROUP BY doc_id
+  ) WHERE CAST(n_hit AS DOUBLE) / n_sh >= {contam_threshold!r}
+),
+feats AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CAST(len(list_filter(ws, x -> x IN {_STOPWORD_SQL})) AS DOUBLE)
+           AS stops
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM keep1)
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_tokens,
+       round(n_words * (1 - round(stops / greatest(n_words, 1), 6)), 6)
+         AS score
+FROM feats
+WHERE round(n_words * (1 - round(stops / greatest(n_words, 1), 6)), 6)
+        >= {min_quality!r}
+  AND doc_id NOT IN (SELECT doc_id FROM contam)
+  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS DOUBLE) < {sample_rate * W!r}
 """
 
 

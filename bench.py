@@ -272,6 +272,12 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             _C.tfidf_top_terms(docs, top=3).materialize()
             q["doc_tfidf_terms"] = time.perf_counter() - t0
+        if _want("corpus_pipeline"):
+            from asterixdb_analytics_ray.pipelines import corpus as _C2
+
+            t0 = time.perf_counter()
+            _C2.corpus_pipeline(docs).materialize()
+            q["corpus_pipeline"] = time.perf_counter() - t0
 
     events_path = os.path.join(SF_DIR, "events.parquet")
     if os.path.exists(events_path) and BENCH_GRAPH != "conv_share":

@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
             "sssp_sharded",
             "reachability",
             "graph_sample",
+            "corpus_pipeline",
         ],
     )
     ap.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
@@ -79,6 +80,32 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.algorithm == "corpus_pipeline":
+        # document pipeline — runs over the documents table, no link graph
+        from asterixdb_analytics_ray.pipelines.corpus import corpus_pipeline
+
+        docs_path = args.input or os.path.join(
+            args.sf_dir or "/root/testdata/sf0.001", "documents.parquet"
+        )
+        t0 = time.perf_counter()
+        out = corpus_pipeline(ray.data.read_parquet(docs_path))
+        if args.output:
+            out.repartition(args.partitions).write_parquet(args.output)
+            rows = ray.data.read_parquet(args.output).count()
+        else:
+            rows = out.count()
+        print(
+            json.dumps(
+                {
+                    "algorithm": "corpus_pipeline",
+                    "input": docs_path,
+                    "run_sec": round(time.perf_counter() - t0, 3),
+                    "rows": rows,
+                }
+            )
+        )
+        return 0
 
     from asterixdb_analytics_ray.graph import build_link_graph
 

@@ -313,6 +313,77 @@ def test_lm_score_null_text(ray_session):
         assert got.loc[0, "n_tokens"] == 2
 
 
+def test_corpus_pipeline_composition(ray_session):
+    """corpus_pipeline == the stagewise composition of its (individually
+    tested) components: exact_dedup → minhash_lsh_pairs drop-doc_b →
+    decontaminate drop → quality filter → hash_sample. The corpus is built
+    so every stage drops at least one document."""
+    from asterixdb_analytics_ray.pipelines import textops as T
+
+    filler = [
+        " ".join(f"w{i}x{j}" for j in range(15)) + " trailing unique words"
+        for i in range(18)
+    ]
+    rows = [
+        # eval docs (doc_id < 5)
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten eleven twelve"),
+        (2, "ev2 " + filler[0]),
+        (3, "ev3 only short"),
+        (4, ""),
+        # exact-dup pair: 6 dropped, 5 kept
+        (5, "exact duplicate body " + filler[1]),
+        (6, "exact duplicate body " + filler[1]),
+        # contaminated: contains eval doc 0 verbatim
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa plus"),
+        # all-stopword doc: quality score 0
+        (8, "the the a a of of to to in in is is and and"),
+        # near-dup pair: long shared prefix, one word differs
+        (9, " ".join(f"n{i}" for i in range(20)) + " tail_a"),
+        (10, " ".join(f"n{i}" for i in range(20)) + " tail_b"),
+        # short doc: 5 words < min_quality
+        (11, "just five small words here"),
+    ] + [(12 + i, t) for i, t in enumerate(filler[2:])]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"], df["source"] = "en", "s"
+    df["n_chars"] = df["text"].str.len()
+    ds = ray.data.from_pandas(df)
+
+    got = C.corpus_pipeline(ds).to_pandas().sort_values("doc_id")
+
+    # stagewise expected set
+    surv = T.exact_dedup(ds).to_pandas()
+    pairs = T.minhash_lsh_pairs(
+        ray.data.from_pandas(surv.merge(df[["doc_id"]], on="doc_id")),
+        threshold=0.5,
+    ).to_pandas()
+    keep = set(surv["doc_id"]) - set(pairs["doc_b"])
+    flags = C.decontaminate(ds, eval_max_doc_id=5).to_pandas()
+    contaminated = set(flags.loc[flags["contaminated"] == 1, "doc_id"])
+    qual = T.quality_scores(ds).to_pandas().set_index("doc_id")
+    W = float(1 << 64)
+    expect = sorted(
+        d
+        for d in keep
+        if d >= 5
+        and d not in contaminated
+        and qual.loc[d, "score"] >= 12.0
+        and float(C._hash64(np.array([d]))[0]) < 0.5 * W
+    )
+    assert list(got["doc_id"]) == expect
+    # stage coverage: each stage dropped something
+    assert 6 not in set(surv["doc_id"])          # exact dedup fired
+    assert 10 in set(pairs["doc_b"])             # near-dup drop fired
+    assert 7 in contaminated                     # decontamination fired
+    assert qual.loc[8, "score"] < 12.0           # quality filter fired
+    assert len(expect) < len(keep)               # sample/eval gates fired
+    # values match the standalone quality formula
+    for d in expect:
+        row = got.set_index("doc_id").loc[d]
+        assert row["n_tokens"] == qual.loc[d, "n_words"]
+        assert row["score"] == qual.loc[d, "score"]
+
+
 def test_tfidf_null_text(ray_session):
     """Null text must not crash _explode_tokens (regression)."""
     df = pd.DataFrame(

@@ -98,6 +98,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_exact_dedup": so.exact_dedup_sql,
         "doc_quality": so.quality_scores_sql,
         "doc_lm_score": so.lm_score_sql,
+        "corpus_pipeline": so.corpus_pipeline_sql,
         "emb_label_centroids": so.label_centroids_sql,
         "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
@@ -161,6 +162,7 @@ QUERY_NAMES = [
     "doc_hash_sample",
     "doc_length_quantiles",
     "doc_lm_score",
+    "corpus_pipeline",
     "emb_label_centroids",
     "emb_knn",
     "emb_cosine_dups",
