@@ -63,15 +63,122 @@ def synthetic_media(n_items: int, seed: int = 9) -> pa.Table:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """Minimal stdlib PNG decoder → grayscale uint8 (H, W).
+
+    zlib inflate + per-row unfilter (all five PNG filter types), 8-bit
+    depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no
+    interlace. Color is collapsed with PIL's exact ITU-R 601-2 integer
+    transform ((19595·R + 38470·G + 7471·B + 0x8000) >> 16) so features
+    are bit-identical whether this or ``PIL.Image.convert("L")`` decoded
+    the payload. Exists so the REAL-codec path of ``_decode_payload`` runs
+    in codec-less containers (this one) — PIL, when present, still handles
+    every other format."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = bd = ct = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bd, ct, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or bd != 8 or interlace:
+        raise NotImplementedError(
+            f"png_decode_gray handles 8-bit non-interlaced PNGs only "
+            f"(bit_depth={bd}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up — vectorized
+            rec = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left dependency — sequential in x
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                else:  # 4 = Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+        img[y] = rec.astype(np.uint8)
+        prev = rec
+    px = img.reshape(h, w, ch).astype(np.int64)
+    if ct == 0:
+        gray = px[:, :, 0]
+    elif ct == 4:
+        gray = px[:, :, 0]  # PIL LA→L keeps the luma channel
+    else:  # RGB / RGBA → PIL's exact L transform
+        gray = (
+            19595 * px[:, :, 0] + 38470 * px[:, :, 1] + 7471 * px[:, :, 2] + 0x8000
+        ) >> 16
+    return gray.astype(np.uint8)
+
+
+def png_encode_gray(img: np.ndarray) -> bytes:
+    """Minimal stdlib grayscale PNG encoder (filter 0 rows) — the test/
+    generator counterpart of ``png_decode_gray``; round-trips through PIL."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
     """Decode one payload → FEATURE_DIM feature vector.
 
-    REAL-codec path: rows whose ``meta.codec`` names an encoded image format
-    are decoded with PIL (imported lazily — absent in this container, so the
-    path raises NotImplementedError here but activates unchanged wherever
-    PIL exists; ``tests/test_multimodal.py`` exercises it under a PIL skip
-    guard). Pixels are grayscale-normalized and mean-pooled into
-    FEATURE_DIM buckets.
+    REAL-codec path: rows whose ``meta.codec`` names an encoded image
+    format are decoded — PNG with the stdlib decoder above (runs HERE, in
+    this codec-less container), everything else with PIL (imported lazily;
+    absent in this container, so those formats raise NotImplementedError
+    but activate unchanged wherever PIL exists). Pixels are
+    grayscale-normalized and mean-pooled into FEATURE_DIM buckets.
 
     FAKE path (synthetic media, no ``codec`` key): a deterministic md5
     chain over the payload's lowercase hex — chosen (over shake_256) so an
@@ -82,17 +189,22 @@ def _decode_payload(payload: bytes, meta: dict) -> np.ndarray:
     """
     codec = (meta or {}).get("codec")
     if codec in ("png", "jpeg", "bmp", "gif"):
-        try:
-            import io
+        if codec == "png":
+            gray = png_decode_gray(payload)
+        else:
+            try:
+                import io
 
-            from PIL import Image
-        except ImportError as e:  # pragma: no cover - PIL absent here
-            raise NotImplementedError(
-                f"payload codec {codec!r} needs PIL, not present in this "
-                "container; the synthetic/fake path has no codec key"
-            ) from e
-        img = Image.open(io.BytesIO(payload)).convert("L")
-        px = np.asarray(img, dtype=np.float64).ravel() / 255.0
+                from PIL import Image
+            except ImportError as e:  # pragma: no cover - PIL absent here
+                raise NotImplementedError(
+                    f"payload codec {codec!r} needs PIL, not present in this "
+                    "container; png decodes via the stdlib path"
+                ) from e
+            gray = np.asarray(
+                Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8
+            )
+        px = gray.astype(np.float64).ravel() / 255.0
         pad = (-len(px)) % FEATURE_DIM
         if pad:
             px = np.concatenate([px, np.zeros(pad)])

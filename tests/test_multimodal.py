@@ -33,26 +33,23 @@ def test_frame_sampling(ray_session):
     assert (frames["payload"].str.len() > 0).all()
 
 
-def test_real_codec_path_with_pil(ray_session):
-    """Real-codec seam: rows whose meta names an image codec decode through
-    PIL (mean-pooled grayscale features). Skips where PIL is absent (this
-    container); activates unchanged wherever it exists."""
-    PIL = pytest.importorskip("PIL.Image")
-    import io
+def test_real_codec_path_png(ray_session):
+    """REAL-codec path, runnable in this codec-less container: a genuine
+    PNG payload (stdlib encoder) decodes through the stdlib zlib+unfilter
+    decoder into mean-pooled grayscale features — no PIL needed."""
     import json
 
     import pyarrow as pa
 
-    img = PIL.new("L", (16, 8))
-    img.putdata(list(range(128)))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    from asterixdb_analytics_ray.pipelines.multimodal import png_encode_gray
+
+    img = np.arange(128, dtype=np.uint8).reshape(8, 16)
     media = ray.data.from_arrow(
         pa.table(
             {
                 "item_id": pa.array([0], pa.int64()),
                 "media_type": pa.array(["image"]),
-                "payload": pa.array([buf.getvalue()], pa.binary()),
+                "payload": pa.array([png_encode_gray(img)], pa.binary()),
                 "meta": pa.array(
                     [json.dumps({"width": 16, "height": 8, "codec": "png"})]
                 ),
@@ -66,8 +63,101 @@ def test_real_codec_path_with_pil(ray_session):
     np.testing.assert_allclose(feats, want, atol=1e-12)
 
 
-def test_codec_row_without_pil_raises(ray_session):
-    """Without PIL, a codec-marked row must fail loudly (NotImplementedError
+def test_png_decoder_all_filters_and_color():
+    """png_decode_gray reconstructs every PNG filter type and collapses
+    RGB(A) with PIL's exact integer luma transform. The encoded bytes are
+    hand-built per filter so the unfilter math is exercised directly."""
+    import struct
+    import zlib
+
+    from asterixdb_analytics_ray.pipelines.multimodal import (
+        _PNG_SIG,
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    # 1) encoder round-trip (filter 0)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode_gray(png_encode_gray(img)), img)
+
+    # 2) hand-filtered grayscale: rows using Sub/Up/Average/Paeth
+    img = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    raws = [b"\x00" + img[0].tobytes()]
+    for y, f in zip(range(1, 5), (1, 2, 3, 4)):
+        row = img[y].astype(np.int64)
+        prev = img[y - 1].astype(np.int64)
+        filt = np.empty(9, dtype=np.int64)
+        for x in range(9):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raws.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(png_decode_gray(payload), img)
+
+    # 3) RGB: PIL's integer luma transform
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(4))
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = rgb.astype(np.int64)
+    want = (
+        (19595 * px[:, :, 0] + 38470 * px[:, :, 1] + 7471 * px[:, :, 2] + 0x8000)
+        >> 16
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(png_decode_gray(payload), want)
+
+
+def test_pil_round_trip_if_present(ray_session):
+    """Where PIL exists, its PNG output decodes identically through the
+    stdlib path (and vice versa)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from asterixdb_analytics_ray.pipelines.multimodal import png_decode_gray
+
+    img = PIL.new("L", (16, 8))
+    img.putdata(list(range(128)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    np.testing.assert_array_equal(
+        png_decode_gray(buf.getvalue()),
+        np.arange(128, dtype=np.uint8).reshape(8, 16),
+    )
+
+
+def test_non_png_codec_without_pil_raises(ray_session):
+    """Without PIL, a jpeg-marked row must fail loudly (NotImplementedError
     seam), never fall back silently to the fake features."""
     try:
         import PIL  # noqa: F401
@@ -75,9 +165,7 @@ def test_codec_row_without_pil_raises(ray_session):
         pytest.skip("PIL present; the loud-failure path is for PIL-less hosts")
     except ImportError:
         pass
-    import json
-
     from asterixdb_analytics_ray.pipelines.multimodal import _decode_payload
 
     with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_payload(b"\x89PNG fake", {"codec": "png"})
+        _decode_payload(b"\xff\xd8 fake jpeg", {"codec": "jpeg"})
