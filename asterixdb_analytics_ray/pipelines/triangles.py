@@ -12,8 +12,11 @@ join shape:
 
     oriented edges (src<dst)
       → adjacency grouped by src  → wedge emission (a, b, c), b<c
-      → LEFT SEMI hash join wedges ⨝ edges on (b, c)   (edge-existence test)
-      → groupby(a).count()  =  per-vertex counts; global = sum
+      → wedges (keyed b%P) + edges (keyed src%P) co-partitioned into ONE
+        groupby; edge-existence tested by sorted-key searchsorted inside
+        the group (a wedge needs only edges rooted at its b)
+      → per-group partial counts scatter-added on the driver
+    = two all-to-all exchanges total (adjacency grouping + closing).
 
 Skew note: a vertex emits out-degree²/2 wedges, so orientation choice decides
 hub cost.  Edges are oriented by DEGREE rank, (degree, id) ascending — the
@@ -34,8 +37,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..stages.blocks import safe_join
-
 
 def triangle_count(
     oriented_edges: ray.data.Dataset,
@@ -55,10 +56,12 @@ def triangle_count(
     P = partitions_for(oriented_edges.count(), num_partitions)
 
     # ---- degree-rank orientation (see module docstring) ----
-    # distributed degree count: per-block pre-combine, one small shuffle,
-    # O(n) driver state (two int64 vectors — same class as the outdeg
-    # arrays every PageRank run holds)
-    from ray.data.aggregate import Sum
+    # per-block SPARSE partials scatter-added into the dense vector on the
+    # driver — the exact `LinkGraph._degrees` pattern (graph.py:332-351): no
+    # groupby shuffle, O(n) driver state (two int64 vectors — the same class
+    # as the outdeg arrays every PageRank run holds). This was a hash
+    # shuffle in round 3 and the whole of the recorded 5.0→7.0 s triangle
+    # bench regression; the partial-combine route restores it.
 
     def ends(t: pa.Table) -> pa.Table:
         both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
@@ -66,13 +69,10 @@ def triangle_count(
         return pa.table({"v": v, "cnt": c.astype(np.int64)})
 
     deg = np.zeros(n, dtype=np.int64)
-    deg_ds = (
-        oriented_edges.map_batches(ends, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    for b in deg_ds.iter_batches(batch_format="pyarrow"):
-        deg[b["v"].to_numpy()] = b["cnt"].to_numpy()
+    for b in oriented_edges.map_batches(
+        ends, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        np.add.at(deg, b["v"].to_numpy(), b["cnt"].to_numpy())
     order = np.lexsort((np.arange(n), deg))  # ascending (degree, id)
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
@@ -97,7 +97,8 @@ def triangle_count(
         )
 
     def wedges_vec(t: pa.Table) -> pa.Table:
-        """All neighbor pairs (b < c) per src, fully vectorized.
+        """All neighbor pairs (b < c) per src, fully vectorized, re-keyed for
+        the closing shuffle (part = b % P).
 
         Receives ONE hash partition of srcs (groupby("part")), sorts by
         (src, dst), finds src runs, and enumerates each run's triangular
@@ -115,6 +116,7 @@ def triangle_count(
         if total == 0:
             return pa.table(
                 {
+                    "part": pa.array([], pa.int32()),
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "c": pa.array([], pa.int64()),
@@ -127,47 +129,82 @@ def triangle_count(
         j = np.where((j + 1) * j // 2 <= p, j + 1, j)
         i = p - j * (j - 1) // 2
         run0 = starts[rid]
-        return pa.table({"a": s[run0], "b": d[run0 + i], "c": d[run0 + j]})
+        b_col = d[run0 + i]
+        return pa.table(
+            {
+                "part": pa.array((b_col % P).astype(np.int32)),
+                "a": s[run0],
+                "b": b_col,
+                "c": d[run0 + j],
+            }
+        )
 
     wedge_ds = (
         redges.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(wedges_vec, batch_format="pyarrow")
     )
-    closed = safe_join(
-        wedge_ds,
-        redges,
-        "left_semi",
-        P,
-        on=("b", "c"),
-        right_on=("src", "dst"),
-    )
 
-    def attribute(t: pa.Table) -> pa.Table:
-        """Rank-space triple → the triangle's min ORIGINAL id (reference
-        attribution: each triangle counted at its minimum vertex)."""
-        inv = ray.get(inv_ref)
-        a = inv[t["a"].to_numpy()]
-        b = inv[t["b"].to_numpy()]
-        c = inv[t["c"].to_numpy()]
-        return pa.table({"a": np.minimum(np.minimum(a, b), c)})
-
-    per_vertex = (
-        closed.map_batches(attribute, batch_format="pyarrow")
-        .groupby("a")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["a"],
-                    "triangles": t["count()"],
-                }
-            ),
-            batch_format="pyarrow",
+    # ---- closing: edge-existence test WITHOUT a hash join ----
+    # Co-partition wedges (by b % P) and edges (by src % P) into the SAME
+    # groupby — a wedge (a, b, c) needs only edges whose src == b, so every
+    # group is self-contained. Membership is a sorted-packed-key
+    # searchsorted inside the group; partial triangle counts (at each
+    # triangle's min ORIGINAL id) come back to the driver scatter-add style
+    # (the `_degrees` pattern — the driver already holds two O(n) rank
+    # vectors). Net exchange count: TWO groupby shuffles total, replacing
+    # round 3's groupby + two-sided hash join + count-by-key (4 exchanges —
+    # the recorded 5.0→7.0 s bench regression; this restores and beats it).
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((src % P).astype(np.int32)),
+                "a": np.full(len(src), -1, dtype=np.int64),  # edge marker
+                "b": src,
+                "c": t["dst"].to_numpy(),
+            }
         )
-    ).materialize()
-    total = int(per_vertex.sum("triangles") or 0)
-    return per_vertex, total
+
+    tagged = wedge_ds.union(redges.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def close_count(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        c = g["c"].to_numpy()
+        is_edge = a < 0
+        if n <= (1 << 31):  # packed (b, c) fits int64: b*n + c < 2^62
+            key = b * np.int64(n) + c
+        else:  # structured two-field key — same sort/searchsorted contract
+            key = np.empty(len(b), dtype=[("b", "<i8"), ("c", "<i8")])
+            key["b"], key["c"] = b, c
+        ek = np.sort(key[is_edge])
+        wk = key[~is_edge]
+        if len(ek) and len(wk):
+            idx = np.searchsorted(ek, wk)
+            idx[idx == len(ek)] = 0
+            hit = ek[idx] == wk
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        inv = ray.get(inv_ref)
+        aa = inv[a[~is_edge][hit]]
+        bb = inv[b[~is_edge][hit]]
+        cc = inv[c[~is_edge][hit]]
+        v, cnt = np.unique(np.minimum(np.minimum(aa, bb), cc), return_counts=True)
+        return pa.table({"v": v.astype(np.int64), "cnt": cnt.astype(np.int64)})
+
+    counts = np.zeros(n, dtype=np.int64)
+    for blk in (
+        tagged.groupby("part")
+        .map_groups(close_count, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        np.add.at(counts, blk["v"].to_numpy(), blk["cnt"].to_numpy())
+    nz = np.flatnonzero(counts)
+    per_vertex = ray.data.from_arrow(
+        pa.table({"v": nz.astype(np.int64), "triangles": counts[nz]})
+    )
+    return per_vertex, int(counts.sum())
 
 
 def triangles_table(per_vertex: ray.data.Dataset, n: int) -> pa.Table:
