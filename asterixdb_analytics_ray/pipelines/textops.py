@@ -75,12 +75,25 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(df["text"])
         n_words = toks.str.len().fillna(0).astype(np.int64)
-        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0)
-        stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws) if ws else 0)
-        nw = n_words.to_numpy().astype(np.float64)
+        nw_np = n_words.to_numpy()
+        # vectorized per-doc sums: one explode, two reduceat segment sums
+        # (replaces two per-row Python lambdas)
+        total_len = np.zeros(len(df), dtype=np.int64)
+        stop = np.zeros(len(df), dtype=np.int64)
+        flat = toks.explode().dropna()
+        if len(flat):
+            nz = nw_np > 0
+            starts = np.cumsum(nw_np) - nw_np
+            total_len[nz] = np.add.reduceat(
+                flat.str.len().to_numpy(np.int64), starts[nz]
+            )
+            stop[nz] = np.add.reduceat(
+                flat.isin(STOPWORDS).to_numpy().astype(np.int64), starts[nz]
+            )
+        nw = nw_np.astype(np.float64)
         safe = np.maximum(nw, 1.0)
-        avg_len = np.round(total_len.to_numpy() / safe, 6)
-        stop_ratio = np.round(stop.to_numpy() / safe, 6)
+        avg_len = np.round(total_len / safe, 6)
+        stop_ratio = np.round(stop / safe, 6)
         score = np.round(nw * (1.0 - stop_ratio), 6)
         return pd.DataFrame(
             {
