@@ -35,6 +35,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..functions import fasthash
 from ..stages.blocks import partitions_for, safe_join
 
 
@@ -210,14 +211,10 @@ def _hash64(ids: np.ndarray) -> np.ndarray:
     """uint64 md5-prefix hash of the decimal doc_id string — identical to
     DuckDB ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT``
     (same construction as textops._shingle_hashes)."""
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8], "big")
-            for i in ids
-        ),
-        dtype=np.uint64,
-        count=len(ids),
-    )
+    import pyarrow.compute as pc
+
+    dec = pc.cast(pa.array(ids.astype(np.int64)), pa.string())
+    return fasthash.md5_prefix_u64(dec)
 
 
 def hash_sample(
@@ -332,15 +329,17 @@ def decontaminate(
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         ev = _ray.get(eval_ref)
-        n_sh = np.zeros(len(df), dtype=np.int64)
+        # whole-batch shingle hashing + ONE searchsorted against the sorted
+        # blocklist, then per-doc hit counts via segment sums
+        h, n_sh = fasthash.shingle_hashes_batch(df["text"], shingle_k)
         n_hit = np.zeros(len(df), dtype=np.int64)
-        for i, t in enumerate(df["text"]):
-            h = _shingle_hashes(t, shingle_k)
-            n_sh[i] = len(h)
-            if len(h) and len(ev):
-                idx = np.searchsorted(ev, h)
-                idx[idx == len(ev)] = 0
-                n_hit[i] = int(np.sum(ev[idx] == h))
+        if len(h) and len(ev):
+            idx = np.searchsorted(ev, h)
+            idx[idx == len(ev)] = 0
+            hit = (ev[idx] == h).astype(np.int64)
+            nz = n_sh > 0
+            starts = np.cumsum(n_sh) - n_sh
+            n_hit[nz] = np.add.reduceat(hit, starts[nz])
         frac = np.divide(
             n_hit, n_sh, out=np.zeros(len(df), dtype=np.float64), where=n_sh > 0
         )
@@ -490,25 +489,41 @@ def corpus_pipeline(
             return empty
         toks = df["text"].str.split()
         n_tok = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        stops = toks.map(
-            lambda ws: sum(w in STOPWORDS for w in ws)
-            if isinstance(ws, list)
-            else 0
-        ).to_numpy(np.float64)
+        # stopword counts via explode + segment sums (no per-row lambda)
+        stops = np.zeros(len(df), dtype=np.float64)
+        flat = toks.explode().dropna()
+        if len(flat):
+            nzt = n_tok > 0
+            tstarts = np.cumsum(n_tok) - n_tok
+            stops[nzt] = np.add.reduceat(
+                flat.isin(STOPWORDS).to_numpy().astype(np.int64), tstarts[nzt]
+            )
         safe = np.maximum(n_tok.astype(np.float64), 1.0)
         ratio = np.round(stops / safe, 6)  # quality_scores' exact formula
         score = np.round(n_tok * (1.0 - ratio), 6)
         qok = score >= min_quality
         ev = _ray.get(eval_ref)
         contam = np.zeros(len(df), dtype=bool)
-        for i, t in enumerate(df["text"]):
-            if not qok[i]:
-                continue  # already dropped — skip the shingle pass
-            h = _shingle_hashes(t, shingle_k)
-            if len(h) and len(ev):
+        if qok.any() and len(ev):
+            # shingle only the quality-passing docs, whole-subset at once
+            h, n_sh = fasthash.shingle_hashes_batch(
+                df["text"].to_numpy()[qok], shingle_k
+            )
+            if len(h):
                 idx = np.searchsorted(ev, h)
                 idx[idx == len(ev)] = 0
-                contam[i] = int(np.sum(ev[idx] == h)) / len(h) >= contam_threshold
+                hit = (ev[idx] == h).astype(np.int64)
+                n_hit = np.zeros(len(n_sh), dtype=np.int64)
+                nzs = n_sh > 0
+                sstarts = np.cumsum(n_sh) - n_sh
+                n_hit[nzs] = np.add.reduceat(hit, sstarts[nzs])
+                frac = np.divide(
+                    n_hit,
+                    n_sh,
+                    out=np.zeros(len(n_sh), dtype=np.float64),
+                    where=n_sh > 0,
+                )
+                contam[qok] = frac >= contam_threshold
         m = qok & ~contam
         return pd.DataFrame(
             {

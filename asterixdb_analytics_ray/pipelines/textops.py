@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions import fasthash
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 
@@ -51,17 +53,15 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, fingerprint) — md5 content digest (matches DuckDB ``md5``)."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "fingerprint": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
-                ],
+                "doc_id": t["doc_id"],
+                "fingerprint": fasthash.md5_hex(t["text"]),
             }
         )
 
-    return docs.map_batches(fn, batch_format="pandas")
+    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -123,19 +123,16 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     from ..stages.blocks import partitions_for, safe_join
 
-    def digest(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def digest(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "h": [
-                    hashlib.sha256(t.encode("utf-8")).hexdigest()
-                    for t in df["text"]
-                ],
+                "doc_id": t["doc_id"],
+                "h": fasthash.sha256_hex(t["text"]),
             }
         )
 
     winners = (
-        docs.map_batches(digest, batch_format="pandas")
+        docs.map_batches(digest, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
@@ -294,15 +291,33 @@ def minhash_signatures(
     def sig(df: pd.DataFrame) -> pa.Table:
         a = ray.get(a_ref)
         b = ray.get(b_ref)
-        sigs = np.empty((len(df), len(a)), dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
-            sh = _shingle_hashes(t, shingle_k)
-            if len(sh) == 0:
-                sigs[i] = np.uint64((1 << 61) - 1)
-                continue
-            # (a*x + b) mod p, vectorized over shingles × perms
-            v = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
-            sigs[i] = v.min(axis=0)
+        P = len(a)
+        # empty docs keep the identity signature (same as before)
+        sigs = np.full((len(df), P), np.uint64((1 << 61) - 1), dtype=np.uint64)
+        # whole-batch shingle hashing (vectorized md5), then per-doc
+        # (a*x + b) mod p minima via chunked minimum.reduceat — identical
+        # uint64 arithmetic to the old per-doc loop, no Python in the hot path
+        h, lens = fasthash.shingle_hashes_batch(df["text"], shingle_k)
+        if h.size:
+            starts = np.cumsum(lens) - lens
+            nz_idx = np.flatnonzero(lens > 0)
+            # cap the (shingles × perms) intermediate at ~64 MB
+            rows_cap = max(1024, (64 << 20) // (P * 8))
+            c0 = 0
+            while c0 < len(nz_idx):
+                c1, tot = c0, 0
+                while c1 < len(nz_idx) and (
+                    c1 == c0 or tot + lens[nz_idx[c1]] <= rows_cap
+                ):
+                    tot += lens[nz_idx[c1]]
+                    c1 += 1
+                d0, dl = nz_idx[c0], nz_idx[c1 - 1]
+                lo, hi = starts[d0], starts[dl] + lens[dl]
+                v = (a[None, :] * h[lo:hi, None] + b[None, :]) % _MERSENNE
+                sigs[nz_idx[c0:c1]] = np.minimum.reduceat(
+                    v, starts[nz_idx[c0:c1]] - lo, axis=0
+                )
+                c0 = c1
         return pa.table(
             {
                 "doc_id": pa.array(df["doc_id"].to_numpy()),
@@ -326,13 +341,12 @@ def shingle_sets(docs: ray.data.Dataset, shingle_k: int = 3) -> ray.data.Dataset
     """
 
     def fn(df: pd.DataFrame) -> pa.Table:
+        h, lens = fasthash.shingle_hashes_batch(df["text"], shingle_k)
+        parts = np.split(h, np.cumsum(lens)[:-1])
         return pa.table(
             {
                 "doc_id": pa.array(df["doc_id"].to_numpy()),
-                "sh": pa.array(
-                    [_shingle_hashes(t, shingle_k).tobytes() for t in df["text"]],
-                    pa.binary(),
-                ),
+                "sh": pa.array([p.tobytes() for p in parts], pa.binary()),
             }
         )
 
@@ -655,26 +669,33 @@ def simhash_values(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def fn(df: pd.DataFrame) -> pa.Table:
         out = np.zeros(len(df), dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
-            words = t.split()
-            if not words:
-                continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in words
-                ),
-                dtype=np.uint64,
-                count=len(words),
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            val = np.uint64(0)
-            for b_i in np.flatnonzero(votes > 0):
-                val |= np.uint64(1) << np.uint64(b_i)
-            out[i] = val
+        # whole-batch word hashing, then per-doc bit votes via doc-aligned
+        # chunked reduceat (identical math to the old per-doc loop: a bit is
+        # set iff strictly more than half the word hashes have it set)
+        hs, n = fasthash.word_hashes_batch(df["text"])
+        if len(hs):
+            starts = np.cumsum(n) - n
+            nz_idx = np.flatnonzero(n > 0)
+            kbits = np.arange(64, dtype=np.uint64)[None, :]
+            pows = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            rows_cap = max(1024, (64 << 20) // (64 * 8))  # ~64 MB bit matrix
+            c0 = 0
+            while c0 < len(nz_idx):
+                c1, tot = c0, 0
+                while c1 < len(nz_idx) and (
+                    c1 == c0 or tot + n[nz_idx[c1]] <= rows_cap
+                ):
+                    tot += n[nz_idx[c1]]
+                    c1 += 1
+                d0, dl = nz_idx[c0], nz_idx[c1 - 1]
+                lo, hi = starts[d0], starts[dl] + n[dl]
+                bits = ((hs[lo:hi, None] >> kbits) & 1).astype(np.int64)
+                ones = np.add.reduceat(bits, starts[nz_idx[c0:c1]] - lo, axis=0)
+                votes = ones * 2 - n[nz_idx[c0:c1], None]
+                out[nz_idx[c0:c1]] = ((votes > 0).astype(np.uint64) * pows).sum(
+                    axis=1, dtype=np.uint64
+                )
+                c0 = c1
         return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy()), "simhash": out})
 
     return docs.map_batches(fn, batch_format="pandas")
@@ -766,10 +787,8 @@ def ngram_jaccard_pairs(
     from ..stages.blocks import partitions_for, safe_join
 
     def explode(df: pd.DataFrame) -> pa.Table:
-        sets = [_shingle_hashes(t, shingle_k) for t in df["text"]]
+        flat, counts = fasthash.shingle_hashes_batch(df["text"], shingle_k)
         ids = df["doc_id"].to_numpy()
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        flat = np.concatenate(sets) if sets else np.array([], dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": np.repeat(ids, counts),
@@ -860,10 +879,10 @@ def hll_registers(
 
     def fn(df: pd.DataFrame) -> pa.Table:
         regs = np.zeros(m, dtype=np.int32)
-        for t in df["text"]:
-            h = _shingle_hashes(t, shingle_k)
-            if not len(h):
-                continue
+        # whole-batch shingle hashing; register folds don't need doc
+        # boundaries (HLL is a pure set sketch), so process the flat array
+        h, _lens = fasthash.shingle_hashes_batch(df["text"], shingle_k)
+        if len(h):
             idx = (h >> shift).astype(np.int64)
             v = h & mask
             bl = np.zeros(len(v), dtype=np.int32)  # bit_length, vectorized
@@ -922,17 +941,21 @@ def cms_registers(
     exactness for hot tokens."""
 
     def fn(df: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
         regs = np.zeros((depth, width), dtype=np.int64)
-        counts: dict[str, int] = {}
-        for toks in df["text"].str.split():
-            for t in toks or ():
-                counts[t] = counts.get(t, 0) + 1
-        for t, n in counts.items():
+        flat, _n = fasthash.split_words(df["text"])
+        if len(flat):
+            vc = pd.Series(flat).value_counts(sort=False)
+            toks = pa.array(vc.index.to_numpy(dtype=object), pa.string())
+            cnts = vc.to_numpy(np.int64)
             for r in range(depth):
-                h = int.from_bytes(
-                    hashlib.md5(f"{r} {t}".encode()).digest()[:8], "big"
+                # "{r} {token}" built vectorized, hashed in one md5 call
+                keyed = pc.binary_join_element_wise(
+                    pa.array([str(r)] * len(toks), pa.string()), toks, " "
                 )
-                regs[r, h % width] += n
+                h = fasthash.md5_prefix_u64(keyed)
+                np.add.at(regs[r], (h % np.uint64(width)).astype(np.int64), cnts)
         r_idx, c_idx = np.nonzero(regs)
         return pa.table(
             {

@@ -84,6 +84,7 @@ def main() -> None:
         "sessionize": lambda: EV.sessionize(events),
         "session_ids": lambda: EV.session_ids(events),
         "language_id": lambda: T.language_id(docs_ds),
+        "quality_scores": lambda: T.quality_scores(docs_ds),
         "lm_score": lambda: C.lm_score(docs_ds),
         "minhash_lsh_pairs": lambda: T.minhash_lsh_pairs(docs_ds, threshold=0.5),
         "exact_dedup": lambda: T.exact_dedup(docs_ds),
