@@ -433,6 +433,12 @@ def _q_doc_quality(sf_dir: str):
     return quality_scores(_docs_ds(sf_dir))
 
 
+def _q_doc_repetition(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import repetition_scores
+
+    return repetition_scores(_docs_ds(sf_dir))
+
+
 def _q_doc_language_id(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.textops import language_id
 
@@ -723,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
         "doc_language_id": _q_doc_language_id,
         "doc_minhash_dups": _q_doc_minhash_dups,
         "doc_simhash": _q_doc_simhash,
@@ -788,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": so.fingerprints_sql(),
         "doc_exact_dedup": so.exact_dedup_sql(),
         "doc_quality": so.quality_scores_sql(),
+        "doc_repetition": so.repetition_scores_sql(),
         "doc_lm_score": so.lm_score_sql(),
         "corpus_pipeline": so.corpus_pipeline_sql(),
         "emb_label_centroids": so.label_centroids_sql(),

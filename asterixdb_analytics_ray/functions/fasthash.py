@@ -106,14 +106,18 @@ def split_words(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes_batch(
-    texts, k: int = 3
+    texts, k: int = 3, unique: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc SORTED-UNIQUE word-k-gram md5-prefix hashes for a whole batch.
+    """Per-doc word-k-gram md5-prefix hashes for a whole batch.
 
     Returns ``(hashes, lens)`` where ``hashes`` is the concatenation of each
-    doc's sorted unique shingle hashes and ``lens[i]`` is doc i's count —
-    i.e. ``np.split(hashes, np.cumsum(lens)[:-1])`` reproduces
+    doc's shingle hashes and ``lens[i]`` is doc i's count.  With
+    ``unique=True`` (default) each doc's hashes are sorted unique —
+    ``np.split(hashes, np.cumsum(lens)[:-1])`` reproduces
     ``[_shingle_hashes(t, k) for t in texts]`` exactly (pytest-enforced).
+    With ``unique=False`` every occurrence is kept (multiset semantics, for
+    repetition metrics); within-doc order is positional for full docs with
+    the short-doc shingle appended last.
 
     Docs with fewer than k words contribute one shingle (all words joined),
     empty docs contribute none — same contract as ``_shingle_hashes``.
@@ -154,6 +158,13 @@ def shingle_hashes_batch(
         gram_doc = np.concatenate([gram_doc, short.astype(np.int64)])
 
     h = md5_prefix_u64(grams)
+    if not unique:
+        # multiset semantics: keep every occurrence, grouped by doc
+        # (stable sort keeps positional order; short-doc extras are last)
+        order = np.argsort(gram_doc, kind="stable")
+        return h[order], np.bincount(gram_doc, minlength=n_docs).astype(
+            np.int64
+        )
     # per-doc sorted unique, vectorized: lexsort then boundary-keep
     order = np.lexsort((h, gram_doc))
     h = h[order]

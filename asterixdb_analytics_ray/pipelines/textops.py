@@ -108,6 +108,55 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def repetition_scores(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, n_grams, n_unique, max_gram_count, dup_fraction) — within-doc
+    repetition / boilerplate signal: the duplicate word-k-gram fraction
+    (Gopher-style repetition filter; Rae et al. 2021).
+
+    ``dup_fraction = 1 - n_unique/n_grams`` over the doc's k-gram MULTISET
+    (so templated/boilerplate text scores high), ``max_gram_count`` is the
+    hottest single k-gram's multiplicity. Pure map-side: whole-batch shingle
+    hashing (multiset variant), then per-doc run-length stats off one
+    lexsort — no shuffle, no per-doc Python. Docs with zero k-grams
+    (empty/whitespace text) are omitted, matching the oracle's ``unnest``.
+
+    Reference parity anchor: the reference has no corpus-quality analytics
+    (SURVEY §2.5 covers its MR utilities); this extends the LLM-pipeline
+    operator set alongside ``quality_scores``."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        h, lens = fasthash.shingle_hashes_batch(df["text"], k, unique=False)
+        n_docs = len(df)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.lexsort((h, doc))
+        hs, ds = h[order], doc[order]
+        run = np.ones(len(hs), dtype=bool)
+        run[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        run_starts = np.flatnonzero(run)
+        run_doc = ds[run_starts]
+        run_counts = np.diff(np.append(run_starts, len(hs)))
+        n_unique = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        max_cnt = np.zeros(n_docs, dtype=np.int64)
+        if len(run_doc):
+            first = np.ones(len(run_doc), dtype=bool)
+            first[1:] = run_doc[1:] != run_doc[:-1]
+            firsts = np.flatnonzero(first)
+            max_cnt[run_doc[firsts]] = np.maximum.reduceat(run_counts, firsts)
+        m = lens > 0
+        dup = np.round(1.0 - n_unique[m] / lens[m].astype(np.float64), 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[m]),
+                "n_grams": pa.array(lens[m]),
+                "n_unique": pa.array(n_unique[m]),
+                "max_gram_count": pa.array(max_cnt[m]),
+                "dup_fraction": pa.array(dup),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, text) keeping the MINIMUM doc_id per distinct text.
 

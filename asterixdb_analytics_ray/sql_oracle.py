@@ -373,6 +373,34 @@ _TOKS_CTE = (
 )
 
 
+def repetition_scores_sql(k: int = 3) -> str:
+    """Within-doc duplicate-k-gram stats — independent formulation of
+    ``textops.repetition_scores``: the engine runs run-length stats over
+    64-bit shingle hashes, the oracle groups the k-gram STRINGS (multiset
+    identity is hash-independent)."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(shingles) AS s FROM sh_lists),
+per_gram AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(max(c) AS BIGINT) AS max_gram_count,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_fraction
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_sql(threshold: float = 0.4, k: int = 3) -> str:
     """Exact word-k-gram Jaccard pairs — an INDEPENDENT formulation of
     ``textops.ngram_jaccard_pairs``: the engine dedups/joins on 64-bit

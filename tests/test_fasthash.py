@@ -90,3 +90,22 @@ def test_pandas_series_input():
     got = fh.md5_prefix_u64(s)
     want = np.array([_py_md5_u64(x) for x in CASES], dtype=np.uint64)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_shingle_hashes_batch_multiset(k):
+    texts = CASES + ["a b a b a b", "x x x", "one two one two one"]
+    h, lens = fh.shingle_hashes_batch(texts, k=k, unique=False)
+    assert lens.sum() == len(h)
+    parts = np.split(h, np.cumsum(lens)[:-1])
+    for t, got in zip(texts, parts):
+        words = t.split()
+        if not words:
+            want = []
+        elif len(words) < k:
+            want = [" ".join(words)]
+        else:
+            want = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        want = np.array([_py_md5_u64(s) for s in want], dtype=np.uint64)
+        # multiset equality (order within doc unspecified)
+        assert np.array_equal(np.sort(got), np.sort(want)), t[:60]

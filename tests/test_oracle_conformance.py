@@ -97,6 +97,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_fingerprints": so.fingerprints_sql,
         "doc_exact_dedup": so.exact_dedup_sql,
         "doc_quality": so.quality_scores_sql,
+        "doc_repetition": so.repetition_scores_sql,
         "doc_lm_score": so.lm_score_sql,
         "corpus_pipeline": so.corpus_pipeline_sql,
         "emb_label_centroids": so.label_centroids_sql,
@@ -152,6 +153,7 @@ QUERY_NAMES = [
     "doc_fingerprints",
     "doc_exact_dedup",
     "doc_quality",
+    "doc_repetition",
     "events_sessionize",
     "events_session_ids",
     "doc_decontaminate",

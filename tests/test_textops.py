@@ -219,3 +219,39 @@ def test_hll_registers_merge_associative(ray_session):
         pd.concat([a, b]).groupby("reg")["rho"].max()
     )
     pd.testing.assert_series_equal(merged, full, check_names=False)
+
+
+def test_repetition_scores_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import repetition_scores
+
+    texts = [
+        "a b c a b c a b c",      # heavy 3-gram repetition
+        "all unique words here now",
+        "x",                        # short doc: one shingle
+        "",                         # no grams -> omitted
+        "t t t t t t",             # single gram repeated
+    ]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = repetition_scores(docs, k=3).to_pandas().set_index("doc_id")
+    assert 3 not in out.index  # empty doc omitted
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            continue
+        if len(words) < 3:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[j : j + 3]) for j in range(len(words) - 2)]
+        from collections import Counter
+
+        c = Counter(grams)
+        row = out.loc[i]
+        assert row["n_grams"] == len(grams)
+        assert row["n_unique"] == len(c)
+        assert row["max_gram_count"] == max(c.values())
+        assert abs(row["dup_fraction"] - round(1 - len(c) / len(grams), 6)) < 1e-9
