@@ -428,6 +428,16 @@ def corpus_pipeline(
 
     survivors = exact_dedup(docs).materialize()  # consumed by 2 stages
     n_surv = survivors.count()
+    # dedup's recovery join is partitioned data-proportionally (tiny P at
+    # bench scale), which would serialize EVERY downstream map stage of the
+    # pipeline onto that block count. Re-spread up to the CPU count when
+    # under it — a no-op at production scale (blocks >> CPUs), measured
+    # 390 s -> ~120 s on the 25k-doc replicated audit corpus.
+    from ..stages.blocks import effective_partitions
+
+    P_eff = effective_partitions()
+    if survivors.num_blocks() < P_eff:
+        survivors = survivors.repartition(P_eff).materialize()
 
     pairs = minhash_lsh_pairs(
         survivors,
@@ -453,9 +463,13 @@ def corpus_pipeline(
         .materialize()
     )
     if drops.count() > 0:
-        kept = safe_join(
-            survivors, drops, "left_outer", partitions_for(n_surv), on=("doc_id",)
-        )
+        P_join = partitions_for(n_surv)
+        kept = safe_join(survivors, drops, "left_outer", P_join, on=("doc_id",))
+        # same re-spread for the fused text pass downstream of the join;
+        # the join emits exactly its partition count in blocks, so no
+        # materialize is needed to know we're under the CPU count
+        if P_join < P_eff:
+            kept = kept.repartition(P_eff)
     else:
         kept = survivors  # empty right side would strip the join schema
 

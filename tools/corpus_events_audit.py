@@ -91,11 +91,13 @@ def main() -> None:
         "corpus_pipeline": lambda: C.corpus_pipeline(docs_ds),
     }
 
+    warmup = os.environ.get("GRAFT_AUDIT_WARMUP", "1") != "0"
     out: dict[str, float] = {}
     for name, fn in ops.items():
         if only and name not in only:
             continue
-        fn().materialize()  # untimed warmup (worker/import setup)
+        if warmup:
+            fn().materialize()  # untimed warmup (worker/import setup)
         t0 = time.perf_counter()
         res = fn().materialize()
         out[name] = round(time.perf_counter() - t0, 2)
