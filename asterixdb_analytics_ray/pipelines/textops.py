@@ -653,18 +653,14 @@ def minhash_lsh_pairs(
             banded = banded.map_batches(add_salt, batch_format="pandas")
             group_keys = ["band_id", "band_hash", "salt"]
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
+    def _hot_bucket_pairs(ids: np.ndarray, sig: np.ndarray) -> tuple:
+        """Signature-sorted chunking for ONE over-cap bucket (see docstring).
+
+        Rare by contract (sane corpora have no over-cap buckets), so a
+        per-group Python call here is fine — the vectorized emitter below
+        routes only size>max_bucket groups through this."""
         k = len(ids)
-        if k < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        if k <= max_bucket:
-            ids = np.sort(ids)
-            ia, ib = np.triu_indices(k, k=1)
-            return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-        # hot bucket: signature-sorted chunking (see docstring)
-        order = np.lexsort((ids, g["sig_hash"].to_numpy()))
+        order = np.lexsort((ids, sig))
         ids = ids[order]
         dropped = k * (k - 1) // 2
         pa_, pb_ = [], []
@@ -675,8 +671,8 @@ def minhash_lsh_pairs(
             ia, ib = np.triu_indices(len(c), k=1)
             pa_.append(c[ia])
             pb_.append(c[ib])
-        a = np.concatenate(pa_)
-        b = np.concatenate(pb_)
+        a = np.concatenate(pa_) if pa_ else np.array([], dtype=ids.dtype)
+        b = np.concatenate(pb_) if pb_ else np.array([], dtype=ids.dtype)
         dropped -= len(a)
         import warnings
 
@@ -688,13 +684,93 @@ def minhash_lsh_pairs(
             RuntimeWarning,
             stacklevel=2,
         )
+        return np.minimum(a, b), np.maximum(a, b)
+
+    # --- bucket-vectorized candidate emission -----------------------------
+    # One pandas UDF per LSH bucket dies at many-small-buckets (the
+    # sessionize/as-of lesson: ~80k buckets = ~80k Python calls). Instead,
+    # shuffle by a HASH of the bucket key into ~NB coarse groups and emit
+    # every contained bucket's pairs vectorized: sort by (bucket key,
+    # doc_id), then for delta = 1.. emit (row, row+delta) pairs whose rows
+    # share a bucket — O(Σ bucket_size · max_size) with zero per-bucket
+    # Python. NB scales with the banded row count so one coarse group stays
+    # ~2M rows regardless of corpus size.
+    n_banded = docs.count() * bands
+    NB = max(256, -(-n_banded // 2_000_000))
+    KNUTH64 = np.uint64(0x9E3779B97F4A7C15)
+    FNV = np.uint64(1099511628211)
+    has_salt = "salt" in group_keys
+
+    def add_bk(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy().astype(np.uint64) * KNUTH64
+        h = h + t["band_id"].to_numpy().astype(np.uint64)
+        if has_salt:
+            h = h + t["salt"].to_numpy().astype(np.int64).astype(np.uint64) * FNV
+        return t.append_column(
+            "bk", pa.array((h % np.uint64(NB)).astype(np.int64))
+        )
+
+    def bucket_pairs_vec(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sig = g["sig_hash"].to_numpy()
+        keys = [bid, bh] + ([g["salt"].to_numpy()] if has_salt else [])
+        order = np.lexsort([ids] + keys[::-1])  # primary band_id … last doc
+        bid, bh, ids, sig = bid[order], bh[order], ids[order], sig[order]
+        newg = np.ones(len(g), dtype=bool)
+        newg[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        if has_salt:
+            st = keys[2][order]
+            newg[1:] |= st[1:] != st[:-1]
+        # de-dup doc within bucket (sorted, so equal docs are adjacent)
+        keep = newg.copy()
+        keep[1:] |= ids[1:] != ids[:-1]
+        bid, bh, ids, sig, newg = (
+            bid[keep], bh[keep], ids[keep], sig[keep], newg[keep],
+        )
+        gid = np.cumsum(newg) - 1
+        sizes = np.bincount(gid)
+        max_m = int(sizes.max()) if len(sizes) else 0
+        out_a, out_b = [], []
+        hot = sizes > max_bucket
+        if hot.any():
+            gstarts = np.cumsum(sizes) - sizes
+            for gi in np.flatnonzero(hot):
+                s, m = gstarts[gi], sizes[gi]
+                a, b = _hot_bucket_pairs(ids[s : s + m], sig[s : s + m])
+                out_a.append(a)
+                out_b.append(b)
+            cold = ~hot[gid]
+            bid, ids, gid = bid[cold], ids[cold], gid[cold]
+            max_m = int(sizes[~hot].max()) if (~hot).any() else 0
+        for delta in range(1, max_m):
+            same = gid[:-delta] == gid[delta:]
+            if not same.any():
+                break
+            out_a.append(ids[:-delta][same])
+            out_b.append(ids[delta:][same])
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
         )
 
     cand = (
-        banded.groupby(group_keys)
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.map_batches(add_bk, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_pairs_vec, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .count()
         .drop_columns(["count()"])
