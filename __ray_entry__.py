@@ -609,6 +609,23 @@ def _q_emb_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(_emb_ds(sf_dir), threshold=0.4)
 
 
+def _q_emb_lsh_dups(sf_dir: str):
+    """Sign-LSH near-dup pairs with AXIS hyperplanes (identity rows), so the
+    approximate candidate set is reproducible in SQL — see
+    ``sql_oracle.lsh_dup_pairs_sql``."""
+    import numpy as np
+
+    from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs_lsh
+
+    return cosine_dup_pairs_lsh(
+        _emb_ds(sf_dir),
+        threshold=0.4,
+        n_bands=8,
+        band_bits=4,
+        hyperplanes=np.eye(32, 64),
+    )
+
+
 def _q_emb_kmeans_cells(sf_dir: str):
     """IVF coarse assignment (vec_id, cell) — k-means via the IMRU loop."""
     import numpy as np
@@ -749,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
+        "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "media_features": _q_media_features,
     }
@@ -801,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": so.label_centroids_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
+        "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),

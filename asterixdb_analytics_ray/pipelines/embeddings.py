@@ -290,6 +290,109 @@ def cosine_dup_pairs_ivf(
     )
 
 
+def cosine_dup_pairs_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    hyperplanes: np.ndarray | None = None,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate near-dup pairs via sign-LSH bucketing — the second
+    sub-quadratic scale path next to ``cosine_dup_pairs_ivf``.
+
+    Each vector gets ``n_bands`` bucket keys: band *j* packs the sign bits of
+    ``H[j*band_bits:(j+1)*band_bits] @ v`` into an integer (classic random-
+    hyperplane LSH for cosine: P[bit agrees] = 1 − θ/π). Vectors sharing a
+    bucket in ANY band become candidates; candidates are exact-verified
+    within the bucket (cosine ≥ threshold) and deduplicated across bands, so
+    survivors are never false positives — only recall is approximate, with
+    per-pair miss probability (1 − (1−θ/π)^band_bits)^n_bands.
+
+    ``hyperplanes=None`` draws a seeded Gaussian ``(n_bands·band_bits, d)``
+    matrix per task (deterministic — same seed everywhere). The driver query
+    instead passes AXIS hyperplanes (rows of the identity: bit i of band j =
+    sign of coordinate ``j·band_bits + i``), a weaker but valid LSH family
+    whose buckets a SQL oracle can recompute exactly — making the
+    approximate result set itself oracle-checkable (`emb_lsh_dups`).
+
+    Shuffle volume is ``n_bands ×`` the normalized corpus (same trade as
+    ``nprobe ×`` in the IVF variant); per-bucket work is exact within the
+    bucket, so ``band_bits`` sizes the buckets (≈ N/2^band_bits rows each
+    for sign-balanced data). Reference analog for the candidate→verify
+    contract: the MinHash-LSH text path (``textops.minhash_lsh_pairs``).
+    """
+    from ray.data.aggregate import Min
+
+    if hyperplanes is not None:
+        H_fixed = np.ascontiguousarray(hyperplanes, dtype=np.float64)
+    else:
+        H_fixed = None
+    nbits = n_bands * band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "nemb": _list_col(np.empty((0, 0))),
+                }
+            )
+        H = (
+            H_fixed
+            if H_fixed is not None
+            else np.random.default_rng(seed).standard_normal((nbits, m.shape[1]))
+        )
+        bits = (m @ H.T >= 0).reshape(len(ids), n_bands, band_bits)
+        buckets = bits @ weights  # (n, n_bands) int64
+        nm = _normalize(m)
+        rep = np.repeat(np.arange(len(ids)), n_bands)
+        return pa.table(
+            {
+                "band": np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
+                "bucket": buckets.reshape(-1),
+                "vec_id": np.asarray(ids, dtype=np.int64)[rep],
+                "nemb": _list_col(nm[rep]),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t, col="nemb")
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sims = m @ m.T
+        bi, cj = np.nonzero(sims >= threshold)
+        a, b = ids[bi], ids[cj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": a[keep],
+                "vec_b": b[keep],
+                "sim": np.round(sims[bi, cj][keep], SIM_DECIMALS),
+            }
+        )
+
+    pairs = (
+        embeddings.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair can collide in several bands: dedup on (a, b)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("sim", alias_name="sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate variant
 # ---------------------------------------------------------------------------

@@ -762,6 +762,36 @@ WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
 """
 
 
+def lsh_dup_pairs_sql(
+    threshold: float = 0.4, n_bands: int = 8, band_bits: int = 4
+) -> str:
+    """Oracle for ``cosine_dup_pairs_lsh`` with AXIS hyperplanes: band j's
+    bucket packs the sign bits of coordinates j·band_bits+1 … (1-indexed),
+    bit i weighted 2^i — exactly the engine's ``(m @ I[:nbits].T >= 0)``
+    packing, so the *approximate* candidate set itself is reproduced in SQL.
+    Survivors are pairs sharing ≥1 band bucket with exact cosine ≥ threshold
+    (DISTINCT = the engine's cross-band dedup)."""
+    bucket = " + ".join(
+        f"(CASE WHEN e[j.range*{band_bits} + {i + 1}] >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(band_bits)
+    )
+    return f"""
+WITH n AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS MATERIALIZED (
+  SELECT vec_id, e, j.range AS band, {bucket} AS bucket
+  FROM n, range({n_bands}) j
+)
+SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b2.e), 6) AS sim
+FROM b a JOIN b b2
+  ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.e, b2.e) >= {threshold}
+"""
+
+
 def media_features_sql(media_path: str) -> str:
     """Media feature extraction recomputed independently from the persisted
     media parquet: width/height parsed from the JSON metadata, features from

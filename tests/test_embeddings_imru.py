@@ -221,3 +221,68 @@ def test_label_centroids_match_numpy(emb):
         assert got.loc[lab, "n"] == len(m)
         assert abs(got.loc[lab, "centroid_norm"] - np.sqrt(c2)) < 1e-5
         assert abs(got.loc[lab, "dispersion"] - disp) < 1e-5
+
+
+def _lsh_reference(pts, threshold, n_bands, band_bits, H):
+    """Brute-force reference for cosine_dup_pairs_lsh's semantics: pairs
+    sharing >=1 band bucket whose exact cosine >= threshold."""
+    bits = (pts @ H.T >= 0).reshape(len(pts), n_bands, band_bits)
+    buckets = bits @ (1 << np.arange(band_bits))
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = pn @ pn.T
+    out = set()
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            if (buckets[a] == buckets[b]).any() and sims[a, b] >= threshold:
+                out.add((a, b, round(sims[a, b], 6)))
+    return out
+
+
+def test_lsh_dup_pairs_planted_recall(ray_session):
+    """Gaussian-default LSH finds every planted near-dup (sim >= 0.999 pairs
+    collide with prob ~1 at 16 bands x 4 bits) and emits zero false
+    positives (survivors are exact-verified in-bucket)."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 16))
+    dups = base[:12] + rng.normal(size=(12, 16)) * 1e-3  # vec 60+i ~ vec i
+    pts = np.concatenate([base, dups])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": [row.astype(np.float64) for row in pts],
+        }
+    )
+    got = E.cosine_dup_pairs_lsh(
+        ray.data.from_pandas(df), threshold=0.95, n_bands=16, band_bits=4
+    ).to_pandas()
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    assert {(i, 60 + i) for i in range(12)} <= found
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    for a, b, s in zip(got["vec_a"], got["vec_b"], got["sim"]):
+        exact = float(pn[a] @ pn[b])
+        assert exact >= 0.95  # no false positives survive verification
+        assert abs(s - round(exact, 6)) < 1e-9
+
+
+def test_lsh_dup_pairs_axis_semantics(ray_session):
+    """Axis-hyperplane LSH (the oracle-checkable driver configuration)
+    matches a brute-force reimplementation of the bucket->verify->dedup
+    semantics exactly, across multiple blocks."""
+    rng = np.random.default_rng(9)
+    pts = rng.normal(size=(150, 12))
+    pts[50:75] = pts[:25] + rng.normal(size=(25, 12)) * 0.05
+    H = np.eye(8, 12)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": [row.astype(np.float64) for row in pts],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = E.cosine_dup_pairs_lsh(
+        ds, threshold=0.6, n_bands=2, band_bits=4, hyperplanes=H
+    ).to_pandas()
+    want = _lsh_reference(pts, 0.6, 2, 4, H)
+    assert set(zip(got["vec_a"], got["vec_b"], got["sim"])) == want
+    # each pair reported once despite multi-band collisions
+    assert got.duplicated(["vec_a", "vec_b"]).sum() == 0

@@ -103,6 +103,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_label_centroids": so.label_centroids_sql,
         "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
+        "emb_lsh_dups": lambda: so.lsh_dup_pairs_sql(0.4, 8, 4),
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
         ),
@@ -168,6 +169,7 @@ QUERY_NAMES = [
     "emb_label_centroids",
     "emb_knn",
     "emb_cosine_dups",
+    "emb_lsh_dups",
     "max_clique",
     "graph_sample",
     "media_features",
