@@ -263,6 +263,84 @@ def extract_features(
     )
 
 
+class ResizeImages:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-encode PNG.
+
+    A REAL pixel transform that runs in this codec-less container: PNG rows
+    decode through the stdlib codec (``png_decode_gray``), resize with exact
+    integer nearest-neighbor index math (``(i·in_dim)//out_dim`` — fully
+    deterministic, no float rounding), and re-encode with
+    ``png_encode_gray``. Non-PNG codecs decode via PIL where present and
+    raise ``NotImplementedError`` loudly where not (the same codec seam as
+    ``_decode_payload`` — never a silent fake). ``__init__`` precomputes
+    nothing heavy here, but is the once-per-actor codec/model load point.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.w, self.h = int(width), int(height)
+
+    def _resize(self, gray: np.ndarray) -> np.ndarray:
+        ih, iw = gray.shape
+        ys = (np.arange(self.h, dtype=np.int64) * ih) // self.h
+        xs = (np.arange(self.w, dtype=np.int64) * iw) // self.w
+        return gray[np.ix_(ys, xs)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        metas = t["meta"].to_pylist()
+        out = []
+        for p, m in zip(payloads, metas):
+            meta = json.loads(m) if m else {}
+            codec = meta.get("codec")
+            if codec == "png":
+                gray = png_decode_gray(p)
+            else:
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        f"resize for codec {codec!r} needs PIL, not present "
+                        "in this container; png resizes via the stdlib path"
+                    ) from e
+                gray = np.asarray(
+                    Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8
+                )
+            out.append(png_encode_gray(self._resize(gray)))
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "width": pa.array(
+                    np.full(t.num_rows, self.w, dtype=np.int32)
+                ),
+                "height": pa.array(
+                    np.full(t.num_rows, self.h, dtype=np.int32)
+                ),
+                "payload": pa.array(out, pa.binary()),
+            }
+        )
+
+
+def resize_images(
+    media: ray.data.Dataset,
+    width: int,
+    height: int,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """media table → resized-PNG table via the actor pool (small batches:
+    decoded pixel buffers are w·h bytes per row; batch × concurrency must
+    fit worker heaps)."""
+    return media.map_batches(
+        ResizeImages,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sample_frames(
     media: ray.data.Dataset, every: int = 4, batch_size: int = 64
 ) -> ray.data.Dataset:

@@ -169,3 +169,78 @@ def test_non_png_codec_without_pil_raises(ray_session):
 
     with pytest.raises(NotImplementedError, match="PIL"):
         _decode_payload(b"\xff\xd8 fake jpeg", {"codec": "jpeg"})
+
+
+def test_resize_images_stdlib_png(ray_session):
+    """Real decode->resize->encode round trip through the stdlib PNG codec:
+    output pixels equal the exact integer nearest-neighbor gather, across
+    up- and down-scaling, and re-decode through the same codec."""
+    import json
+
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(4)
+    imgs = [
+        rng.integers(0, 256, size=(12, 20), dtype=np.uint8),
+        rng.integers(0, 256, size=(5, 7), dtype=np.uint8),
+    ]
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([0, 1], pa.int64()),
+                "media_type": pa.array(["image", "image"]),
+                "payload": pa.array(
+                    [png_encode_gray(im) for im in imgs], pa.binary()
+                ),
+                "meta": pa.array(
+                    [
+                        json.dumps(
+                            {"width": im.shape[1], "height": im.shape[0],
+                             "codec": "png"}
+                        )
+                        for im in imgs
+                    ]
+                ),
+            }
+        )
+    )
+    out = resize_images(media, width=8, height=6, concurrency=1).to_pandas()
+    out = out.sort_values("item_id").reset_index(drop=True)
+    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    for i, im in enumerate(imgs):
+        ih, iw = im.shape
+        ys = (np.arange(6) * ih) // 6
+        xs = (np.arange(8) * iw) // 8
+        np.testing.assert_array_equal(
+            png_decode_gray(out["payload"][i]), im[np.ix_(ys, xs)]
+        )
+
+
+def test_resize_non_png_without_pil_raises(ray_session):
+    """Without PIL, resizing a jpeg-marked row fails loudly through the
+    same codec seam as decode."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; the loud-failure path is for PIL-less hosts")
+    except ImportError:
+        pass
+    from asterixdb_analytics_ray.pipelines.multimodal import ResizeImages
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "item_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\xff\xd8 fake jpeg"], pa.binary()),
+            "meta": pa.array(['{"codec": "jpeg"}']),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ResizeImages(4, 4)(t)
