@@ -297,6 +297,7 @@ def cosine_dup_pairs_lsh(
     band_bits: int = 4,
     hyperplanes: np.ndarray | None = None,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs via sign-LSH bucketing — the second
     sub-quadratic scale path next to ``cosine_dup_pairs_ivf``.
@@ -321,6 +322,15 @@ def cosine_dup_pairs_lsh(
     bucket, so ``band_bits`` sizes the buckets (≈ N/2^band_bits rows each
     for sign-balanced data). Reference analog for the candidate→verify
     contract: the MinHash-LSH text path (``textops.minhash_lsh_pairs``).
+
+    ``max_bucket`` (opt-in — default ``None`` is LOSSLESS) bounds a
+    degenerate hot bucket's O(bucket²·d) task: buckets over the cap get
+    their shuffle key salted by the FULL ``nbits``-bit sign signature
+    hashed mod ⌈bucket/max_bucket⌉ BEFORE the groupby, so near-identical
+    vectors (equal full signatures) stay co-located while the bucket's rows
+    spread across ~⌈bucket/max_bucket⌉ tasks. Cross-salt candidate pairs
+    are dropped (a ``RuntimeWarning`` reports it; survivors stay
+    exact-verified) — same contract as the MinHash path's ``salt_hot``.
     """
     from ray.data.aggregate import Min
 
@@ -351,14 +361,21 @@ def cosine_dup_pairs_lsh(
         buckets = bits @ weights  # (n, n_bands) int64
         nm = _normalize(m)
         rep = np.repeat(np.arange(len(ids)), n_bands)
-        return pa.table(
-            {
-                "band": np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
-                "bucket": buckets.reshape(-1),
-                "vec_id": np.asarray(ids, dtype=np.int64)[rep],
-                "nemb": _list_col(nm[rep]),
-            }
-        )
+        cols = {
+            "band": np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
+            "bucket": buckets.reshape(-1),
+            "vec_id": np.asarray(ids, dtype=np.int64)[rep],
+            "nemb": _list_col(nm[rep]),
+        }
+        if max_bucket is not None:
+            # full-signature FNV hash: the hot-bucket sub-split key (equal
+            # for sign-identical vectors, so true near-dups stay together)
+            fh = np.zeros(len(ids), dtype=np.uint64)
+            flat = bits.reshape(len(ids), nbits)
+            for r in range(nbits):
+                fh = fh * np.uint64(1099511628211) + flat[:, r]
+            cols["fullsig"] = fh[rep].astype(np.int64)
+        return pa.table(cols)
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         ids, m = _batch_matrix(t, col="nemb")
@@ -382,10 +399,59 @@ def cosine_dup_pairs_lsh(
             }
         )
 
-    pairs = (
-        embeddings.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    group_keys = ["band", "bucket"]
+    if max_bucket is not None:
+        import pandas as pd
+
+        # rows are consumed twice (count pass + pair shuffle): materialize
+        # so the hyperplane projection never re-runs
+        bucketed = bucketed.materialize()
+
+        def _counts(t: pa.Table) -> pa.Table:
+            g = t.group_by(["band", "bucket"]).aggregate([("vec_id", "count")])
+            return g.rename_columns(["band", "bucket", "c"])
+
+        from ray.data.aggregate import Sum as _Sum
+
+        hot_df = (
+            bucketed.map_batches(_counts, batch_format="pyarrow")
+            .groupby(["band", "bucket"])
+            .aggregate(_Sum("c", alias_name="c"))
+            .filter(expr=f"c > {max_bucket}")
+            .to_pandas()
+        )
+        if len(hot_df):
+            import warnings
+
+            warnings.warn(
+                f"[cosine-lsh] {len(hot_df)} hot bucket(s) over "
+                f"max_bucket={max_bucket} (largest {int(hot_df['c'].max())} "
+                f"vectors); salting their shuffle keys by full-signature "
+                f"hash — cross-salt candidate pairs are dropped (survivors "
+                f"remain exact-verified).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hot_df = hot_df.assign(
+                k=np.ceil(hot_df["c"] / max_bucket).astype(np.int64)
+            )
+            hot_ref = ray.put(hot_df[["band", "bucket", "k"]])
+
+            def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+                hd = ray.get(hot_ref)
+                df = df.merge(hd, on=["band", "bucket"], how="left")
+                k = df.pop("k").fillna(1).astype(np.int64)
+                df["salt"] = np.where(
+                    k > 1, df["fullsig"].to_numpy().astype(np.uint64) % k, 0
+                ).astype(np.int64)
+                return df
+
+            bucketed = bucketed.map_batches(add_salt, batch_format="pandas")
+            group_keys = ["band", "bucket", "salt"]
+
+    pairs = bucketed.groupby(group_keys).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
     # a pair can collide in several bands: dedup on (a, b)
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(

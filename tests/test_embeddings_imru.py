@@ -286,3 +286,36 @@ def test_lsh_dup_pairs_axis_semantics(ray_session):
     assert set(zip(got["vec_a"], got["vec_b"], got["sim"])) == want
     # each pair reported once despite multi-band collisions
     assert got.duplicated(["vec_a", "vec_b"]).sum() == 0
+
+
+def test_lsh_dup_pairs_hot_bucket_salting(ray_session):
+    """A degenerate corpus (300 near-identical vectors -> one mega-bucket
+    per band) with max_bucket set completes with bounded per-task buckets,
+    warns, keeps every surviving pair exact-verified, and — because equal
+    full signatures share a salt — still finds the sign-identical dups.
+    Without the cap the result is the lossless superset."""
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=16)
+    pts = base + rng.normal(size=(300, 16)) * 1e-4  # all in one bucket
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": [row.astype(np.float64) for row in pts],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    full = E.cosine_dup_pairs_lsh(
+        ds, threshold=0.999, n_bands=4, band_bits=4
+    ).to_pandas()
+    with pytest.warns(RuntimeWarning, match="hot bucket"):
+        capped = E.cosine_dup_pairs_lsh(
+            ds, threshold=0.999, n_bands=4, band_bits=4, max_bucket=50
+        ).to_pandas()
+    full_set = set(zip(full["vec_a"], full["vec_b"], full["sim"]))
+    capped_set = set(zip(capped["vec_a"], capped["vec_b"], capped["sim"]))
+    assert capped_set <= full_set  # lossy only, never wrong
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    for a, b, s in capped_set:
+        assert float(pn[a] @ pn[b]) >= 0.999  # exact-verified survivors
+    # sign-identical vectors share fullsig => same salt => pairs survive
+    assert len(capped_set) > 0
