@@ -341,22 +341,34 @@ def cosine_dup_pairs_lsh(
     nbits = n_bands * band_bits
     weights = (1 << np.arange(band_bits, dtype=np.int64))
 
+    # per-process memo for the seeded Gaussian draw: the dimension d is only
+    # known once a batch arrives, so the draw can't move to the driver — but
+    # it IS deterministic (same seed everywhere), so each worker draws it
+    # once and every later batch reuses the cached matrix (round-4 verdict
+    # item #8: the per-batch redraw was redundant work).
+    H_cache: dict[int, np.ndarray] = {}
+
     def bucketize(t: pa.Table) -> pa.Table:
         ids, m = _batch_matrix(t)
         if len(ids) == 0:
-            return pa.table(
-                {
-                    "band": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "nemb": _list_col(np.empty((0, 0))),
-                }
-            )
-        H = (
-            H_fixed
-            if H_fixed is not None
-            else np.random.default_rng(seed).standard_normal((nbits, m.shape[1]))
-        )
+            cols = {
+                "band": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "nemb": _list_col(np.empty((0, 0))),
+            }
+            if max_bucket is not None:
+                # keep the block schema identical to non-empty batches so
+                # add_salt never sees a fullsig-less block
+                cols["fullsig"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        if H_fixed is not None:
+            H = H_fixed
+        else:
+            d = m.shape[1]
+            if d not in H_cache:
+                H_cache[d] = np.random.default_rng(seed).standard_normal((nbits, d))
+            H = H_cache[d]
         bits = (m @ H.T >= 0).reshape(len(ids), n_bands, band_bits)
         buckets = bits @ weights  # (n, n_bands) int64
         nm = _normalize(m)
@@ -441,9 +453,16 @@ def cosine_dup_pairs_lsh(
             def add_salt(df: pd.DataFrame) -> pd.DataFrame:
                 hd = ray.get(hot_ref)
                 df = df.merge(hd, on=["band", "bucket"], how="left")
-                k = df.pop("k").fillna(1).astype(np.int64)
+                # modulo entirely in uint64: mixing a uint64 array with an
+                # int64 Series promotes to float64, rounding fullsig values
+                # >= 2^53 so power-of-two split factors would yield one salt
+                # for every row (silent no-op splitting)
+                kk = (
+                    df.pop("k").fillna(1).astype(np.int64).to_numpy().astype(np.uint64)
+                )
+                sig = df["fullsig"].to_numpy().astype(np.uint64)
                 df["salt"] = np.where(
-                    k > 1, df["fullsig"].to_numpy().astype(np.uint64) % k, 0
+                    kk > 1, sig % np.maximum(kk, np.uint64(1)), np.uint64(0)
                 ).astype(np.int64)
                 return df
 

@@ -112,23 +112,39 @@ def png_decode_gray(payload: bytes) -> np.ndarray:
         ).astype(np.int64)
         if f == 0:
             rec = row
-        elif f == 2:  # Up — vectorized
+        elif f == 2:  # Up — fully vectorized
             rec = (row + prev) & 0xFF
-        else:  # Sub/Average/Paeth carry a left dependency — sequential in x
-            rec = row.copy()
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                if f == 1:
-                    rec[x] = (rec[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
-                else:  # 4 = Paeth
-                    c = prev[x - ch] if x >= ch else 0
+        elif f == 1:
+            # Sub: rec[x] = (row[x] + rec[x-ch]) mod 256, a per-lane prefix
+            # sum — mod distributes over +, so one cumsum per lane then mask
+            rec = (np.cumsum(row.reshape(w, ch), axis=0) & 0xFF).reshape(-1)
+        else:
+            # Average/Paeth carry a true left recurrence (the //2 and the
+            # predictor select are non-linear, so no prefix-sum closed form)
+            # — loop over the w PIXELS with all ch channels vectorized per
+            # step; real-world Paeth-heavy PNGs were per-BYTE before.
+            r2 = row.reshape(w, ch)
+            p2 = prev.reshape(w, ch)
+            out = np.empty((w, ch), dtype=np.int64)
+            if f == 3:  # Average; first pixel has a=0 → pred = b//2
+                out[0] = (r2[0] + p2[0] // 2) & 0xFF
+                for x in range(1, w):
+                    out[x] = (r2[x] + (out[x - 1] + p2[x]) // 2) & 0xFF
+            else:  # 4 = Paeth; first pixel (a=c=0) always selects b (Up)
+                out[0] = (r2[0] + p2[0]) & 0xFF
+                for x in range(1, w):
+                    a, b, c = out[x - 1], p2[x], p2[x - 1]
                     p = a + b - c
-                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
-                    rec[x] = (rec[x] + pred) & 0xFF
+                    pa_ = np.abs(p - a)
+                    pb_ = np.abs(p - b)
+                    pc_ = np.abs(p - c)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_),
+                        a,
+                        np.where(pb_ <= pc_, b, c),
+                    )
+                    out[x] = (r2[x] + pred) & 0xFF
+            rec = out.reshape(-1)
         img[y] = rec.astype(np.uint8)
         prev = rec
     px = img.reshape(h, w, ch).astype(np.int64)
@@ -270,10 +286,16 @@ class ResizeImages:
     decode through the stdlib codec (``png_decode_gray``), resize with exact
     integer nearest-neighbor index math (``(i·in_dim)//out_dim`` — fully
     deterministic, no float rounding), and re-encode with
-    ``png_encode_gray``. Non-PNG codecs decode via PIL where present and
-    raise ``NotImplementedError`` loudly where not (the same codec seam as
-    ``_decode_payload`` — never a silent fake). ``__init__`` precomputes
+    ``png_encode_gray``. Non-PNG image codecs decode via PIL where present
+    and raise ``NotImplementedError`` loudly where not (the same codec seam
+    as ``_decode_payload`` — never a silent fake). ``__init__`` precomputes
     nothing heavy here, but is the once-per-actor codec/model load point.
+
+    The output is a valid MEDIA_SCHEMA table (item_id, media_type, payload,
+    meta): resized rows get ``meta`` rewritten with the new width/height and
+    ``codec='png'``, so the stage chains into ``extract_features`` /
+    ``sample_frames``. Rows whose ``media_type != 'image'`` (audio/video)
+    pass through UNCHANGED instead of hitting the codec seam.
     """
 
     def __init__(self, width: int, height: int):
@@ -288,8 +310,13 @@ class ResizeImages:
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
         metas = t["meta"].to_pylist()
-        out = []
-        for p, m in zip(payloads, metas):
+        mtypes = t["media_type"].to_pylist()
+        out_payload, out_meta = [], []
+        for p, m, mt in zip(payloads, metas, mtypes):
+            if mt != "image":
+                out_payload.append(p)
+                out_meta.append(m)
+                continue
             meta = json.loads(m) if m else {}
             codec = meta.get("codec")
             if codec == "png":
@@ -307,17 +334,15 @@ class ResizeImages:
                 gray = np.asarray(
                     Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8
                 )
-            out.append(png_encode_gray(self._resize(gray)))
+            out_payload.append(png_encode_gray(self._resize(gray)))
+            meta.update(width=self.w, height=self.h, codec="png")
+            out_meta.append(json.dumps(meta))
         return pa.table(
             {
                 "item_id": t["item_id"],
-                "width": pa.array(
-                    np.full(t.num_rows, self.w, dtype=np.int32)
-                ),
-                "height": pa.array(
-                    np.full(t.num_rows, self.h, dtype=np.int32)
-                ),
-                "payload": pa.array(out, pa.binary()),
+                "media_type": t["media_type"],
+                "payload": pa.array(out_payload, pa.binary()),
+                "meta": pa.array(out_meta, pa.string()),
             }
         )
 

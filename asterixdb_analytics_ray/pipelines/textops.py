@@ -226,23 +226,72 @@ def language_id(
     """(doc_id, pred_lang) — nearest char-trigram profile classifier.
 
     Pass 1 builds per-language trigram profiles from the labeled ``lang``
-    column (grouped aggregation, small result); the profiles are broadcast
-    via ``ray.put`` and pass 2 scores every document in stateless tasks that
-    fetch them zero-copy from the object store.
+    column as a TWO-LEVEL combine: per-batch partial ``(lang, gram)``
+    counts → distributed ``groupby(["lang", "gram"]).sum()`` → top-300 per
+    language. No task ever holds a language's corpus slice — the only
+    per-language group is its DISTINCT-gram count table (≤ |trigram vocab|
+    rows, kilobytes), so the pass survives a 100 TB monolingual corpus
+    (same shape as ``corpus.top_tokens``; reference cost-shape analog: the
+    sorted streaming group-by in ``jobgen/JobGen.java:1124-1215``). The
+    counts, weights (count / language gram total), and (count desc, gram
+    asc) tie-break are bit-identical to the previous single-task
+    ``Counter`` build, so predictions are unchanged. The profiles are
+    broadcast via ``ray.put`` and pass 2 scores every document in stateless
+    tasks that fetch them zero-copy from the object store.
     """
+    from ray.data.aggregate import Sum
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        prof = _profile(list(g["text"]))
-        import json
+    top = 300
 
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "profile": [json.dumps(prof)]}
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        langs_rep: list = []
+        grams_all: list = []
+        for lang, text in zip(df["lang"], df["text"]):
+            gs = _char_ngrams(text)
+            grams_all.extend(gs)
+            langs_rep.extend([lang] * len(gs))
+        if not grams_all:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "gram": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            pd.DataFrame({"lang": langs_rep, "gram": grams_all})
+            .groupby(["lang", "gram"], sort=False)
+            .size()
+            .reset_index(name="c")
         )
 
-    profs = docs.groupby("lang").map_groups(collect, batch_format="pandas").take_all()
-    import json
+    def top_k(g: pd.DataFrame) -> pd.DataFrame:
+        # g = one language's distinct-gram totals (small); weight by the
+        # FULL gram total, then keep top-300 by (count desc, gram asc) —
+        # exactly _profile's selection and tie-break
+        total = int(g["c"].sum()) or 1
+        g = g.sort_values(
+            ["c", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(),
+                "gram": g["gram"].to_numpy(),
+                "w": g["c"].to_numpy(np.float64) / total,
+            }
+        )
 
-    profiles = {r["lang"]: json.loads(r["profile"]) for r in profs}
+    prof_rows = (
+        docs.map_batches(partial_counts, batch_format="pandas")
+        .groupby(["lang", "gram"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("lang")
+        .map_groups(top_k, batch_format="pandas")
+        .take_all()
+    )
+    profiles: dict[str, dict[str, float]] = {}
+    for r in sorted(prof_rows, key=lambda r: (r["lang"], -r["w"], r["gram"])):
+        profiles.setdefault(r["lang"], {})[r["gram"]] = r["w"]
     # pre-assemble the scoring matrix ONCE on the driver: combined gram
     # vocabulary (≤ top·n_langs rows) and a (|vocab| × n_langs) weight
     # matrix, broadcast together — the per-batch work is then one

@@ -138,6 +138,70 @@ def test_png_decoder_all_filters_and_color():
     np.testing.assert_array_equal(png_decode_gray(payload), want)
 
 
+def test_png_decoder_all_filters_multichannel():
+    """The vectorized lane unfilter reconstructs Sub/Up/Average/Paeth rows
+    bit-exactly on multi-channel (RGBA, ch=4) data, where the left neighbor
+    is ch bytes back — hand-filtered with the per-byte spec reference."""
+    import struct
+    import zlib
+
+    from asterixdb_analytics_ray.pipelines.multimodal import (
+        _PNG_SIG,
+        png_decode_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w, ch = 6, 7, 4
+    rgba = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 1]
+    raws = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = rgba[y].astype(np.int64)
+        f = filters[y]
+        filt = np.empty(w * ch, dtype=np.int64)
+        for x in range(w * ch):  # per-BYTE spec reference implementation
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raws.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    px = rgba.reshape(h, w, ch).astype(np.int64)
+    want = (
+        (19595 * px[:, :, 0] + 38470 * px[:, :, 1] + 7471 * px[:, :, 2] + 0x8000)
+        >> 16
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(png_decode_gray(payload), want)
+
+
 def test_pil_round_trip_if_present(ray_session):
     """Where PIL exists, its PNG output decodes identically through the
     stdlib path (and vice versa)."""
@@ -212,7 +276,11 @@ def test_resize_images_stdlib_png(ray_session):
     )
     out = resize_images(media, width=8, height=6, concurrency=1).to_pandas()
     out = out.sort_values("item_id").reset_index(drop=True)
-    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    # output stays a valid media table: meta carries the new dims + codec
+    assert list(out.columns) == ["item_id", "media_type", "payload", "meta"]
+    metas = [json.loads(m) for m in out["meta"]]
+    assert all(m["width"] == 8 and m["height"] == 6 and m["codec"] == "png"
+               for m in metas)
     for i, im in enumerate(imgs):
         ih, iw = im.shape
         ys = (np.arange(6) * ih) // 6
@@ -220,6 +288,55 @@ def test_resize_images_stdlib_png(ray_session):
         np.testing.assert_array_equal(
             png_decode_gray(out["payload"][i]), im[np.ix_(ys, xs)]
         )
+
+
+def test_resize_images_passthrough_and_chain(ray_session):
+    """Non-image rows pass through untouched (never hitting the codec seam)
+    and the resized table chains straight into extract_features."""
+    import json
+
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        png_encode_gray,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 10), dtype=np.uint8)
+    audio_payload = b"\x00\x01fake-audio"
+    audio_meta = json.dumps({"codec": "wav", "rate": 16000})
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([0, 1], pa.int64()),
+                "media_type": pa.array(["image", "audio"]),
+                "payload": pa.array(
+                    [png_encode_gray(img), audio_payload], pa.binary()
+                ),
+                "meta": pa.array(
+                    [json.dumps({"width": 10, "height": 10, "codec": "png"}),
+                     audio_meta]
+                ),
+            }
+        )
+    )
+    resized = resize_images(media, width=4, height=4, concurrency=1)
+    df = resized.to_pandas().sort_values("item_id").reset_index(drop=True)
+    # the audio row is byte-identical in and out
+    assert bytes(df["payload"][1]) == audio_payload
+    assert df["meta"][1] == audio_meta
+    # the image row chains into extract_features via its rewritten meta
+    feats = (
+        extract_features(resized.filter(lambda r: r["media_type"] == "image"),
+                         concurrency=1)
+        .to_pandas()
+    )
+    assert len(feats) == 1
+    assert len(feats["features"][0]) == FEATURE_DIM
+    assert feats["width"][0] == 4 and feats["height"][0] == 4
 
 
 def test_resize_non_png_without_pil_raises(ray_session):
@@ -238,6 +355,7 @@ def test_resize_non_png_without_pil_raises(ray_session):
     t = pa.table(
         {
             "item_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image"]),
             "payload": pa.array([b"\xff\xd8 fake jpeg"], pa.binary()),
             "meta": pa.array(['{"codec": "jpeg"}']),
         }
