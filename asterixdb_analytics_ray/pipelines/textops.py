@@ -937,7 +937,10 @@ def simhash_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.5, shingle_k: int = 3
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_df: int | None = 100_000,
 ) -> ray.data.Dataset:
     """Exact all-pairs word-k-gram Jaccard ≥ threshold — distributed.
 
@@ -952,11 +955,21 @@ def ngram_jaccard_pairs(
 
     No driver materialization and no O(N²) loop — cost is Σ df(s)² over
     shingle document-frequencies, the standard exact set-similarity-join
-    bound; a hub shingle (stop-phrase) inflates it, which is why the
-    MinHash-LSH pipeline remains the preferred 100 TB path and this one is
-    its exact verifier/baseline.
+    bound. ``max_df`` bounds the bound: a per-batch-partial df count pass
+    flags shingles whose document frequency exceeds it (a degenerate
+    boilerplate stop-phrase would otherwise land its entire df²-pair
+    postings group in ONE join partition), and hot postings get their join
+    key salted by ``doc_id mod ⌈df/max_df⌉`` BEFORE the self-join — the
+    same count-flag-then-salt contract as ``minhash_lsh_pairs`` /
+    ``embeddings.cosine_dup_pairs_lsh``. Cross-salt candidate pairs whose
+    ONLY shared shingles are hot are dropped (a ``RuntimeWarning`` reports
+    it); every SURVIVING pair is re-verified with its full exact shingle
+    sets (``_verify_pairs_distributed``), so reported jaccard values stay
+    exact even though hot shingles no longer co-locate all their postings.
+    ``max_df=None`` disables the count pass and salting entirely
+    (lossless; the default cap never engages below ~10⁵-doc boilerplate).
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from ..stages.blocks import partitions_for, safe_join
 
@@ -974,12 +987,66 @@ def ngram_jaccard_pairs(
 
     ex = docs.map_batches(explode, batch_format="pandas").materialize()
     P = partitions_for(ex.count())  # data-proportional (see blocks.py)
-    sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-    other = ex.map_batches(
-        lambda t: pa.table({"doc_b": t["doc_id"], "sh": t["sh"]}),
-        batch_format="pyarrow",
-    )
-    joined = safe_join(ex, other, "inner", P, on=("sh",))
+
+    hot_df = None
+    if max_df is not None:
+        # per-batch partial df counts (explode is unique-per-doc, so a
+        # count of `sh` IS a document frequency) → tiny hot set on driver
+        def df_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["sh"]).aggregate([("doc_id", "count")])
+            return g.rename_columns(["sh", "c"])
+
+        hot_pdf = (
+            ex.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("sh")
+            .aggregate(Sum("c", alias_name="c"))
+            .filter(expr=f"c > {max_df}")
+            .to_pandas()
+        )
+        if len(hot_pdf):
+            import warnings
+
+            warnings.warn(
+                f"[ngram-jaccard] {len(hot_pdf)} hot shingle(s) over "
+                f"max_df={max_df} (largest df {int(hot_pdf['c'].max())}); "
+                f"salting their postings keys by doc id — candidate pairs "
+                f"whose only shared shingles are hot may be missed "
+                f"(survivors stay exact-verified).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hot_pdf = hot_pdf.assign(
+                k=np.ceil(hot_pdf["c"] / max_df).astype(np.int64)
+            )
+            hot_df = ray.put(hot_pdf[["sh", "k"]])
+
+    if hot_df is not None:
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            hd = ray.get(hot_df)
+            df = df.merge(hd, on="sh", how="left")
+            k = df.pop("k").fillna(1).astype(np.int64).to_numpy()
+            doc = df["doc_id"].to_numpy().astype(np.uint64)
+            df["salt"] = np.where(
+                k > 1, doc % np.maximum(k.astype(np.uint64), 1), 0
+            ).astype(np.int64)
+            return df
+
+        ex = ex.map_batches(add_salt, batch_format="pandas")
+        join_on: tuple = ("sh", "salt")
+        other = ex.map_batches(
+            lambda t: pa.table(
+                {"doc_b": t["doc_id"], "sh": t["sh"], "salt": t["salt"]}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        join_on = ("sh",)
+        other = ex.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"], "sh": t["sh"]}),
+            batch_format="pyarrow",
+        )
+    joined = safe_join(ex, other, "inner", P, on=join_on)
 
     def orient(t: pa.Table) -> pa.Table:
         a = t["doc_id"].to_numpy()
@@ -992,6 +1059,17 @@ def ngram_jaccard_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="inter"))
     )
+
+    if hot_df is not None:
+        # salted join-count intersections UNDERCOUNT pairs that shared a
+        # hot shingle cross-salt — recompute survivors' jaccard exactly
+        # from their full shingle sets instead of the join counts
+        cand = inter.select_columns(["doc_a", "doc_b"])
+        return _verify_pairs_distributed(
+            cand, shingle_sets(docs, shingle_k), threshold, n_hint=ex.count()
+        )
+
+    sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
     size_a = sizes.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "n_a": t["n_sh"]}),
         batch_format="pyarrow",

@@ -69,6 +69,38 @@ def test_lsh_agrees_with_exact_jaccard(docs):
     assert got == want
 
 
+def test_ngram_jaccard_hot_shingle_salted(ray_session):
+    """A degenerate boilerplate corpus (one shingle in EVERY doc) completes
+    without a single df²-sized postings mega-group: the hot shingle's join
+    key is salted by doc id (RuntimeWarning), and true near-dup pairs —
+    which also share non-hot shingles — survive with EXACT jaccard values
+    via the distributed full-set verify."""
+    k = 60
+    rows = []
+    for i in range(0, k, 2):
+        text = f"common boilerplate phrase unique{i} alpha{i} beta{i} gamma{i}"
+        rows.append((i, text))
+        rows.append((i + 1, text))  # identical twin -> jaccard 1.0
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs60 = ray.data.from_pandas(df)
+    with pytest.warns(RuntimeWarning, match="hot shingle"):
+        pairs = T.ngram_jaccard_pairs(
+            docs60, threshold=0.5, max_df=10
+        ).to_pandas()
+    pairset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert pairset == {(i, i + 1) for i in range(0, k, 2)}
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_ngram_jaccard_salting_identity_on_sane_corpus(docs):
+    """No shingle over max_df -> the count pass flags nothing and results
+    are bit-identical to the lossless max_df=None path."""
+    a = T.ngram_jaccard_pairs(docs, threshold=0.4).to_pandas()
+    b = T.ngram_jaccard_pairs(docs, threshold=0.4, max_df=None).to_pandas()
+    key = lambda d: sorted(zip(d["doc_a"], d["doc_b"], d["jaccard"]))
+    assert key(a) == key(b)
+
+
 def test_simhash_dup_pairs_exact_vs_all_pairs(docs):
     """Banded bucketing (pigeonhole-exact for max_dist < bands) finds exactly
     the pairs a quadratic Hamming scan finds, at every cutoff."""
