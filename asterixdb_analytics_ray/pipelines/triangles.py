@@ -11,31 +11,65 @@ message formulation explodes; per SURVEY.md §7.3 we use the equivalent
 join shape:
 
     oriented edges (src<dst)
-      → adjacency grouped by src  → wedge emission (a, b, c), b<c
+      → degree shards (P plasma-resident dense vectors, built by workers)
+      → edges re-oriented low→high by (degree, id)       (shard-gather)
+      → adjacency grouped by src  → wedge emission (a, b, c), b ≺ c
       → wedges (keyed b%P) + edges (keyed src%P) co-partitioned into ONE
         groupby; edge-existence tested by sorted-key searchsorted inside
         the group (a wedge needs only edges rooted at its b)
-      → per-group partial counts scatter-added on the driver
-    = two all-to-all exchanges total (adjacency grouping + closing).
+      → per-group sparse partial counts → groupby(v).sum (tiny: only
+        triangle vertices shuffle)
+    = three all-to-all exchanges total, ZERO O(n) driver allocations.
 
 Skew note: a vertex emits out-degree²/2 wedges, so orientation choice decides
-hub cost.  Edges are oriented by DEGREE rank, (degree, id) ascending — the
+hub cost.  Edges are oriented by DEGREE, (degree, id) ascending — the
 standard mitigation: every vertex's out-degree is bounded by its number of
 HIGHER-degree neighbors (≤ O(√E)), so a d-degree hub whose neighbors are
 leaves emits ZERO wedges instead of d²/2 (a 100k-degree hub: 5·10⁹ wedges
 under id-orientation; see ``tests/test_skew.py``).  Each triangle is found
-once, at its min-RANK vertex, then attributed back to its min-ID vertex —
-so per-vertex counts and the global total are IDENTICAL to the reference's
-id-oriented semantics (``TriangleCountingVertex.java:51-97``), verified by
-the same SQL oracle.
+once, at its min-(degree, id) vertex, then attributed back to its min-ID
+vertex — so per-vertex counts and the global total are IDENTICAL to the
+reference's id-oriented semantics (``TriangleCountingVertex.java:51-97``),
+verified by the same SQL oracle.
+
+Scale shape (round-4 verdict item #4): degree state lives in P object-store
+shards built by worker tasks from per-batch sparse partials (shard p = the
+dense counts of vertices v ≡ p mod P) — the ``stages/sharded.py`` layout.
+Orientation tasks gather the shards zero-copy from plasma (per NODE, not
+per task) and index them by (v % P, v // P); no dense rank permutation is
+ever built, because (degree, id) lexicographic comparison orients an edge
+without global rank assignment.  The driver holds only P ObjectRefs and
+the final sparse (v, triangles) result.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
+
+
+@ray.remote
+def _densify_degrees(t: "pa.Table | None", n: int, P: int, p: int) -> np.ndarray:
+    """Shard p of the degree vector: dense counts for vertices v ≡ p (mod P),
+    local index v // P.  Runs next to the data; the driver sees one ref."""
+    size = (n - p + P - 1) // P if n > p else 0
+    out = np.zeros(max(size, 1), dtype=np.int64)
+    if t is not None and t.num_rows:
+        np.add.at(out, t["v"].to_numpy() // P, t["cnt"].to_numpy())
+    return out
+
+
+def _shard_lookup(v: np.ndarray, shards: list[np.ndarray], P: int) -> np.ndarray:
+    """Vectorized gather from the P degree shards: deg[v] = shards[v%P][v//P]."""
+    out = np.empty(len(v), dtype=np.int64)
+    mod = v % P
+    for p in range(P):
+        m = mod == p
+        if m.any():
+            out[m] = shards[p][v[m] // P]
+    return out
 
 
 def triangle_count(
@@ -49,46 +83,54 @@ def triangle_count(
     (``LinkGraph.oriented()`` / micrograph helper).
     """
 
+    from ray.data.aggregate import Sum
+
     from ..stages.blocks import partitions_for
+    from ..stages.partition import partition_table_refs
 
     # data-proportional partitioning (measured 9.3s → 4.1s at 153k edges);
     # ``num_partitions`` stays the large-graph ceiling — see blocks.py
     P = partitions_for(oriented_edges.count(), num_partitions)
 
-    # ---- degree-rank orientation (see module docstring) ----
-    # per-block SPARSE partials scatter-added into the dense vector on the
-    # driver — the exact `LinkGraph._degrees` pattern (graph.py:332-351): no
-    # groupby shuffle, O(n) driver state (two int64 vectors — the same class
-    # as the outdeg arrays every PageRank run holds). This was a hash
-    # shuffle in round 3 and the whole of the recorded 5.0→7.0 s triangle
-    # bench regression; the partial-combine route restores it.
+    # ---- degree shards (worker-built, plasma-resident) ----
+    # per-block sparse partials routed by v % P, densified next to the data:
+    # the driver holds P ObjectRefs, never a length-n array (the
+    # stages/sharded.py state layout; round 3's driver scatter-add held two
+    # O(n) vectors here).
 
     def ends(t: pa.Table) -> pa.Table:
         both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
         v, c = np.unique(both, return_counts=True)
         return pa.table({"v": v, "cnt": c.astype(np.int64)})
 
-    deg = np.zeros(n, dtype=np.int64)
-    for b in oriented_edges.map_batches(
-        ends, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        np.add.at(deg, b["v"].to_numpy(), b["cnt"].to_numpy())
-    order = np.lexsort((np.arange(n), deg))  # ascending (degree, id)
-    rank = np.empty(n, dtype=np.int64)
-    rank[order] = np.arange(n)
-    rank_ref = ray.put(rank)
-    inv_ref = ray.put(order)  # rank → original id
+    partials = oriented_edges.map_batches(ends, batch_format="pyarrow").materialize()
+    part_refs = partition_table_refs(partials, "v", P)
+    deg_refs = [
+        _densify_degrees.remote(part_refs.get(p), n, P, p) for p in range(P)
+    ]
 
-    def relabel(t: pa.Table) -> pa.Table:
-        r = ray.get(rank_ref)
-        s = r[t["src"].to_numpy()]
-        d = r[t["dst"].to_numpy()]
+    # ---- (degree, id) orientation WITHOUT a dense rank ----
+    # lexicographic comparison per edge orients low→high; no global rank
+    # permutation (and no ray.put of one) is ever materialized. ``sd``
+    # carries the head's degree so wedge emission can order neighbor pairs
+    # by the same (degree, id) key.
+    def orient(t: pa.Table) -> pa.Table:
+        shards = ray.get(deg_refs)  # zero-copy plasma reads, shared per node
+        u = t["src"].to_numpy()
+        v = t["dst"].to_numpy()
+        du = _shard_lookup(u, shards, P)
+        dv = _shard_lookup(v, shards, P)
+        fwd = (du < dv) | ((du == dv) & (u < v))
         return pa.table(
-            {"src": np.minimum(s, d), "dst": np.maximum(s, d)}
+            {
+                "src": np.where(fwd, u, v),
+                "dst": np.where(fwd, v, u),
+                "sd": np.where(fwd, dv, du),
+            }
         )
 
     redges = oriented_edges.map_batches(
-        relabel, batch_format="pyarrow"
+        orient, batch_format="pyarrow"
     ).materialize()
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -97,17 +139,18 @@ def triangle_count(
         )
 
     def wedges_vec(t: pa.Table) -> pa.Table:
-        """All neighbor pairs (b < c) per src, fully vectorized, re-keyed for
-        the closing shuffle (part = b % P).
+        """All neighbor pairs (b ≺ c by (degree, id)) per src, fully
+        vectorized, re-keyed for the closing shuffle (part = b % P).
 
         Receives ONE hash partition of srcs (groupby("part")), sorts by
-        (src, dst), finds src runs, and enumerates each run's triangular
-        pairs with the closed-form (i, j) inversion of the pair index —
-        no per-vertex Python loop.
+        (src, (sd, dst)), finds src runs, and enumerates each run's
+        triangular pairs with the closed-form (i, j) inversion of the pair
+        index — no per-vertex Python loop.
         """
         src = t["src"].to_numpy()
         dst = t["dst"].to_numpy()
-        order = np.lexsort((dst, src))
+        sd = t["sd"].to_numpy()
+        order = np.lexsort((dst, sd, src))
         s, d = src[order], dst[order]
         starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
         lens = np.diff(np.concatenate((starts, [len(s)])))
@@ -149,12 +192,10 @@ def triangle_count(
     # Co-partition wedges (by b % P) and edges (by src % P) into the SAME
     # groupby — a wedge (a, b, c) needs only edges whose src == b, so every
     # group is self-contained. Membership is a sorted-packed-key
-    # searchsorted inside the group; partial triangle counts (at each
-    # triangle's min ORIGINAL id) come back to the driver scatter-add style
-    # (the `_degrees` pattern — the driver already holds two O(n) rank
-    # vectors). Net exchange count: TWO groupby shuffles total, replacing
-    # round 3's groupby + two-sided hash join + count-by-key (4 exchanges —
-    # the recorded 5.0→7.0 s bench regression; this restores and beats it).
+    # searchsorted inside the group; sparse per-group partial counts (at
+    # each triangle's min ORIGINAL id — ids never left original space)
+    # combine in one tiny groupby(v).sum — only vertices that are in
+    # triangles ever shuffle, and the driver allocates nothing dense.
     def edge_rows(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy()
         return pa.table(
@@ -186,29 +227,35 @@ def triangle_count(
             hit = ek[idx] == wk
         else:
             hit = np.zeros(len(wk), dtype=bool)
-        inv = ray.get(inv_ref)
-        aa = inv[a[~is_edge][hit]]
-        bb = inv[b[~is_edge][hit]]
-        cc = inv[c[~is_edge][hit]]
+        aa = a[~is_edge][hit]
+        bb = b[~is_edge][hit]
+        cc = c[~is_edge][hit]
         v, cnt = np.unique(np.minimum(np.minimum(aa, bb), cc), return_counts=True)
         return pa.table({"v": v.astype(np.int64), "cnt": cnt.astype(np.int64)})
 
-    counts = np.zeros(n, dtype=np.int64)
-    for blk in (
+    closed = (
         tagged.groupby("part")
         .map_groups(close_count, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        np.add.at(counts, blk["v"].to_numpy(), blk["cnt"].to_numpy())
-    nz = np.flatnonzero(counts)
-    per_vertex = ray.data.from_arrow(
-        pa.table({"v": nz.astype(np.int64), "triangles": counts[nz]})
+        .materialize()
     )
-    return per_vertex, int(counts.sum())
+    # sparse partial combine: only triangle vertices shuffle, so size the
+    # aggregate to the PARTIAL row count (hash-aggregate actors cost ~0.2s
+    # each — a CPU-count partitioning of a few-thousand-row combine wastes
+    # seconds; see blocks.partitions_for)
+    per_vertex = (
+        closed.groupby("v", num_partitions=partitions_for(closed.count()))
+        .aggregate(Sum("cnt", alias_name="triangles"))
+        .materialize()
+    )
+    total = per_vertex.sum("triangles") or 0
+    return per_vertex, int(total)
 
 
 def triangles_table(per_vertex: ray.data.Dataset, n: int) -> pa.Table:
-    """Densify to all n vertices (zeros where no triangles), sorted by v."""
+    """Densify to all n vertices (zeros where no triangles), sorted by v.
+
+    Driver-side O(n) by design: an output-FORMATTING helper for the small
+    dense listings the oracle gate compares, not part of the run path."""
     counts = np.zeros(n, dtype=np.int64)
     for b in per_vertex.iter_batches(batch_format="pyarrow"):
         counts[b["v"].to_numpy()] = b["triangles"].to_numpy()
