@@ -465,6 +465,20 @@ def _verify_pairs_distributed(
     formulation is gone)."""
     from ..stages.blocks import effective_partitions, partitions_for, safe_join
 
+    # zero candidates leave only schema-less empty blocks, which Acero's
+    # join rejects ("no match for key field doc_a") — return a typed empty
+    # result instead (a no-near-dup corpus is a normal outcome, not an error)
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     P = partitions_for(n_hint) if n_hint else effective_partitions()
     a_side = shingles.map_batches(
         lambda t: pa.table({"doc_a": t["doc_id"], "sh_a": t["sh"]}),

@@ -64,6 +64,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="graph_sample fill-rate quota")
     ap.add_argument("--source", type=int, default=0, help="SSSP/reachability source vertex")
     ap.add_argument("--target", type=int, default=None, help="reachability target vertex (default: max id)")
+    # corpus_pipeline stage flags (defaults = the oracle-checked driver config)
+    ap.add_argument("--near-threshold", type=float, default=0.5,
+                    help="corpus: MinHash near-dup jaccard threshold")
+    ap.add_argument("--eval-max-doc-id", type=int, default=5,
+                    help="corpus: doc_id < N forms the eval/decontamination set")
+    ap.add_argument("--contam-threshold", type=float, default=0.5,
+                    help="corpus: eval-shingle overlap fraction that drops a doc")
+    ap.add_argument("--min-quality", type=float, default=12.0,
+                    help="corpus: heuristic quality-score floor")
+    ap.add_argument("--sample-rate", type=float, default=0.5,
+                    help="corpus: deterministic doc_id-hash sample rate")
+    ap.add_argument("--min-lm-score", type=float, default=None,
+                    help="corpus: optional unigram-LM score floor "
+                    "(corpus-wide token stats; adds an lm_score column)")
+    ap.add_argument("--max-dup-fraction", type=float, default=None,
+                    help="corpus: optional within-doc repetition ceiling "
+                    "(Gopher-style dup_fraction; docs with zero k-grams pass)")
     args = ap.parse_args(argv)
 
     import ray
@@ -82,15 +99,84 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     if args.algorithm == "corpus_pipeline":
-        # document pipeline — runs over the documents table, no link graph
-        from asterixdb_analytics_ray.pipelines.corpus import corpus_pipeline
+        # document pipeline — runs over the documents table, no link graph.
+        # Kill/resume: the pipeline has exactly two materialization barriers
+        # (the exact-dedup survivor set and the near-dup drop table, see
+        # corpus_pipeline's docstring); a killed run restarts from the
+        # source parquet — both barriers are deterministic pure functions of
+        # the input, so a re-run reproduces them bit-identically, and the
+        # partitioned Parquet sink below lets resumable CONSUMERS skip
+        # finished output parts.
+        from asterixdb_analytics_ray.pipelines.corpus import (
+            corpus_pipeline,
+            lm_score,
+        )
 
         docs_path = args.input or os.path.join(
             args.sf_dir or "/root/testdata/sf0.001", "documents.parquet"
         )
         t0 = time.perf_counter()
-        out = corpus_pipeline(ray.data.read_parquet(docs_path))
+        docs = ray.data.read_parquet(docs_path)
+        out = corpus_pipeline(
+            docs,
+            near_threshold=args.near_threshold,
+            eval_max_doc_id=args.eval_max_doc_id,
+            contam_threshold=args.contam_threshold,
+            min_quality=args.min_quality,
+            sample_rate=args.sample_rate,
+        )
+        summary: dict = {}
+        if args.min_lm_score is not None or args.max_dup_fraction is not None:
+            from asterixdb_analytics_ray.stages.blocks import (
+                partitions_for,
+                safe_join,
+            )
+
+            out = out.materialize()
+            P_g = partitions_for(out.count())
+            if args.min_lm_score is not None:
+                # unigram-LM stats are corpus-wide by definition; the gate
+                # joins only the PASSING ids to the survivors (inner join)
+                lm = (
+                    lm_score(docs)
+                    .filter(expr=f"lm_score >= {args.min_lm_score}")
+                    .select_columns(["doc_id", "lm_score"])
+                )
+                out = safe_join(out, lm, "inner", P_g, on=("doc_id",))
+                summary["min_lm_score"] = args.min_lm_score
+            if args.max_dup_fraction is not None:
+                from asterixdb_analytics_ray.pipelines.textops import (
+                    repetition_scores,
+                )
+
+                # anti-join on FAILURES: docs with zero k-grams are absent
+                # from repetition_scores and must pass the gate
+                import pandas as pd
+
+                fails = (
+                    repetition_scores(docs)
+                    .filter(expr=f"dup_fraction > {args.max_dup_fraction}")
+                    .map_batches(
+                        lambda df: pd.DataFrame(
+                            {
+                                "doc_id": df["doc_id"].to_numpy(np.int64),
+                                "_rep": np.ones(len(df), dtype=np.int8),
+                            }
+                        ),
+                        batch_format="pandas",
+                    )
+                    .materialize()
+                )
+                if fails.count() > 0:
+                    out = safe_join(
+                        out, fails, "left_outer", P_g, on=("doc_id",)
+                    ).map_batches(
+                        lambda df: df[df["_rep"].isna()].drop(columns=["_rep"]),
+                        batch_format="pandas",
+                    )
+                summary["max_dup_fraction"] = args.max_dup_fraction
         if args.output:
+            # partitioned output dir (resumable consumers skip finished parts)
             out.repartition(args.partitions).write_parquet(args.output)
             rows = ray.data.read_parquet(args.output).count()
         else:
@@ -102,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                     "input": docs_path,
                     "run_sec": round(time.perf_counter() - t0, 3),
                     "rows": rows,
+                    **summary,
                 }
             )
         )

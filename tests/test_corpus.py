@@ -396,3 +396,60 @@ def test_tfidf_null_text(ray_session):
     )
     got = C.tfidf_top_terms(ray.data.from_pandas(df), top=2).to_pandas()
     assert set(got["doc_id"]) == {0, 2}
+
+
+def test_run_job_corpus_cli_sink_and_gates(ray_session, tmp_path):
+    """run_job --algorithm corpus_pipeline: the deployable job writes
+    partitioned Parquet matching the library pipeline, and the optional
+    lm_score / repetition gates compose on top (inner-join the LM passes,
+    anti-join the repetition failures)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_job
+    from asterixdb_analytics_ray.pipelines import textops as T
+
+    filler = [
+        " ".join(f"w{i}x{j}" for j in range(15)) + " trailing unique words"
+        for i in range(14)
+    ]
+    rows = [(i, "ev eval doc") for i in range(5)]  # eval ids
+    rows += [(5 + i, t) for i, t in enumerate(filler)]
+    # a highly repetitive doc that passes quality but fails dup_fraction
+    rows.append((19, " ".join(["loop around again"] * 12)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"], df["source"] = "en", "s"
+    df["n_chars"] = df["text"].str.len()
+    docs_path = str(tmp_path / "docs.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), docs_path)
+
+    out_dir = str(tmp_path / "out")
+    rc = run_job.main(
+        [
+            "--algorithm", "corpus_pipeline",
+            "--input", docs_path,
+            "--output", out_dir,
+            "--partitions", "2",
+            "--min-lm-score", "-99",
+            "--max-dup-fraction", "0.2",
+        ]
+    )
+    assert rc == 0
+    got = (
+        ray.data.read_parquet(out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # expected: library pipeline minus repetition failures; lm gate at -99
+    # passes everything but must add the lm_score column
+    base = C.corpus_pipeline(ray.data.from_pandas(df)).to_pandas()
+    rep = T.repetition_scores(ray.data.from_pandas(df)).to_pandas()
+    rep_fail = set(rep.loc[rep["dup_fraction"] > 0.2, "doc_id"])
+    assert 19 in rep_fail and 19 in set(base["doc_id"])  # the gate must bite
+    expect = sorted(set(base["doc_id"]) - rep_fail)
+    assert list(got["doc_id"]) == expect
+    assert "lm_score" in got.columns
