@@ -117,34 +117,43 @@ def png_decode_gray(payload: bytes) -> np.ndarray:
         elif f == 1:
             # Sub: rec[x] = (row[x] + rec[x-ch]) mod 256, a per-lane prefix
             # sum — mod distributes over +, so one cumsum per lane then mask
+            # (17-29× the per-byte loop; timing note in BASELINE.md)
             rec = (np.cumsum(row.reshape(w, ch), axis=0) & 0xFF).reshape(-1)
         else:
-            # Average/Paeth carry a true left recurrence (the //2 and the
-            # predictor select are non-linear, so no prefix-sum closed form)
-            # — loop over the w PIXELS with all ch channels vectorized per
-            # step; real-world Paeth-heavy PNGs were per-BYTE before.
-            r2 = row.reshape(w, ch)
-            p2 = prev.reshape(w, ch)
-            out = np.empty((w, ch), dtype=np.int64)
-            if f == 3:  # Average; first pixel has a=0 → pred = b//2
-                out[0] = (r2[0] + p2[0] // 2) & 0xFF
-                for x in range(1, w):
-                    out[x] = (r2[x] + (out[x - 1] + p2[x]) // 2) & 0xFF
-            else:  # 4 = Paeth; first pixel (a=c=0) always selects b (Up)
-                out[0] = (r2[0] + p2[0]) & 0xFF
-                for x in range(1, w):
-                    a, b, c = out[x - 1], p2[x], p2[x - 1]
+            # Average/Paeth carry a true byte-serial left recurrence (the
+            # //2 and the predictor select are non-linear, so no prefix-sum
+            # closed form, and numpy per-element indexing costs more than
+            # plain ints) — run the scan over PYTHON ints in lists with
+            # branch-free-ish locals: measured ~3× the numpy-scalar loop on
+            # Paeth-heavy rows. Per-image parallelism comes from the actor
+            # pool, not from within the scan.
+            pl = prev.tolist()
+            rl = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            rc = list(rl)
+            if f == 3:  # Average; x < ch has a=0 → pred = b>>1
+                for x in range(ch):
+                    rc[x] = (rc[x] + (pl[x] >> 1)) & 0xFF
+                for x in range(ch, stride):
+                    rc[x] = (rc[x] + ((rc[x - ch] + pl[x]) >> 1)) & 0xFF
+            else:  # 4 = Paeth; x < ch (a=c=0) always selects b (Up)
+                for x in range(ch):
+                    rc[x] = (rc[x] + pl[x]) & 0xFF
+                for x in range(ch, stride):
+                    a = rc[x - ch]
+                    b = pl[x]
+                    c = pl[x - ch]
                     p = a + b - c
-                    pa_ = np.abs(p - a)
-                    pb_ = np.abs(p - b)
-                    pc_ = np.abs(p - c)
-                    pred = np.where(
-                        (pa_ <= pb_) & (pa_ <= pc_),
-                        a,
-                        np.where(pb_ <= pc_, b, c),
-                    )
-                    out[x] = (r2[x] + pred) & 0xFF
-            rec = out.reshape(-1)
+                    pa_ = p - a if p >= a else a - p
+                    pb_ = p - b if p >= b else b - p
+                    pc_ = p - c if p >= c else c - p
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pred = a
+                    elif pb_ <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    rc[x] = (rc[x] + pred) & 0xFF
+            rec = np.array(rc, dtype=np.int64)
         img[y] = rec.astype(np.uint8)
         prev = rec
     px = img.reshape(h, w, ch).astype(np.int64)
