@@ -220,78 +220,120 @@ def _profile(texts: list[str], top: int = 300) -> dict[str, float]:
     return {g: cnt / total for g, cnt in items}
 
 
+@ray.remote
+def _combine_gram_counts(final: bool, top: int, *tables) -> "pa.Table":
+    """One node of the profile-count aggregation tree: concat partial
+    (lang, gram, c) tables and re-combine with a pandas groupby-sum.
+    After any first-level combine the output is bounded by the distinct
+    (lang, gram) vocabulary — corpus-size independent. The root node
+    (``final=True``) additionally reduces to the top-``top`` grams per
+    language with ``_profile``'s exact weight (count / language total) and
+    tie-break (count desc, gram asc)."""
+    parts = [t for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "gram": pa.array([], pa.string()),
+                "w" if final else "c": pa.array(
+                    [], pa.float64() if final else pa.int64()
+                ),
+            }
+        )
+    df = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .groupby(["lang", "gram"], sort=False, as_index=False)["c"]
+        .sum()
+    )
+    if not final:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    out = []
+    for lang, g in df.groupby("lang", sort=False):
+        total = int(g["c"].sum()) or 1
+        g = g.sort_values(
+            ["c", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+        out.append(
+            pd.DataFrame(
+                {
+                    "lang": g["lang"].to_numpy(),
+                    "gram": g["gram"].to_numpy(),
+                    "w": g["c"].to_numpy(np.float64) / total,
+                }
+            )
+        )
+    return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
+
+
 def language_id(
     docs: ray.data.Dataset, train_frac_seed: int = 7
 ) -> ray.data.Dataset:
     """(doc_id, pred_lang) — nearest char-trigram profile classifier.
 
     Pass 1 builds per-language trigram profiles from the labeled ``lang``
-    column as a TWO-LEVEL combine: per-batch partial ``(lang, gram)``
-    counts → distributed ``groupby(["lang", "gram"]).sum()`` → top-300 per
-    language. No task ever holds a language's corpus slice — the only
-    per-language group is its DISTINCT-gram count table (≤ |trigram vocab|
-    rows, kilobytes), so the pass survives a 100 TB monolingual corpus
-    (same shape as ``corpus.top_tokens``; reference cost-shape analog: the
-    sorted streaming group-by in ``jobgen/JobGen.java:1124-1215``). The
-    counts, weights (count / language gram total), and (count desc, gram
-    asc) tie-break are bit-identical to the previous single-task
-    ``Counter`` build, so predictions are unchanged. The profiles are
-    broadcast via ``ray.put`` and pass 2 scores every document in stateless
-    tasks that fetch them zero-copy from the object store.
+    column as a MULTI-LEVEL combine: per-block partial ``(lang, gram)``
+    Counter tables → an aggregation TREE of plain Ray tasks (arity 8,
+    pandas groupby-sum per node — the ``imru.tree_reduce`` shape) whose
+    root also takes the top-300 per language. No task ever holds a
+    language's corpus slice: after level 1 every table is bounded by the
+    DISTINCT (lang, gram) vocabulary (kilobyte–megabyte scale, independent
+    of corpus size), so the pass survives a 100 TB monolingual corpus
+    (reference cost-shape analog: the sorted streaming group-by in
+    ``jobgen/JobGen.java:1124-1215``). A Ray-Data ``groupby`` here measured
+    ~9 s of pure hash-aggregate spin-up on a 63k-row combine — the task
+    tree does the same combine in milliseconds. The counts, weights
+    (count / language gram total), and (count desc, gram asc) tie-break
+    are bit-identical to the original single-task ``Counter`` build, so
+    predictions are unchanged. The profiles are broadcast via ``ray.put``
+    and pass 2 scores every document in stateless tasks that fetch them
+    zero-copy from the object store.
     """
-    from ray.data.aggregate import Sum
-
     top = 300
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        langs_rep: list = []
-        grams_all: list = []
-        for lang, text in zip(df["lang"], df["text"]):
-            gs = _char_ngrams(text)
-            grams_all.extend(gs)
-            langs_rep.extend([lang] * len(gs))
-        if not grams_all:
-            return pd.DataFrame(
-                {
-                    "lang": pd.Series([], dtype=object),
-                    "gram": pd.Series([], dtype=object),
-                    "c": pd.Series([], dtype=np.int64),
-                }
-            )
-        return (
-            pd.DataFrame({"lang": langs_rep, "gram": grams_all})
-            .groupby(["lang", "gram"], sort=False)
-            .size()
-            .reset_index(name="c")
-        )
+        # C-speed per-(block, lang) combine: Counter.update folds each doc's
+        # gram list without materializing a per-occurrence DataFrame — the
+        # tree then carries only DISTINCT (lang, gram) rows per block
+        from collections import Counter
 
-    def top_k(g: pd.DataFrame) -> pd.DataFrame:
-        # g = one language's distinct-gram totals (small); weight by the
-        # FULL gram total, then keep top-300 by (count desc, gram asc) —
-        # exactly _profile's selection and tie-break
-        total = int(g["c"].sum()) or 1
-        g = g.sort_values(
-            ["c", "gram"], ascending=[False, True], kind="mergesort"
-        ).head(top)
+        out_l: list = []
+        out_g: list = []
+        out_c: list = []
+        for lang, sub in df.groupby("lang", sort=False)["text"]:
+            c: Counter = Counter()
+            for t in sub:
+                c.update(_char_ngrams(t))
+            out_l.extend([lang] * len(c))
+            out_g.extend(c.keys())
+            out_c.extend(c.values())
         return pd.DataFrame(
             {
-                "lang": g["lang"].to_numpy(),
-                "gram": g["gram"].to_numpy(),
-                "w": g["c"].to_numpy(np.float64) / total,
+                "lang": pd.Series(out_l, dtype=object),
+                "gram": pd.Series(out_g, dtype=object),
+                "c": pd.Series(out_c, dtype=np.int64),
             }
         )
 
-    prof_rows = (
-        docs.map_batches(partial_counts, batch_format="pandas")
-        .groupby(["lang", "gram"])
-        .aggregate(Sum("c", alias_name="c"))
-        .groupby("lang")
-        .map_groups(top_k, batch_format="pandas")
-        .take_all()
-    )
+    partials = docs.map_batches(
+        partial_counts, batch_format="pandas", batch_size=None
+    ).materialize()
+    refs = list(partials.to_arrow_refs())
     profiles: dict[str, dict[str, float]] = {}
-    for r in sorted(prof_rows, key=lambda r: (r["lang"], -r["w"], r["gram"])):
-        profiles.setdefault(r["lang"], {})[r["gram"]] = r["w"]
+    if refs:
+        while True:
+            last = len(refs) == 1
+            refs = [
+                _combine_gram_counts.remote(last, top, *refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
+            if last:
+                break
+        # root output is ≤ top·n_langs rows — the same size class as the
+        # scoring matrix the driver assembles below
+        prof_df = ray.get(refs[0]).to_pandas()
+        for lang, g in prof_df.groupby("lang", sort=False):
+            profiles[lang] = dict(zip(g["gram"], g["w"]))
     # pre-assemble the scoring matrix ONCE on the driver: combined gram
     # vocabulary (≤ top·n_langs rows) and a (|vocab| × n_langs) weight
     # matrix, broadcast together — the per-batch work is then one
