@@ -290,6 +290,20 @@ def cosine_dup_pairs_ivf(
     )
 
 
+def _salt_mod_u64(sig: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Hot-bucket salt = fullsig mod k, computed ENTIRELY in uint64.
+
+    Mixing a uint64 signature with an int64 split factor promotes both to
+    float64, which rounds signatures ≥ 2^53 to multiples of 2^11 near
+    2^64 — so for power-of-two k (the common ⌈bucket/max_bucket⌉ = 2 hot
+    case) every row would get salt 0 and the split silently no-ops while
+    the RuntimeWarning claims the bucket was salted (round-4 ADVICE).
+    Rows with k ≤ 1 get salt 0."""
+    sig_u = sig.astype(np.uint64)
+    k_u = np.maximum(k, 1).astype(np.uint64)
+    return np.where(k_u > 1, sig_u % k_u, np.uint64(0)).astype(np.int64)
+
+
 def cosine_dup_pairs_lsh(
     embeddings: ray.data.Dataset,
     threshold: float = 0.95,
@@ -453,17 +467,10 @@ def cosine_dup_pairs_lsh(
             def add_salt(df: pd.DataFrame) -> pd.DataFrame:
                 hd = ray.get(hot_ref)
                 df = df.merge(hd, on=["band", "bucket"], how="left")
-                # modulo entirely in uint64: mixing a uint64 array with an
-                # int64 Series promotes to float64, rounding fullsig values
-                # >= 2^53 so power-of-two split factors would yield one salt
-                # for every row (silent no-op splitting)
-                kk = (
-                    df.pop("k").fillna(1).astype(np.int64).to_numpy().astype(np.uint64)
+                kk = df.pop("k").fillna(1).astype(np.int64).to_numpy()
+                df["salt"] = _salt_mod_u64(
+                    df["fullsig"].to_numpy(), kk
                 )
-                sig = df["fullsig"].to_numpy().astype(np.uint64)
-                df["salt"] = np.where(
-                    kk > 1, sig % np.maximum(kk, np.uint64(1)), np.uint64(0)
-                ).astype(np.int64)
                 return df
 
             bucketed = bucketed.map_batches(add_salt, batch_format="pandas")

@@ -319,3 +319,24 @@ def test_lsh_dup_pairs_hot_bucket_salting(ray_session):
         assert float(pn[a] @ pn[b]) >= 0.999  # exact-verified survivors
     # sign-identical vectors share fullsig => same salt => pairs survive
     assert len(capped_set) > 0
+
+
+def test_salt_mod_u64_power_of_two_split():
+    """Regression for the round-4 ADVICE finding: the salt modulo must run
+    entirely in uint64. Mixed uint64/int64 promotes to float64 and rounds
+    signatures >= 2^53 to multiples of 2^11, so k=2 (the most common hot
+    split factor) produced ONE salt class for every row — a silent no-op."""
+    rng = np.random.default_rng(0)
+    # int64-stored FNV values with both parities, magnitudes >= 2^53
+    sig = rng.integers(2**62, 2**63 - 1, size=1000, dtype=np.int64)
+    k = np.full(1000, 2, dtype=np.int64)
+    salt = E._salt_mod_u64(sig, k)
+    assert set(np.unique(salt)) == {0, 1}  # both parities present
+    np.testing.assert_array_equal(
+        salt, (sig.astype(np.uint64) % np.uint64(2)).astype(np.int64)
+    )
+    # the float64 promotion path would have produced a single class:
+    bad = np.where(k > 1, sig.astype(np.uint64) % pd.Series(k), 0)
+    assert len(np.unique(bad)) == 1  # documents exactly what the bug did
+    # k<=1 rows salt to 0
+    assert (E._salt_mod_u64(sig, np.zeros(1000, dtype=np.int64)) == 0).all()
