@@ -393,6 +393,89 @@ def _q_events_bipartite_degree(sf_dir: str):
     )
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities (10 un-normalized iterations, max-scaled)."""
+    from asterixdb_analytics_ray.pipelines.hits import hits_table
+
+    views = _graph(sf_dir)
+    return hits_table(views["directed"], views["graph"].n_nodes)
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank: teleport mass lands only on vertex 0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.functions.fasthash import round_like_sql
+    from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+    from asterixdb_analytics_ray.sql_oracle import PR_SUPERSTEPS, ROUND_DECIMALS
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = pagerank_dense(
+        views["directed"],
+        g.n_nodes,
+        g.out_degrees(),
+        supersteps=PR_SUPERSTEPS,
+        teleport=0,
+    )
+    # PPR values can terminate in decimal (0.15·0.85^k over 2^j degrees) and
+    # land EXACTLY on a rounding boundary — np.round's half-to-even then
+    # disagrees with DuckDB's half-away by one output ulp, so mimic SQL
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64),
+            "rank": round_like_sql(res.state["rank"], ROUND_DECIMALS),
+        }
+    )
+
+
+def _q_kcore(sf_dir: str):
+    """3-core membership + within-core degree (Jacobi peeling to fixpoint)."""
+    from asterixdb_analytics_ray.pipelines.kcore import kcore_table
+
+    views = _graph(sf_dir)
+    return kcore_table(views["undirected"], views["graph"].n_nodes, k=3)
+
+
+def _q_clustering_coefficient(sf_dir: str):
+    """Per-vertex local clustering coefficient over the simple graph."""
+    from asterixdb_analytics_ray.pipelines.triangles import clustering_coefficient
+
+    views = _graph(sf_dir)
+    return clustering_coefficient(views["oriented"], views["graph"].n_nodes)
+
+
+def _q_link_prediction(sf_dir: str):
+    """Top-50 non-adjacent pairs by Adamic–Adar (center degree ≤ 256)."""
+    from asterixdb_analytics_ray.pipelines.linkpred import adamic_adar_topk
+
+    views = _graph(sf_dir)
+    return adamic_adar_topk(views["undirected"], views["graph"].n_nodes)
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Out-degree distribution including the degree-0 row."""
+    from asterixdb_analytics_ray.pipelines.degrees import degree_histogram
+
+    views = _graph(sf_dir)
+    return degree_histogram(views["directed"], views["graph"].n_nodes)
+
+
+def _q_doc_bigram_pmi(sf_dir: str):
+    """Top-50 collocations by PMI (adjacent token pairs, count ≥ 5)."""
+    from asterixdb_analytics_ray.pipelines.corpus import bigram_pmi
+
+    return bigram_pmi(_docs_ds(sf_dir), k=50, min_count=5)
+
+
+def _q_emb_quantize(sf_dir: str):
+    """Symmetric per-dim int8 scalar quantization, exploded codes."""
+    from asterixdb_analytics_ray.pipelines.embeddings import quantize_int8
+
+    return quantize_int8(_emb_ds(sf_dir))
+
+
 def _docs_ds(sf_dir: str):
     import os
 
@@ -769,6 +852,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "media_features": _q_media_features,
+        "hits": _q_hits,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "kcore": _q_kcore,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "link_prediction": _q_link_prediction,
+        "degree_histogram": _q_degree_histogram,
+        "doc_bigram_pmi": _q_doc_bigram_pmi,
+        "emb_quantize": _q_emb_quantize,
     }
 
 
@@ -826,4 +917,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_cells": so.kmeans_cells_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet")
         ),
+        "hits": so.hits_sql(p),
+        "pagerank_personalized": so.ppr_sql(p, source=0),
+        "kcore": so.kcore_sql(p, k=3),
+        "clustering_coefficient": so.clustering_coefficient_sql(p),
+        "link_prediction": so.adamic_adar_sql(p),
+        "degree_histogram": so.degree_histogram_sql(p),
+        "doc_bigram_pmi": so.bigram_pmi_sql(k=50, min_count=5),
+        "emb_quantize": so.quantize_int8_sql(),
     }

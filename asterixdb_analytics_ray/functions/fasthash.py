@@ -184,3 +184,19 @@ def word_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     if len(flat) == 0:
         return np.empty(0, dtype=np.uint64), n
     return md5_prefix_u64(pa.array(flat, pa.string())), n
+
+
+def round_like_sql(x, decimals: int = 9):
+    """Round half AWAY from zero — DuckDB/ANSI ``round()`` semantics
+    (``sign(x)·floor(|x|·10^d + 0.5)/10^d``, the exact double-op sequence
+    DuckDB executes), unlike ``np.round``'s half-to-even. Needed when a
+    pipeline's values can land EXACTLY on a rounding boundary (e.g.
+    personalized PageRank: teleport 0.15 times powers of 0.85 over
+    power-of-two out-degrees terminates in decimal), where the two
+    conventions diverge by one output ulp and the driver's hash compare
+    fails on bit-identical inputs."""
+    import numpy as np
+
+    p = 10.0**decimals
+    ax = np.abs(x)
+    return np.sign(x) * np.floor(ax * p + 0.5) / p

@@ -100,6 +100,141 @@ def top_tokens(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def _bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial adjacent-pair counts: (w1, w2, cnt). Whitespace
+    tokenization identical to ``_explode_tokens``; pairs never cross a
+    document boundary (documents are atomic rows)."""
+    toks = df["text"].str.split()
+    lists = [lst if isinstance(lst, list) else [] for lst in toks]
+    flat = np.array([t for lst in lists for t in lst], dtype=object)
+    empty = pd.DataFrame(
+        {
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64),
+        }
+    )
+    if flat.size < 2:
+        return empty
+    ends = np.cumsum([len(lst) for lst in lists])
+    last = np.zeros(len(flat), dtype=bool)
+    last[ends - 1] = True  # empty docs mark an already-last position (or -1
+    # = the global last token) — both are last-of-doc anyway
+    keep = np.flatnonzero(~last)
+    if len(keep) == 0:
+        return empty
+    out = (
+        pd.DataFrame({"w1": flat[keep], "w2": flat[keep + 1]})
+        .groupby(["w1", "w2"], sort=False)
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def bigram_pmi(
+    docs: ray.data.Dataset,
+    k: int = 50,
+    min_count: int = 5,
+    max_broadcast_vocab: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Top-``k`` collocations by pointwise mutual information:
+    (w1, w2, cnt, pmi) with pmi = ln((c12/B) / ((c1/U)·(c2/U))) over
+    adjacent whitespace-token pairs (U = total tokens, B = total bigrams),
+    restricted to pairs with c12 ≥ ``min_count``; ties broken (pmi desc,
+    w1, w2). PMI per Church & Hanks, "Word association norms, mutual
+    information, and lexicography", Computational Linguistics 16(1), 1990.
+
+    Scale: both count tables are built with per-batch partials (shuffle
+    rows bounded by distinct pairs/tokens per block). The unigram lookup
+    is broadcast when the vocabulary fits (``max_broadcast_vocab``, the
+    tfidf contract) and otherwise becomes two distributed hash joins on
+    the min_count-filtered pair table. The float expression is evaluated
+    in the exact double-op order of the DuckDB oracle."""
+    import ray as _ray
+
+    uni = (
+        docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "token": (c := df["text"].str.split().explode().dropna().value_counts()).index.astype(object),
+                    "n": c.to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    big = (
+        docs.map_batches(_bigram_partial, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    U = float(uni.sum("n") or 0)
+    B = float(big.sum("cnt") or 0)
+    survivors = big.filter(expr=f"cnt >= {int(min_count)}")
+
+    def _score(df: pd.DataFrame, c1: np.ndarray, c2: np.ndarray) -> pd.DataFrame:
+        c12 = df["cnt"].to_numpy(np.float64)
+        pmi = np.log((c12 / B) / ((c1 / U) * (c2 / U)))
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].to_numpy(object),
+                "w2": df["w2"].to_numpy(object),
+                "cnt": df["cnt"].to_numpy(np.int64),
+                "pmi": np.round(pmi, 9),
+            }
+        )
+
+    if uni.count() <= max_broadcast_vocab:
+        vocab = uni.to_pandas()
+        uref = _ray.put(pd.Series(vocab["n"].to_numpy(np.int64), index=vocab["token"]))
+
+        def local(df: pd.DataFrame) -> pd.DataFrame:
+            s = _ray.get(uref)
+            return _score(
+                df,
+                df["w1"].map(s).to_numpy(np.float64),
+                df["w2"].map(s).to_numpy(np.float64),
+            )
+
+        scored = survivors.map_batches(local, batch_format="pandas")
+    else:  # distributed path: two hash joins on the filtered pair table
+        P = partitions_for(survivors.count())
+        j1 = safe_join(
+            survivors,
+            uni.map_batches(
+                lambda t: t.rename_columns(["w1", "n1"]), batch_format="pyarrow"
+            ),
+            "inner",
+            P,
+            on=("w1",),
+        )
+        j2 = safe_join(
+            j1,
+            uni.map_batches(
+                lambda t: t.rename_columns(["w2", "n2"]), batch_format="pyarrow"
+            ),
+            "inner",
+            P,
+            on=("w2",),
+        )
+        scored = j2.map_batches(
+            lambda df: _score(
+                df,
+                df["n1"].to_numpy(np.float64),
+                df["n2"].to_numpy(np.float64),
+            ),
+            batch_format="pandas",
+        )
+    return scored.sort(["pmi", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
 def tfidf_top_terms(
     docs: ray.data.Dataset,
     top: int = 3,

@@ -53,3 +53,43 @@ def graph_stats(edges: ray.data.Dataset) -> dict:
 def top_degree(edges: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     """Top-k vertices by out-degree (reference FindLargest analog)."""
     return out_degrees_ds(edges).sort("out_degree", descending=True).limit(k)
+
+
+def degree_histogram(edges: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """(out_degree, n_vertices) — the graph's out-degree distribution,
+    INCLUDING the degree-0 row for vertices with no outgoing edges.
+
+    Two bounded aggregates: (v → degree) then (degree → count); shuffle
+    volume is vertices then distinct degrees (power-law graphs: a few
+    hundred rows). The degree-0 count is n − |{v: outdeg > 0}| — derived
+    from counts, no dense vector anywhere."""
+    import numpy as np
+
+    deg = out_degrees_ds(edges).materialize()
+    n_with_edges = deg.count()
+    hist = (
+        deg.groupby("out_degree")
+        .aggregate(Count(alias_name="n_vertices"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "out_degree": t["out_degree"].to_numpy().astype(np.int64),
+                    "n_vertices": t["n_vertices"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    zeros = int(n) - int(n_with_edges)
+    if zeros > 0:
+        hist = hist.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "out_degree": pa.array([0], pa.int64()),
+                        "n_vertices": pa.array([zeros], pa.int64()),
+                    }
+                )
+            )
+        )
+    return hist

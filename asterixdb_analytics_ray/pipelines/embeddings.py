@@ -649,3 +649,72 @@ def label_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("label")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def quantize_int8(
+    emb: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Symmetric per-dimension int8 scalar quantization of the embedding
+    column → exploded (vec_id, dim, code) with code = round(127·x/sᵈ),
+    sᵈ = max|x| over dimension d (round half away from zero; code 0 where
+    a dimension is all-zero). The standard SQ8 compression step in front
+    of an ANN index (e.g. FAISS ``ScalarQuantizer`` — public knowledge).
+
+    Scale shape: pass 1 reduces to a (dim,) max-abs vector via per-batch
+    partials + one tiny ``groupby(dim).max`` (shuffle rows = d per block);
+    the scale vector is broadcast once (``ray.put``) and pass 2 is pure
+    map-side. Output stays exploded so the result is hash-comparable with
+    the DuckDB oracle; a production sink would keep codes packed as a
+    ``fixed_size_list<int8>`` column instead.
+    """
+    from ray.data.aggregate import Max
+
+    def partial_scale(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "mx": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "dim": np.arange(m.shape[1], dtype=np.int64),
+                "mx": np.abs(m).max(axis=0),
+            }
+        )
+
+    scales = (
+        emb.map_batches(partial_scale, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    s = np.zeros(int(scales["dim"].max()) + 1 if len(scales) else 0)
+    s[scales["dim"].to_numpy()] = scales["mx"].to_numpy()
+    sref = ray.put(s)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        sc = ray.get(sref)
+        y = np.divide(
+            127.0 * m, sc, out=np.zeros_like(m), where=sc != 0
+        )  # the oracle's 127.0 * x / s double-op order
+        code = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "vec_id": np.repeat(ids.astype(np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(ids)),
+                "code": code.reshape(-1),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pyarrow")

@@ -42,6 +42,11 @@ class PageRankDense:
     # size n (differs only under the structured-id layout, where some id
     # slots are unused — those slots have no edges and are masked on output)
     n_vertices: int | None = None
+    # personalized PageRank: when set, the (1−d) teleport mass lands ONLY on
+    # this source vertex instead of uniformly — everything else (init 1/n,
+    # dangling mass dropped, fixed applies) is unchanged, so the oracle is
+    # the same unrolled CTE with the teleport term made conditional
+    teleport: int | None = None
 
     name: str = "pagerank"
     combiner = SUM
@@ -99,7 +104,13 @@ class PageRankDense:
         return scatter_partitioned
 
     def apply(self, state, msg, has_msg, superstep):
-        new = (1.0 - DAMPING) / (self.n_vertices or self.n) + DAMPING * msg
+        if self.teleport is not None:
+            new = DAMPING * msg
+            # literal 0.15, not 1.0-DAMPING: the binary doubles differ by one
+            # ulp and the SQL oracle's teleport term is the literal
+            new[self.teleport] += 0.15
+        else:
+            new = (1.0 - DAMPING) / (self.n_vertices or self.n) + DAMPING * msg
         delta = float(np.abs(new - state["rank"]).max())
         if self.tol is not None and delta < self.tol:
             self._converged = True
@@ -115,6 +126,7 @@ def pagerank_dense(
     tol: float | None = None,
     cfg: BSPConfig | None = None,
     n_vertices: int | None = None,
+    teleport: int | None = None,
 ) -> BSPResult:
     cfg = cfg or BSPConfig()
     cfg.max_supersteps = supersteps if tol is None else max(supersteps, cfg.max_supersteps)
@@ -125,6 +137,7 @@ def pagerank_dense(
         tol=tol,
         part_modulus=cfg.dst_partition_modulus,
         n_vertices=n_vertices,
+        teleport=teleport,
     )
     return run_dense_bsp(edges, n, algo, cfg)
 

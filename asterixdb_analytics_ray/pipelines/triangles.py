@@ -72,21 +72,44 @@ def _shard_lookup(v: np.ndarray, shards: list[np.ndarray], P: int) -> np.ndarray
     return out
 
 
+def _degree_shards(
+    oriented_edges: ray.data.Dataset, n: int, P: int
+) -> list["ray.ObjectRef"]:
+    """P plasma-resident dense degree shards (simple undirected degree) built
+    by worker tasks from per-block sparse partials; the driver holds refs."""
+    from ..stages.partition import partition_table_refs
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
+        v, c = np.unique(both, return_counts=True)
+        return pa.table({"v": v, "cnt": c.astype(np.int64)})
+
+    partials = oriented_edges.map_batches(ends, batch_format="pyarrow").materialize()
+    part_refs = partition_table_refs(partials, "v", P)
+    return [_densify_degrees.remote(part_refs.get(p), n, P, p) for p in range(P)]
+
+
 def triangle_count(
     oriented_edges: ray.data.Dataset,
     n: int,
     num_partitions: int = 32,
+    attribute: str = "min",
 ) -> tuple[ray.data.Dataset, int]:
     """→ ((v, triangles) Dataset over vertices with ≥1 triangle, global total).
 
     ``oriented_edges`` must be the canonical src<dst undirected representation
     (``LinkGraph.oriented()`` / micrograph helper).
+
+    ``attribute="min"`` counts each triangle once at its minimum-id vertex
+    (the reference semantics, ``TriangleCountingVertex.java:51-97``);
+    ``attribute="all"`` credits all THREE corners (per-vertex triangle
+    PARTICIPATION — the numerator of the local clustering coefficient; the
+    total is then 3× the triangle count).
     """
 
     from ray.data.aggregate import Sum
 
     from ..stages.blocks import partitions_for
-    from ..stages.partition import partition_table_refs
 
     # data-proportional partitioning (measured 9.3s → 4.1s at 153k edges);
     # ``num_partitions`` stays the large-graph ceiling — see blocks.py
@@ -97,17 +120,7 @@ def triangle_count(
     # the driver holds P ObjectRefs, never a length-n array (the
     # stages/sharded.py state layout; round 3's driver scatter-add held two
     # O(n) vectors here).
-
-    def ends(t: pa.Table) -> pa.Table:
-        both = np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])
-        v, c = np.unique(both, return_counts=True)
-        return pa.table({"v": v, "cnt": c.astype(np.int64)})
-
-    partials = oriented_edges.map_batches(ends, batch_format="pyarrow").materialize()
-    part_refs = partition_table_refs(partials, "v", P)
-    deg_refs = [
-        _densify_degrees.remote(part_refs.get(p), n, P, p) for p in range(P)
-    ]
+    deg_refs = _degree_shards(oriented_edges, n, P)
 
     # ---- (degree, id) orientation WITHOUT a dense rank ----
     # lexicographic comparison per edge orients low→high; no global rank
@@ -230,7 +243,11 @@ def triangle_count(
         aa = a[~is_edge][hit]
         bb = b[~is_edge][hit]
         cc = c[~is_edge][hit]
-        v, cnt = np.unique(np.minimum(np.minimum(aa, bb), cc), return_counts=True)
+        if attribute == "all":  # credit every corner (participation counts)
+            corners = np.concatenate([aa, bb, cc])
+        else:  # reference semantics: once, at the min ORIGINAL id
+            corners = np.minimum(np.minimum(aa, bb), cc)
+        v, cnt = np.unique(corners, return_counts=True)
         return pa.table({"v": v.astype(np.int64), "cnt": cnt.astype(np.int64)})
 
     closed = (
@@ -249,6 +266,61 @@ def triangle_count(
     )
     total = per_vertex.sum("triangles") or 0
     return per_vertex, int(total)
+
+
+@ray.remote
+def _lcc_shard(
+    deg_shard: np.ndarray, tri_part: "pa.Table | None", n: int, P: int, p: int
+) -> pa.Table:
+    """Shard p of the clustering-coefficient table: vertices v ≡ p (mod P)
+    with degree ≥ 1. Dense within the shard (n/P), sparse triangle counts
+    scattered in; lcc = (2·tri)/(deg·(deg−1)) — the exact double-op order
+    the DuckDB oracle uses, so values are bit-identical."""
+    deg = deg_shard
+    tri = np.zeros(len(deg), dtype=np.int64)
+    if tri_part is not None and tri_part.num_rows:
+        tri[tri_part["v"].to_numpy() // P] = tri_part["triangles"].to_numpy()
+    local = np.flatnonzero(deg > 0)
+    v = local * P + p
+    d = deg[local].astype(np.float64)
+    t3 = tri[local]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lcc = np.where(d >= 2, (2.0 * t3) / (d * (d - 1.0)), 0.0)
+    return pa.table(
+        {
+            "v": v[v < n].astype(np.int64),
+            "deg": deg[local][v < n],
+            "triangles": t3[v < n],
+            "lcc": np.round(lcc[v < n], 9),
+        }
+    )
+
+
+def clustering_coefficient(
+    oriented_edges: ray.data.Dataset,
+    n: int,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-vertex local clustering coefficient over the simple undirected
+    graph: (v, deg, triangles, lcc) for every vertex with ≥1 (non-self-loop)
+    neighbor; lcc = 2·tri(v)/(deg·(deg−1)), 0 when deg < 2.
+
+    Composition of the two shard-resident passes triangle counting already
+    has: participation counts (``triangle_count(attribute="all")``) joined
+    to the degree shards inside P worker tasks — no O(n) driver state."""
+    from ..stages.blocks import partitions_for
+    from ..stages.partition import partition_table_refs
+
+    P = partitions_for(oriented_edges.count(), num_partitions)
+    deg_refs = _degree_shards(oriented_edges, n, P)
+    participation, _ = triangle_count(
+        oriented_edges, n, num_partitions, attribute="all"
+    )
+    tri_refs = partition_table_refs(participation.materialize(), "v", P)
+    shards = [
+        _lcc_shard.remote(deg_refs[p], tri_refs.get(p), n, P, p) for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(shards)
 
 
 def triangles_table(per_vertex: ray.data.Dataset, n: int) -> pa.Table:

@@ -1338,3 +1338,207 @@ SELECT d.doc_id,
        round(coalesce(p.s, 0.0), 6) AS lm_score
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 10
+HITS_DECIMALS = 7
+KCORE_K = 3
+KCORE_ROUNDS = 40
+AA_CAP = 256
+AA_TOP_K = 50
+
+
+def hits_sql(p: str, iters: int = HITS_ITERS, decimals: int = HITS_DECIMALS) -> str:
+    """HITS unrolled, UN-normalized power iteration (pipelines/hits.py: the
+    per-iteration L2 norm is deferred so no global FP reduction threads
+    through the recurrence); both scores max-scaled once at the end."""
+    parts = [prelude(p)]
+    parts.append(", h0 AS MATERIALIZED (SELECT v, 1.0 AS h FROM verts)\n")
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(m.s, 0.0) AS a
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(h.h) AS s
+    FROM edges e JOIN h{i - 1} h ON e.src = h.v GROUP BY e.dst) m
+  ON m.v = verts.v)
+, h{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(m.s, 0.0) AS h
+  FROM verts LEFT JOIN (
+    SELECT e.src AS v, sum(a.a) AS s
+    FROM edges e JOIN a{i} a ON e.dst = a.v GROUP BY e.src) m
+  ON m.v = verts.v)
+"""
+        )
+    parts.append(
+        f"""SELECT h.v,
+       round(h.h / (SELECT max(h) FROM h{iters}), {decimals}) AS hub,
+       round(a.a / (SELECT max(a) FROM a{iters}), {decimals}) AS auth
+FROM h{iters} h JOIN a{iters} a ON a.v = h.v"""
+    )
+    return "".join(parts)
+
+
+def ppr_sql(p: str, source: int = 0, supersteps: int = PR_SUPERSTEPS) -> str:
+    """Personalized PageRank: pagerank_sql with the teleport mass landing
+    only on ``source`` (pipelines/pagerank.py ``teleport``)."""
+    parts = [prelude(p)]
+    parts.append(
+        ", r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts)\n"
+    )
+    for i in range(1, supersteps):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN verts.v = {source} THEN 0.15 ELSE 0.0 END
+           + 0.85*coalesce(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r.rank / d.outdeg) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.v JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) m ON m.v = verts.v)
+"""
+        )
+    parts.append(
+        f"SELECT v, round(rank, {ROUND_DECIMALS}) AS rank FROM r{supersteps - 1}"
+    )
+    return "".join(parts)
+
+
+def kcore_sql(p: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """k-core membership by unrolled Jacobi peeling (pipelines/kcore.py);
+    ``rounds`` must cover the engine's fixpoint (pytest-asserted margin)."""
+    parts = [prelude(p)]
+    parts.append(", k0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)\n")
+    for i in range(1, rounds + 1):
+        prev = f"k{i - 1}"
+        parts.append(
+            f""", k{i} AS MATERIALIZED (
+  SELECT u.src AS v FROM und u
+  JOIN {prev} a ON u.src = a.v JOIN {prev} b ON u.dst = b.v
+  GROUP BY u.src HAVING count(*) >= {k})
+"""
+        )
+    parts.append(
+        f"""SELECT u.src AS v, CAST(count(*) AS BIGINT) AS core_deg
+FROM und u
+JOIN k{rounds} a ON u.src = a.v JOIN k{rounds} b ON u.dst = b.v
+GROUP BY u.src"""
+    )
+    return "".join(parts)
+
+
+def clustering_coefficient_sql(p: str) -> str:
+    """Per-vertex local clustering coefficient (pipelines/triangles.py
+    ``clustering_coefficient``): triangle PARTICIPATION (each triangle
+    credits all three corners) over simple undirected degree."""
+    return (
+        prelude(p)
+        + """, tri3 AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ori e1
+  JOIN ori e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+parti AS MATERIALIZED (
+  SELECT v, count(*) AS tri FROM (
+    SELECT x AS v FROM tri3
+    UNION ALL SELECT y FROM tri3
+    UNION ALL SELECT z FROM tri3)
+  GROUP BY v),
+udeg AS MATERIALIZED (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM ori UNION ALL SELECT b AS v FROM ori)
+  GROUP BY v)
+SELECT d.v, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(p2.tri, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.deg >= 2
+                  THEN (2.0*coalesce(p2.tri, 0))/(CAST(d.deg AS DOUBLE)*(d.deg - 1.0))
+                  ELSE 0.0 END, 9) AS lcc
+FROM udeg d LEFT JOIN parti p2 ON p2.v = d.v"""
+    )
+
+
+def adamic_adar_sql(p: str, k: int = AA_TOP_K, cap: int = AA_CAP) -> str:
+    """Top-k Adamic–Adar pairs (pipelines/linkpred.py): common-neighbor
+    wedges over und, centers capped at ``cap`` degree (identical
+    deterministic cap on both sides), existing edges anti-joined out."""
+    return (
+        prelude(p)
+        + f""", udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS dg FROM und GROUP BY src),
+wedge AS MATERIALIZED (
+  SELECT u1.dst AS a, u2.dst AS b, u1.src AS z
+  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+  JOIN udeg dz ON dz.v = u1.src AND dz.dg <= {cap}),
+cand AS MATERIALIZED (
+  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS common,
+         round(sum(1.0/ln(CAST(dz.dg AS DOUBLE))), 9) AS score
+  FROM wedge w JOIN udeg dz ON dz.v = w.z
+  GROUP BY w.a, w.b)
+SELECT c.a, c.b, c.common, c.score
+FROM cand c LEFT JOIN ori o ON o.a = c.a AND o.b = c.b
+WHERE o.a IS NULL
+ORDER BY c.score DESC, c.a ASC, c.b ASC
+LIMIT {k}"""
+    )
+
+
+def bigram_pmi_sql(k: int = 50, min_count: int = 5) -> str:
+    """Top-k PMI collocations (corpus.bigram_pmi): adjacent whitespace-token
+    pairs zipped via aligned unnests; the float expression uses the exact
+    double-op order of the engine (ln((c12/B)/((c1/U)*(c2/U))))."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS MATERIALIZED (SELECT unnest(ws) AS token FROM toks),
+uni AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+uu AS (SELECT CAST(count(*) AS DOUBLE) AS u FROM tok),
+big AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+    FROM toks WHERE len(ws) >= 2)
+  GROUP BY w1, w2),
+bb AS (SELECT CAST(sum(c12) AS DOUBLE) AS b FROM big)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS cnt,
+       round(ln((CAST(c12 AS DOUBLE) / (SELECT b FROM bb))
+                / ((u1.c / (SELECT u FROM uu)) * (u2.c / (SELECT u FROM uu)))),
+             9) AS pmi
+FROM big
+JOIN uni u1 ON u1.token = big.w1
+JOIN uni u2 ON u2.token = big.w2
+WHERE c12 >= {min_count}
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""
+
+
+def quantize_int8_sql() -> str:
+    """Symmetric per-dim int8 quantization (embeddings.quantize_int8):
+    code = round(127·x/maxabs_dim), round half away from zero — DuckDB
+    ``round`` and the engine's sign·floor(|y|+0.5) agree by construction."""
+    return """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+  FROM embeddings),
+s AS MATERIALIZED (SELECT dim, max(abs(x)) AS mx FROM e GROUP BY dim)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN s.mx = 0 THEN 0
+                 ELSE round(127.0 * e.x / s.mx) END AS BIGINT) AS code
+FROM e JOIN s ON s.dim = e.dim
+"""
+
+
+def degree_histogram_sql(p: str) -> str:
+    """Out-degree distribution incl. the degree-0 row (degrees.degree_histogram)."""
+    return (
+        prelude(p)
+        + """SELECT out_degree, CAST(count(*) AS BIGINT) AS n_vertices FROM (
+  SELECT verts.v, coalesce(CAST(d.outdeg AS BIGINT), 0) AS out_degree
+  FROM verts LEFT JOIN deg d ON d.src = verts.v)
+GROUP BY out_degree"""
+    )

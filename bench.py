@@ -235,6 +235,13 @@ def run_bench() -> dict:
         ShardedSSSP(n=g.n_nodes, P=P_sh, source=0).run(directed)
         q["sssp"] = time.perf_counter() - t0
 
+    if _want("hits") and BENCH_GRAPH != "conv_share":
+        from asterixdb_analytics_ray.pipelines.hits import hits as _hits
+
+        t0 = time.perf_counter()
+        _hits(directed, g.n_nodes, iters=10)
+        q["hits"] = time.perf_counter() - t0
+
     if _want("triangle_count"):
         t0 = time.perf_counter()
         _, total_tri = triangle_count(oriented, g.n_nodes)

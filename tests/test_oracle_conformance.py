@@ -70,6 +70,12 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "reachability": so.reachability_sql,
         "graph_sample": so.graph_sample_sql,
         "max_clique": so.max_clique_sql,
+        "hits": so.hits_sql,
+        "pagerank_personalized": lambda p: so.ppr_sql(p, source=0),
+        "kcore": lambda p: so.kcore_sql(p, k=3),
+        "clustering_coefficient": so.clustering_coefficient_sql,
+        "link_prediction": so.adamic_adar_sql,
+        "degree_histogram": so.degree_histogram_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -110,6 +116,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_kmeans_cells": lambda: so.kmeans_cells_sql(
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
+        "doc_bigram_pmi": lambda: so.bigram_pmi_sql(k=50, min_count=5),
+        "emb_quantize": so.quantize_int8_sql,
     }
     if name in view_based:
         return view_based[name]()
@@ -174,6 +182,14 @@ QUERY_NAMES = [
     "graph_sample",
     "media_features",
     "emb_kmeans_cells",
+    "hits",
+    "pagerank_personalized",
+    "kcore",
+    "clustering_coefficient",
+    "link_prediction",
+    "degree_histogram",
+    "doc_bigram_pmi",
+    "emb_quantize",
 ]
 
 

@@ -1,0 +1,345 @@
+"""Unit tests for the round-5 operators: HITS, personalized PageRank,
+k-core, local clustering coefficient, Adamic–Adar link prediction,
+degree histogram, bigram PMI, int8 embedding quantization.
+
+Each is verified against an independent brute-force numpy/python
+formulation on micrographs or synthetic tables (the DuckDB parity check
+lives in test_oracle_conformance.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from asterixdb_analytics_ray.sources.micrographs import (
+    as_dataset,
+    clique7,
+    two_components,
+    webmap20,
+)
+
+
+def _sym_simple(src, dst):
+    """Symmetric simple edge set (both directions, self-loops dropped)."""
+    m = src != dst
+    a = np.concatenate([src[m], dst[m]])
+    b = np.concatenate([dst[m], src[m]])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _oriented(src, dst):
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_ref(src, dst, n, iters):
+    A = np.zeros((n, n))
+    A[src, dst] += 1.0  # multi-edges collapse upstream; micrographs are simple
+    hub = np.ones(n)
+    for _ in range(iters):
+        auth = A.T @ hub
+        hub = A @ auth
+    return hub, auth
+
+
+def test_hits_matches_dense_reference(ray_session):
+    from asterixdb_analytics_ray.pipelines.hits import hits_table
+
+    src, dst, n = webmap20()
+    t = hits_table(as_dataset(src, dst), n, iters=10)
+    hub_ref, auth_ref = _hits_ref(src, dst, n, 10)
+    hub_ref = hub_ref / hub_ref.max()
+    auth_ref = auth_ref / auth_ref.max()
+    np.testing.assert_allclose(t["hub"].to_numpy(), hub_ref, atol=2e-7)
+    np.testing.assert_allclose(t["auth"].to_numpy(), auth_ref, atol=2e-7)
+    assert float(t["hub"].to_numpy().max()) == 1.0
+    assert float(t["auth"].to_numpy().max()) == 1.0
+
+
+# ------------------------------------------------- personalized PageRank
+
+
+def test_personalized_pagerank_concentrates_on_source(ray_session):
+    from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+
+    src, dst, n = webmap20()
+    outdeg = np.bincount(src, minlength=n)
+    res = pagerank_dense(
+        as_dataset(src, dst), n, outdeg, supersteps=10, teleport=0
+    )
+    ranks = res.state["rank"]
+    # independent reference: dense iteration with teleport-to-0
+    r = np.full(n, 1.0 / n)
+    for _ in range(9):
+        msgs = np.zeros(n)
+        np.add.at(msgs, dst, r[src] / outdeg[src])
+        r = 0.85 * msgs
+        r[0] += 0.15
+    np.testing.assert_allclose(ranks, r, atol=1e-12)
+    # mass concentrates near the teleport source's component
+    assert ranks[0] > ranks.mean()
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_kcore_clique_vs_chain(ray_session):
+    from asterixdb_analytics_ray.pipelines.kcore import kcore_table
+
+    # clique7: {0,1,2,3} is a K4 (3-core); {4,5,6} is a K3 (2-core only);
+    # two_components: chain + ring are both ≤ 2-core
+    src, dst, n = clique7()
+    us, ud = _sym_simple(src, dst)
+    t = kcore_table(as_dataset(us, ud), n, k=3)
+    assert t["v"].to_pylist() == [0, 1, 2, 3]
+    assert t["core_deg"].to_pylist() == [3, 3, 3, 3]
+
+    t2 = kcore_table(as_dataset(us, ud), n, k=2)
+    assert t2["v"].to_pylist() == [0, 1, 2, 3, 4, 5, 6]
+
+    src, dst, n = two_components()
+    us, ud = _sym_simple(src, dst)
+    t3 = kcore_table(as_dataset(us, ud), n, k=2)
+    assert t3["v"].to_pylist() == [6, 7, 8, 9, 10, 11]  # the ring
+    assert all(d == 2 for d in t3["core_deg"].to_pylist())
+    t4 = kcore_table(as_dataset(us, ud), n, k=3)
+    assert t4.num_rows == 0
+
+
+def test_kcore_rounds_within_oracle_unroll(ray_session):
+    from asterixdb_analytics_ray.pipelines.kcore import KCORE_MAX_ROUNDS, kcore
+
+    src, dst, n = two_components()  # chain peels one layer per round
+    us, ud = _sym_simple(src, dst)
+    res = kcore(as_dataset(us, ud), n, k=2)
+    assert len(res.rounds) < KCORE_MAX_ROUNDS
+
+
+# ------------------------------------------------ clustering coefficient
+
+
+def test_clustering_coefficient_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.triangles import clustering_coefficient
+
+    src, dst, n = clique7()
+    oa, ob = _oriented(src, dst)
+    got = (
+        clustering_coefficient(as_dataset(oa, ob), n)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    # brute force over the simple graph
+    adj = [set() for _ in range(n)]
+    for a, b in zip(oa, ob):
+        adj[a].add(b)
+        adj[b].add(a)
+    for _, row in got.iterrows():
+        v = int(row["v"])
+        deg = len(adj[v])
+        tri = sum(
+            1
+            for x in adj[v]
+            for y in adj[v]
+            if x < y and y in adj[x]
+        )
+        lcc = (2.0 * tri) / (deg * (deg - 1.0)) if deg >= 2 else 0.0
+        assert row["deg"] == deg
+        assert row["triangles"] == tri
+        assert abs(row["lcc"] - lcc) < 1e-9
+    assert set(got["v"]) == {v for v in range(n) if adj[v]}
+
+
+def test_triangle_participation_total_is_3x(ray_session):
+    from asterixdb_analytics_ray.pipelines.triangles import triangle_count
+
+    src, dst, n = clique7()
+    oa, ob = _oriented(src, dst)
+    _, total_min = triangle_count(as_dataset(oa, ob), n, attribute="min")
+    per_all, total_all = triangle_count(as_dataset(oa, ob), n, attribute="all")
+    assert total_all == 3 * total_min
+    assert per_all.to_pandas()["triangles"].sum() == 3 * total_min
+
+
+# ------------------------------------------------------- Adamic–Adar
+
+
+def test_adamic_adar_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.linkpred import adamic_adar_topk
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    got = (
+        adamic_adar_topk(as_dataset(us, ud), n, k=1000, max_center_degree=256)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    adj = [set() for _ in range(n)]
+    for a, b in zip(us, ud):
+        adj[a].add(b)
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                want[(a, b)] = (
+                    len(common),
+                    sum(1.0 / np.log(len(adj[z])) for z in common),
+                )
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        cm, sc = want[(int(row["a"]), int(row["b"]))]
+        assert row["common"] == cm
+        assert abs(row["score"] - sc) < 1e-8
+    # descending by score with (a, b) tie-break
+    key = list(zip(-got["score"], got["a"], got["b"]))
+    assert key == sorted(key)
+
+
+def test_adamic_adar_center_cap_excludes_hubs(ray_session):
+    from asterixdb_analytics_ray.pipelines.linkpred import adamic_adar_topk
+
+    # star: center 0 connected to 1..9 — every leaf pair's only common
+    # neighbor is the hub, so capping below 9 empties the result
+    s = np.repeat(0, 9)
+    d = np.arange(1, 10)
+    us, ud = _sym_simple(s, d)
+    got = adamic_adar_topk(as_dataset(us, ud), 10, k=100, max_center_degree=5)
+    assert got.count() == 0
+    full = adamic_adar_topk(as_dataset(us, ud), 10, k=100, max_center_degree=9)
+    assert full.count() == 36  # C(9,2) leaf pairs
+
+
+# ------------------------------------------------------- bigram PMI
+
+
+def test_bigram_pmi_brute_force(ray_session):
+    import math
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import bigram_pmi
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "new york is big",
+                "new york new york",
+                "big apple new york",
+                "",
+                "york new",
+                "the big apple the big apple",
+            ],
+        }
+    )
+    got = bigram_pmi(
+        ray.data.from_pandas(docs), k=100, min_count=2
+    ).to_pandas()
+    toks = [t.split() for t in docs["text"]]
+    uni: dict = {}
+    big: dict = {}
+    for lst in toks:
+        for w in lst:
+            uni[w] = uni.get(w, 0) + 1
+        for w1, w2 in zip(lst, lst[1:]):
+            big[(w1, w2)] = big.get((w1, w2), 0) + 1
+    U = sum(uni.values())
+    B = sum(big.values())
+    want = {
+        p: (c, math.log((c / B) / ((uni[p[0]] / U) * (uni[p[1]] / U))))
+        for p, c in big.items()
+        if c >= 2
+    }
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        c, pmi = want[(row["w1"], row["w2"])]
+        assert row["cnt"] == c
+        assert abs(row["pmi"] - pmi) < 1e-9
+
+
+def test_bigram_pmi_distributed_join_path_matches(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import bigram_pmi
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b a b", "a b c", "c a b", "b c b c"],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    broad = bigram_pmi(ds, k=10, min_count=1).to_pandas()
+    dist = bigram_pmi(ds, k=10, min_count=1, max_broadcast_vocab=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        broad.sort_values(["w1", "w2"]).reset_index(drop=True),
+        dist.sort_values(["w1", "w2"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+# --------------------------------------------------- degree histogram
+
+
+def test_degree_histogram(ray_session):
+    from asterixdb_analytics_ray.pipelines.degrees import degree_histogram
+
+    src, dst, n = webmap20()
+    got = (
+        degree_histogram(as_dataset(src, dst), n + 3)  # 3 isolated vertices
+        .to_pandas()
+        .sort_values("out_degree")
+        .reset_index(drop=True)
+    )
+    deg = np.bincount(src, minlength=n + 3)
+    want = pd.Series(deg).value_counts().sort_index()
+    assert got["out_degree"].tolist() == want.index.tolist()
+    assert got["n_vertices"].tolist() == want.tolist()
+    assert int(got["n_vertices"].sum()) == n + 3
+
+
+# ------------------------------------------------- int8 quantization
+
+
+def test_quantize_int8_brute_force(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import quantize_int8
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((40, 8)).astype(np.float32)
+    m[:, 3] = 0.0  # an all-zero dimension must quantize to 0, not NaN
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        quantize_int8(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    x = m.astype(np.float64)
+    s = np.abs(x).max(axis=0)
+    y = np.divide(127.0 * x, s, out=np.zeros_like(x), where=s != 0)
+    code = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+    assert len(got) == 40 * 8
+    np.testing.assert_array_equal(
+        got["code"].to_numpy().reshape(40, 8), code
+    )
+    assert (np.abs(got["code"].to_numpy()) <= 127).all()
+    assert (got[got["dim"] == 3]["code"] == 0).all()
