@@ -65,10 +65,12 @@ def degree_histogram(edges: ray.data.Dataset, n: int) -> ray.data.Dataset:
     from counts, no dense vector anywhere."""
     import numpy as np
 
+    from ..stages.blocks import partitions_for
+
     deg = out_degrees_ds(edges).materialize()
     n_with_edges = deg.count()
     hist = (
-        deg.groupby("out_degree")
+        deg.groupby("out_degree", num_partitions=partitions_for(n_with_edges))
         .aggregate(Count(alias_name="n_vertices"))
         .map_batches(
             lambda t: pa.table(
