@@ -462,6 +462,15 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic uniform random walks (DeepWalk corpus stage): one
+    4-step walk per vertex, hash-seeded so the oracle replays it."""
+    from asterixdb_analytics_ray.pipelines.walks import random_walks
+
+    views = _graph(sf_dir)
+    return random_walks(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_doc_bigram_pmi(sf_dir: str):
     """Top-50 collocations by PMI (adjacent token pairs, count ≥ 5)."""
     from asterixdb_analytics_ray.pipelines.corpus import bigram_pmi
@@ -860,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "emb_quantize": _q_emb_quantize,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -925,4 +935,5 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": so.degree_histogram_sql(p),
         "doc_bigram_pmi": so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql(),
+        "random_walks": so.random_walks_sql(p),
     }

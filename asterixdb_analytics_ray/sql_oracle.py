@@ -1542,3 +1542,36 @@ def degree_histogram_sql(p: str) -> str:
   FROM verts LEFT JOIN deg d ON d.src = verts.v)
 GROUP BY out_degree"""
     )
+
+
+WALK_LEN = 4
+
+
+def random_walks_sql(p: str, walk_len: int = WALK_LEN) -> str:
+    """Deterministic uniform random walks (pipelines/walks.py): next hop =
+    ascending-sorted neighbor at index md5_u64('{walk_id}:{t}:{v}') mod deg
+    — the engine's exact hash, replayed per step as a rank-join."""
+    parts = [prelude(p)]
+    parts.append(
+        """, adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS dg
+  FROM und),
+w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS v FROM und)
+"""
+    )
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS v
+  FROM w{t - 1} w JOIN adj a ON a.src = w.v AND a.rnk = CAST(
+    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':{t}:' || CAST(w.v AS VARCHAR)), 1, 16))::UBIGINT
+    % CAST(a.dg AS UBIGINT) AS BIGINT))
+"""
+        )
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, v FROM w0"]
+    for t in range(1, walk_len + 1):
+        selects.append(f"SELECT walk_id, CAST({t} AS BIGINT) AS step, v FROM w{t}")
+    parts.append("\nUNION ALL\n".join(selects))
+    return "".join(parts)

@@ -76,6 +76,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "clustering_coefficient": so.clustering_coefficient_sql,
         "link_prediction": so.adamic_adar_sql,
         "degree_histogram": so.degree_histogram_sql,
+        "random_walks": so.random_walks_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -190,6 +191,7 @@ QUERY_NAMES = [
     "degree_histogram",
     "doc_bigram_pmi",
     "emb_quantize",
+    "random_walks",
 ]
 
 

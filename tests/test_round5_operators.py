@@ -343,3 +343,55 @@ def test_quantize_int8_brute_force(ray_session):
     )
     assert (np.abs(got["code"].to_numpy()) <= 127).all()
     assert (got[got["dim"] == 3]["code"] == 0).all()
+
+
+# ------------------------------------------------------- random walks
+
+
+def test_random_walks_deterministic_brute_force(ray_session):
+    import hashlib
+
+    from asterixdb_analytics_ray.pipelines.walks import random_walks
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    got = (
+        random_walks(as_dataset(us, ud), n, walk_len=4)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    adj = {}
+    for a, b in zip(us, ud):
+        adj.setdefault(int(a), []).append(int(b))
+    for v in adj:
+        adj[v].sort()
+
+    def h(wid, t, v):
+        s = f"{wid}:{t}:{v}"
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+    starts = sorted(adj)
+    assert len(got) == len(starts) * 5
+    for wid in starts:
+        cur = wid
+        walk = got[got["walk_id"] == wid].sort_values("step")
+        assert walk["v"].iloc[0] == wid and walk["step"].iloc[0] == 0
+        for t in range(1, 5):
+            nbrs = adj[cur]
+            cur = nbrs[h(wid, t, cur) % len(nbrs)]
+            assert walk["v"].iloc[t] == cur, (wid, t)
+
+
+def test_random_walks_restart_identical(ray_session):
+    from asterixdb_analytics_ray.pipelines.walks import random_walks
+
+    src, dst, n = two_components()
+    us, ud = _sym_simple(src, dst)
+    a = random_walks(as_dataset(us, ud), n).to_pandas()
+    b = random_walks(as_dataset(us, ud), n).to_pandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
