@@ -462,6 +462,35 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank: rank flows proportional to edge weight (conv_tool
+    = usage count, reply = 1, tool_cooc = shared-conv count)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.functions.fasthash import round_like_sql
+    from asterixdb_analytics_ray.graph import build_link_graph
+    from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+    from asterixdb_analytics_ray.sql_oracle import PR_SUPERSTEPS, ROUND_DECIMALS
+
+    path = _transcripts_path(sf_dir)
+    g = build_link_graph(ray.data.read_parquet(path), weighted=True)
+    res = pagerank_dense(
+        g.weighted_directed().materialize(),
+        g.n_nodes,
+        g.weighted_out_sums(),
+        supersteps=PR_SUPERSTEPS,
+        weight_col="w",
+    )
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64),
+            "rank": round_like_sql(res.state["rank"], ROUND_DECIMALS),
+        }
+    )
+
+
 def _q_random_walks(sf_dir: str):
     """Deterministic uniform random walks (DeepWalk corpus stage): one
     4-step walk per vertex, hash-seeded so the oracle replays it."""
@@ -870,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "emb_quantize": _q_emb_quantize,
         "random_walks": _q_random_walks,
+        "pagerank_weighted": _q_pagerank_weighted,
     }
 
 
@@ -936,4 +966,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_pmi": so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql(),
         "random_walks": so.random_walks_sql(p),
+        "pagerank_weighted": so.pagerank_weighted_sql(p),
     }

@@ -262,6 +262,28 @@ class LinkGraph:
             )
         return self.edge_subset(kinds).select_columns(["src", "dst", "w"])
 
+    def weighted_out_sums(
+        self, kinds: tuple[str, ...] | None = None
+    ) -> np.ndarray:
+        """Dense per-src Σw vector (float64; weights are integral counts so
+        the sums are exact) — the weighted analog of ``out_degrees``, same
+        sparse-partial pattern, feeds the dense BSP state."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy()
+            w = t["w"].to_numpy().astype(np.float64)
+            ids, inv = np.unique(src, return_inverse=True)
+            return pa.table({"v": ids, "s": np.bincount(inv, weights=w)})
+
+        out = np.zeros(self.n_nodes, dtype=np.float64)
+        for b in (
+            self.weighted_directed(kinds)
+            .map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            np.add.at(out, b["v"].to_numpy(), b["s"].to_numpy())
+        return out
+
     def undirected(self, kinds: tuple[str, ...] | None = None) -> ray.data.Dataset:
         """Symmetrized edge set (both directions, self-loops dropped, deduped).
 

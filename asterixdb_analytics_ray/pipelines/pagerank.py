@@ -47,6 +47,10 @@ class PageRankDense:
     # dangling mass dropped, fixed applies) is unchanged, so the oracle is
     # the same unrolled CTE with the teleport term made conditional
     teleport: int | None = None
+    # weighted PageRank: edge column holding the weight; contributions become
+    # rank[src]·w/Σ_out w (``outdeg_ref`` must then hold the per-src weight
+    # sums). Classic strength-proportional surfer (public formulation)
+    weight_col: str | None = None
 
     name: str = "pagerank"
     combiner = SUM
@@ -64,16 +68,23 @@ class PageRankDense:
         outdeg_ref = self.outdeg_ref
         n, P = self.n, self.part_modulus
 
+        wc = self.weight_col
+
         def scatter(batch: pa.Table) -> pa.Table:
             rank = ray.get(rank_ref)
-            outdeg = ray.get(outdeg_ref)
+            outdeg = ray.get(outdeg_ref)  # weighted mode: per-src Σw instead
             src = batch["src"].to_numpy()
             dst = batch["dst"].to_numpy()
-            contrib = rank[src] / outdeg[src]  # src present in edges ⇒ outdeg>0
+            if wc is None:
+                contrib = rank[src] / outdeg[src]  # src in edges ⇒ outdeg>0
+            else:
+                # the oracle's (rank·w)/Σw double-op order
+                w = batch[wc].to_numpy().astype(np.float64)
+                contrib = rank[src] * w / outdeg[src]
             v, m = SUM.segment_reduce(dst, contrib)
             return pa.table({"v": v, "msg": m})
 
-        if P is None:
+        if P is None or wc is not None:
             return scatter
 
         def scatter_partitioned(batch: pa.Table) -> pa.Table:
@@ -127,6 +138,7 @@ def pagerank_dense(
     cfg: BSPConfig | None = None,
     n_vertices: int | None = None,
     teleport: int | None = None,
+    weight_col: str | None = None,
 ) -> BSPResult:
     cfg = cfg or BSPConfig()
     cfg.max_supersteps = supersteps if tol is None else max(supersteps, cfg.max_supersteps)
@@ -138,6 +150,7 @@ def pagerank_dense(
         part_modulus=cfg.dst_partition_modulus,
         n_vertices=n_vertices,
         teleport=teleport,
+        weight_col=weight_col,
     )
     return run_dense_bsp(edges, n, algo, cfg)
 

@@ -220,14 +220,7 @@ def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
     return "".join(parts)
 
 
-def sssp_weighted_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
-    """Weighted SSSP over the weighted edge derivation (conv_tool w = usage
-    count, reply w = 1, tool_cooc w = shared-conv count) — mirrors
-    ``build_link_graph(weighted=True)``. Distances are integral float64 on
-    both sides (sums of counts), so the value hash is exact."""
-    parts = [prelude(p)]
-    parts.append(
-        """, wedges AS MATERIALIZED (
+_WEDGES_CTE = """, wedges AS MATERIALIZED (
   SELECT ns.node_id AS src, nd.node_id AS dst, CAST(ctw.cnt AS DOUBLE) AS w
   FROM (SELECT conv_id, tool, count(*) AS cnt FROM t
         WHERE tool IS NOT NULL GROUP BY 1, 2) ctw
@@ -248,7 +241,15 @@ def sssp_weighted_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
   JOIN nodes nd ON nd.kind = 'tool' AND nd.key = tcw.tool_b
 )
 """
-    )
+
+
+def sssp_weighted_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
+    """Weighted SSSP over the weighted edge derivation (conv_tool w = usage
+    count, reply w = 1, tool_cooc w = shared-conv count) — mirrors
+    ``build_link_graph(weighted=True)``. Distances are integral float64 on
+    both sides (sums of counts), so the value hash is exact."""
+    parts = [prelude(p)]
+    parts.append(_WEDGES_CTE)
     parts.append(
         f", w0 AS MATERIALIZED (SELECT v, CASE WHEN v = {source} THEN 0.0 ELSE 1e300 END AS dist FROM verts)\n"
     )
@@ -1574,4 +1575,34 @@ w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS v FROM und)
     for t in range(1, walk_len + 1):
         selects.append(f"SELECT walk_id, CAST({t} AS BIGINT) AS step, v FROM w{t}")
     parts.append("\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+def pagerank_weighted_sql(p: str, supersteps: int = PR_SUPERSTEPS) -> str:
+    """Weighted PageRank over the weighted edge derivation (the
+    sssp_weighted wedges): contributions rank·w/Σ_out w, uniform teleport —
+    ``pagerank_dense(weight_col='w')`` with the weighted out-sum vector."""
+    parts = [prelude(p)]
+    parts.append(_WEDGES_CTE)
+    parts.append(
+        ", wdeg AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM wedges GROUP BY src)\n"
+    )
+    parts.append(
+        ", p0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts)\n"
+    )
+    for i in range(1, supersteps):
+        prev = f"p{i - 1}"
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT verts.v,
+         0.15/(SELECT n FROM nv) + 0.85*coalesce(m.s, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r.rank * e.w / d.wsum) AS s
+    FROM wedges e JOIN {prev} r ON e.src = r.v JOIN wdeg d ON d.src = e.src
+    GROUP BY e.dst) m ON m.v = verts.v)
+"""
+        )
+    parts.append(
+        f"SELECT v, round(rank, {ROUND_DECIMALS}) AS rank FROM p{supersteps - 1}"
+    )
     return "".join(parts)

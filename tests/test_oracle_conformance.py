@@ -77,6 +77,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "link_prediction": so.adamic_adar_sql,
         "degree_histogram": so.degree_histogram_sql,
         "random_walks": so.random_walks_sql,
+        "pagerank_weighted": so.pagerank_weighted_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -192,6 +193,7 @@ QUERY_NAMES = [
     "doc_bigram_pmi",
     "emb_quantize",
     "random_walks",
+    "pagerank_weighted",
 ]
 
 

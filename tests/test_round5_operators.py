@@ -395,3 +395,38 @@ def test_random_walks_restart_identical(ray_session):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+# --------------------------------------------------- weighted PageRank
+
+
+def test_weighted_pagerank_brute_force(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.pagerank import pagerank_dense
+
+    src, dst, n = webmap20()
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 6, size=len(src)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)})
+    )
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, w.astype(np.float64))
+    res = pagerank_dense(ds, n, wsum, supersteps=10, weight_col="w")
+    # independent dense reference
+    r = np.full(n, 1.0 / n)
+    for _ in range(9):
+        msgs = np.zeros(n)
+        np.add.at(msgs, dst, r[src] * w / wsum[src])
+        r = 0.15 / n + 0.85 * msgs
+    np.testing.assert_allclose(res.state["rank"], r, atol=1e-12)
+    # unit weights reduce to plain PageRank
+    ones = ds.map_batches(
+        lambda t: t.set_column(2, "w", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    ru = pagerank_dense(ones, n, outdeg, supersteps=10, weight_col="w")
+    rp = pagerank_dense(ds.select_columns(["src", "dst"]), n, outdeg, supersteps=10)
+    np.testing.assert_allclose(ru.state["rank"], rp.state["rank"], atol=1e-15)
