@@ -462,6 +462,14 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_mis(sf_dir: str):
+    """Maximal independent set (greedy-by-hash-priority Luby rounds)."""
+    from asterixdb_analytics_ray.pipelines.mis import mis_table
+
+    views = _graph(sf_dir)
+    return mis_table(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_pagerank_weighted(sf_dir: str):
     """Weighted PageRank: rank flows proportional to edge weight (conv_tool
     = usage count, reply = 1, tool_cooc = shared-conv count)."""
@@ -900,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": _q_emb_quantize,
         "random_walks": _q_random_walks,
         "pagerank_weighted": _q_pagerank_weighted,
+        "mis": _q_mis,
     }
 
 
@@ -967,4 +976,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize": so.quantize_int8_sql(),
         "random_walks": so.random_walks_sql(p),
         "pagerank_weighted": so.pagerank_weighted_sql(p),
+        "mis": so.mis_sql(p),
     }

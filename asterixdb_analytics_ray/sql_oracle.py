@@ -1606,3 +1606,48 @@ def pagerank_weighted_sql(p: str, supersteps: int = PR_SUPERSTEPS) -> str:
         f"SELECT v, round(rank, {ROUND_DECIMALS}) AS rank FROM p{supersteps - 1}"
     )
     return "".join(parts)
+
+
+MIS_ROUNDS = 40
+
+
+def mis_sql(p: str, rounds: int = MIS_ROUNDS) -> str:
+    """Greedy-by-priority maximal independent set (pipelines/mis.py):
+    priority = md5_u64(str(v)) >> 11; each unrolled round picks live
+    vertices beating every live neighbor, then removes winners' neighbors."""
+    parts = [prelude(p)]
+    parts.append(
+        """, pri AS MATERIALIZED (
+  SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT >> 11 AS BIGINT) AS h
+  FROM verts),
+s0 AS MATERIALIZED (SELECT v, true AS live, false AS mis FROM verts)
+"""
+    )
+    for i in range(1, rounds + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f""", mx{i} AS (
+  SELECT u.dst AS v, max(ph.h) AS mh
+  FROM und u
+  JOIN {prev} a ON u.src = a.v AND a.live
+  JOIN {prev} b ON u.dst = b.v AND b.live
+  JOIN pri ph ON ph.v = u.src
+  GROUP BY u.dst),
+win{i} AS (
+  SELECT s.v FROM {prev} s
+  JOIN pri p2 ON p2.v = s.v
+  LEFT JOIN mx{i} m ON m.v = s.v
+  WHERE s.live AND p2.h > coalesce(m.mh, -1)),
+rem{i} AS (
+  SELECT DISTINCT u.dst AS v FROM und u JOIN win{i} w ON u.src = w.v),
+s{i} AS MATERIALIZED (
+  SELECT s.v,
+         s.live AND w.v IS NULL AND r.v IS NULL AS live,
+         s.mis OR w.v IS NOT NULL AS mis
+  FROM {prev} s
+  LEFT JOIN win{i} w ON w.v = s.v
+  LEFT JOIN rem{i} r ON r.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v FROM s{rounds} WHERE mis")
+    return "".join(parts)

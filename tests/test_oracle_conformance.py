@@ -78,6 +78,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "degree_histogram": so.degree_histogram_sql,
         "random_walks": so.random_walks_sql,
         "pagerank_weighted": so.pagerank_weighted_sql,
+        "mis": so.mis_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -194,6 +195,7 @@ QUERY_NAMES = [
     "emb_quantize",
     "random_walks",
     "pagerank_weighted",
+    "mis",
 ]
 
 

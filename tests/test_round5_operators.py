@@ -430,3 +430,56 @@ def test_weighted_pagerank_brute_force(ray_session):
     ru = pagerank_dense(ones, n, outdeg, supersteps=10, weight_col="w")
     rp = pagerank_dense(ds.select_columns(["src", "dst"]), n, outdeg, supersteps=10)
     np.testing.assert_allclose(ru.state["rank"], rp.state["rank"], atol=1e-15)
+
+
+# ----------------------------------------------- maximal independent set
+
+
+def test_mis_is_maximal_and_independent(ray_session):
+    from asterixdb_analytics_ray.pipelines.mis import mis_table
+
+    for fixture in (clique7, two_components, webmap20):
+        src, dst, n = fixture()
+        us, ud = _sym_simple(src, dst)
+        got = set(mis_table(as_dataset(us, ud), n)["v"].to_pylist())
+        adj = [set() for _ in range(n)]
+        for a, b in zip(us, ud):
+            adj[a].add(b)
+        # independent: no two MIS members adjacent
+        for v in got:
+            assert not (adj[v] & got), (fixture.__name__, v)
+        # maximal: every non-member has an MIS neighbor (or is isolated,
+        # in which case it must be IN the set)
+        for v in range(n):
+            if v not in got:
+                assert adj[v] & got, (fixture.__name__, v)
+
+
+def test_mis_matches_greedy_priority_reference(ray_session):
+    import hashlib
+
+    from asterixdb_analytics_ray.pipelines.mis import MIS_MAX_ROUNDS, mis
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    res = mis(as_dataset(us, ud), n)
+    got = set(np.flatnonzero(res.state["mis"] > 0).tolist())
+    assert len(res.rounds) < 2 * MIS_MAX_ROUNDS
+
+    # independent greedy reference: process vertices by descending priority
+    # — with ONE fixed permutation the parallel rounds and the sequential
+    # greedy produce the IDENTICAL set
+    def h(v):
+        return int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:8], "big"
+        ) >> 11
+
+    adj = [set() for _ in range(n)]
+    for a, b in zip(us, ud):
+        adj[a].add(b)
+    want, blocked = set(), set()
+    for v in sorted(range(n), key=h, reverse=True):
+        if v not in blocked:
+            want.add(v)
+            blocked |= adj[v] | {v}
+    assert got == want
