@@ -462,6 +462,15 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_ktruss(sf_dir: str):
+    """4-truss edges + within-truss triangle support (edge peeling)."""
+    from asterixdb_analytics_ray.pipelines.truss import ktruss
+
+    views = _graph(sf_dir)
+    final, _rounds = ktruss(views["oriented"], views["graph"].n_nodes, k=4)
+    return final
+
+
 def _q_mis(sf_dir: str):
     """Maximal independent set (greedy-by-hash-priority Luby rounds)."""
     from asterixdb_analytics_ray.pipelines.mis import mis_table
@@ -909,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "pagerank_weighted": _q_pagerank_weighted,
         "mis": _q_mis,
+        "ktruss": _q_ktruss,
     }
 
 
@@ -977,4 +987,5 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": so.random_walks_sql(p),
         "pagerank_weighted": so.pagerank_weighted_sql(p),
         "mis": so.mis_sql(p),
+        "ktruss": so.ktruss_sql(p, k=4),
     }

@@ -243,6 +243,36 @@ def triangle_count(
         aa = a[~is_edge][hit]
         bb = b[~is_edge][hit]
         cc = c[~is_edge][hit]
+        if attribute == "edges":  # per-EDGE supports (k-truss numerator):
+            # each triangle credits its three canonical (min, max) edges
+            if len(aa) == 0:
+                return pa.table(
+                    {
+                        "ea": pa.array([], pa.int64()),
+                        "eb": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            ea = np.concatenate(
+                [np.minimum(aa, bb), np.minimum(aa, cc), np.minimum(bb, cc)]
+            )
+            eb = np.concatenate(
+                [np.maximum(aa, bb), np.maximum(aa, cc), np.maximum(bb, cc)]
+            )
+            order = np.lexsort((eb, ea))
+            ea, eb = ea[order], eb[order]
+            newk = np.concatenate(
+                ([True], (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1]))
+            )
+            starts = np.flatnonzero(newk)
+            cnt = np.diff(np.concatenate((starts, [len(ea)])))
+            return pa.table(
+                {
+                    "ea": ea[starts],
+                    "eb": eb[starts],
+                    "cnt": cnt.astype(np.int64),
+                }
+            )
         if attribute == "all":  # credit every corner (participation counts)
             corners = np.concatenate([aa, bb, cc])
         else:  # reference semantics: once, at the min ORIGINAL id
@@ -259,6 +289,16 @@ def triangle_count(
     # aggregate to the PARTIAL row count (hash-aggregate actors cost ~0.2s
     # each — a CPU-count partitioning of a few-thousand-row combine wastes
     # seconds; see blocks.partitions_for)
+    if attribute == "edges":
+        per_edge = (
+            closed.groupby(
+                ["ea", "eb"], num_partitions=partitions_for(closed.count())
+            )
+            .aggregate(Sum("cnt", alias_name="support"))
+            .materialize()
+        )
+        total = (per_edge.sum("support") or 0) // 3
+        return per_edge, int(total)
     per_vertex = (
         closed.groupby("v", num_partitions=partitions_for(closed.count()))
         .aggregate(Sum("cnt", alias_name="triangles"))

@@ -1651,3 +1651,37 @@ s{i} AS MATERIALIZED (
         )
     parts.append(f"SELECT v FROM s{rounds} WHERE mis")
     return "".join(parts)
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 20
+
+
+def ktruss_sql(p: str, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """k-truss by unrolled Jacobi edge-peeling (pipelines/truss.py): each
+    round recomputes per-edge triangle support over the survivors and
+    deletes every edge below k-2; idempotent past the fixpoint."""
+    parts = [prelude(p)]
+    parts.append(", e0 AS MATERIALIZED (SELECT a, b FROM ori)\n")
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f""", tri{i} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b),
+sup{i} AS MATERIALIZED (
+  SELECT ea, eb, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS ea, y AS eb FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i})
+  GROUP BY ea, eb),
+e{i} AS MATERIALIZED (
+  SELECT ea AS a, eb AS b FROM sup{i} WHERE support >= {k - 2})
+"""
+        )
+    parts.append(
+        f"SELECT ea AS a, eb AS b, support FROM sup{rounds} WHERE support >= {k - 2}"
+    )
+    return "".join(parts)

@@ -79,6 +79,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "random_walks": so.random_walks_sql,
         "pagerank_weighted": so.pagerank_weighted_sql,
         "mis": so.mis_sql,
+        "ktruss": lambda p: so.ktruss_sql(p, k=4),
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -196,6 +197,7 @@ QUERY_NAMES = [
     "random_walks",
     "pagerank_weighted",
     "mis",
+    "ktruss",
 ]
 
 

@@ -483,3 +483,57 @@ def test_mis_matches_greedy_priority_reference(ray_session):
             want.add(v)
             blocked |= adj[v] | {v}
     assert got == want
+
+
+# ------------------------------------------------------------- k-truss
+
+
+def _truss_ref(pairs, k):
+    """Sequential reference peeling."""
+    edges = set(pairs)
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b])
+            for a, b in edges
+        }
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return {e: sup[e] for e in edges}
+        edges -= drop
+
+
+def test_ktruss_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.truss import ktruss
+
+    for fixture, k in ((clique7, 4), (webmap20, 4), (two_components, 3)):
+        src, dst, n = fixture()
+        oa, ob = _oriented(src, dst)
+        final, rounds = ktruss(as_dataset(oa, ob), n, k=k)
+        got = {
+            (int(r["a"]), int(r["b"])): int(r["support"])
+            for _, r in final.to_pandas().iterrows()
+        }
+        want = _truss_ref(list(zip(oa.tolist(), ob.tolist())), k)
+        assert got == want, (fixture.__name__, k)
+        assert rounds < 20
+
+
+def test_ktruss_clique_is_complete(ray_session):
+    from asterixdb_analytics_ray.pipelines.truss import ktruss
+
+    # K4 on {0,1,2,3}: its 6 edges each sit in 2 triangles => 4-truss
+    src, dst, n = clique7()
+    oa, ob = _oriented(src, dst)
+    final, _ = ktruss(as_dataset(oa, ob), n, k=4)
+    df = final.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert [tuple(x) for x in df[["a", "b"]].to_numpy()] == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    ]
+    assert (df["support"] == 2).all()
+    # k=5 demands support 3 per edge — K4 can't provide it
+    empty, _ = ktruss(as_dataset(oa, ob), n, k=5)
+    assert empty.count() == 0
