@@ -9,8 +9,9 @@ halt-on-quiescence pattern of the reference's vertex-centric jobs
 oracled by a programmatically unrolled CTE chain like CC/SSSP.
 
 Scale shape: each round is one streaming pass over the edge Dataset with the
-alive bitmap broadcast via ``ray.put`` (n bits — 125 MB at 10⁹ vertices,
-broadcast once per round, read zero-copy per task), per-batch bincount
+alive mask broadcast via ``ray.put`` (uint8: 1 GB at 10⁹ vertices,
+broadcast once per round, read zero-copy per task; a packed bitmap would
+cut it 8× further), per-batch bincount
 partials, dense combine. State is the dense-engine layout (documented dense
 path, like PageRank's rank vector).
 """
@@ -46,7 +47,7 @@ class KCoreDense:
 
     def init_state(self, n: int) -> dict[str, np.ndarray]:
         return {
-            "alive": np.ones(n, dtype=np.float64),
+            "alive": np.ones(n, dtype=np.uint8),
             "core_deg": np.zeros(n, dtype=np.float64),
         }
 
@@ -75,7 +76,7 @@ class KCoreDense:
         removed = int((alive & ~new_alive).sum())
         return (
             {
-                "alive": new_alive.astype(np.float64),
+                "alive": new_alive.astype(np.uint8),
                 "core_deg": np.where(new_alive, msg, 0.0),
             },
             removed,

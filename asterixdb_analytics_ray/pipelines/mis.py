@@ -13,6 +13,7 @@ in the DuckDB oracle's BIGINT, and both sides resolve every comparison
 identically (``sql_oracle.mis_sql`` replays the rounds as unrolled CTEs).
 Hash-seeded priorities also make the job restartable with no RNG state.
 
+Live/mis/win state is uint8 (1 GB each at 10⁹ vertices when broadcast).
 Each round is two half-steps through the dense engine over the symmetric
 simple edge set: (a) MAX-combine live-neighbor priorities → pick winners,
 (b) MAX-combine winner flags → remove winners' neighbors.
@@ -20,10 +21,9 @@ simple edge set: (a) MAX-combine live-neighbor priorities → pick winners,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -53,9 +53,9 @@ class MISDense:
 
     def init_state(self, n: int) -> dict[str, np.ndarray]:
         return {
-            "live": np.ones(n, dtype=np.float64),
-            "mis": np.zeros(n, dtype=np.float64),
-            "win": np.zeros(n, dtype=np.float64),
+            "live": np.ones(n, dtype=np.uint8),
+            "mis": np.zeros(n, dtype=np.uint8),
+            "win": np.zeros(n, dtype=np.uint8),
             "prio": _priorities(n),
         }
 
@@ -109,18 +109,18 @@ class MISDense:
         if superstep % 2 == 0:  # after (a): pick winners (no live nbr beats v)
             winner = live & (prio > msg)  # MAX identity −inf ⇒ isolated win
             new = {
-                "live": (live & ~winner).astype(np.float64),
-                "mis": (mis | winner).astype(np.float64),
-                "win": winner.astype(np.float64),
+                "live": (live & ~winner).astype(np.uint8),
+                "mis": (mis | winner).astype(np.uint8),
+                "win": winner.astype(np.uint8),
                 "prio": prio,
             }
             active = int(new["live"].sum()) + int(winner.sum())
         else:  # after (b): drop winners' neighbors
             removed = live & (msg >= 1.0)
             new = {
-                "live": (live & ~removed).astype(np.float64),
+                "live": (live & ~removed).astype(np.uint8),
                 "mis": state["mis"],
-                "win": np.zeros(self.n, dtype=np.float64),
+                "win": np.zeros(self.n, dtype=np.uint8),
                 "prio": prio,
             }
             active = int(new["live"].sum())
