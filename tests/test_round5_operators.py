@@ -1,6 +1,7 @@
-"""Unit tests for the round-5 operators: HITS, personalized PageRank,
-k-core, local clustering coefficient, Adamic–Adar link prediction,
-degree histogram, bigram PMI, int8 embedding quantization.
+"""Unit tests for the round-5 operators: HITS, personalized + weighted
+PageRank, k-core, k-truss, local clustering coefficient, Adamic–Adar
+link prediction, maximal independent set, degree histogram, bigram PMI,
+int8 embedding quantization, deterministic random walks.
 
 Each is verified against an independent brute-force numpy/python
 formulation on micrographs or synthetic tables (the DuckDB parity check
