@@ -462,6 +462,14 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Pearson correlation of endpoint degrees (Newman assortativity)."""
+    from asterixdb_analytics_ray.pipelines.degrees import degree_assortativity
+
+    views = _graph(sf_dir)
+    return degree_assortativity(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_ktruss(sf_dir: str):
     """4-truss edges + within-truss triangle support (edge peeling)."""
     from asterixdb_analytics_ray.pipelines.truss import ktruss
@@ -919,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "mis": _q_mis,
         "ktruss": _q_ktruss,
+        "degree_assortativity": _q_degree_assortativity,
     }
 
 
@@ -988,4 +997,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": so.pagerank_weighted_sql(p),
         "mis": so.mis_sql(p),
         "ktruss": so.ktruss_sql(p, k=4),
+        "degree_assortativity": so.assortativity_sql(p),
     }

@@ -95,3 +95,55 @@ def degree_histogram(edges: ray.data.Dataset, n: int) -> ray.data.Dataset:
             )
         )
     return hist
+
+
+def degree_assortativity(und_edges: ray.data.Dataset, n: int) -> "pa.Table":
+    """One-row (assortativity) table: the Pearson correlation of endpoint
+    degrees over the symmetric simple edge set (Newman, "Assortative mixing
+    in networks", PRL 89, 2002 — public formula).
+
+    Per-batch sufficient statistics (m, Σx, Σy, Σxy, Σx², Σy²) with
+    endpoint degrees gathered from the P plasma degree shards — every sum
+    is an integer below 2^53 at any graph this engine's dense paths hold,
+    so both sides of the oracle compute EXACT sums and the closing formula
+    (identical double-op order) is bit-identical before rounding."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.fasthash import round_like_sql
+    from ..pipelines.triangles import _degree_shards, _shard_lookup
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(und_edges.count(), 32)
+    # und has each edge twice, so per-src counts ARE the simple degrees;
+    # _degree_shards counts both ends of its input — feed it the src<dst
+    # half to count each undirected edge once per endpoint
+    half = und_edges.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+    deg_refs = _degree_shards(half, n, P)
+
+    def stats(t: pa.Table) -> pa.Table:
+        shards = ray.get(deg_refs)
+        x = _shard_lookup(t["src"].to_numpy(), shards, P).astype(np.float64)
+        y = _shard_lookup(t["dst"].to_numpy(), shards, P).astype(np.float64)
+        return pa.table(
+            {
+                "m": np.array([float(len(x))]),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxy": np.array([(x * y).sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "syy": np.array([(y * y).sum()]),
+            }
+        )
+
+    parts = und_edges.map_batches(stats, batch_format="pyarrow").to_pandas()
+    m, sx, sy = parts["m"].sum(), parts["sx"].sum(), parts["sy"].sum()
+    sxy, sxx, syy = parts["sxy"].sum(), parts["sxx"].sum(), parts["syy"].sum()
+    r = (m * sxy - sx * sy) / (
+        np.sqrt(m * sxx - sx * sx) * np.sqrt(m * syy - sy * sy)
+    )
+    return pa.table({"assortativity": round_like_sql(np.array([r]), 9)})

@@ -1685,3 +1685,25 @@ e{i} AS MATERIALIZED (
         f"SELECT ea AS a, eb AS b, support FROM sup{rounds} WHERE support >= {k - 2}"
     )
     return "".join(parts)
+
+
+def assortativity_sql(p: str) -> str:
+    """Degree assortativity (degrees.degree_assortativity): Pearson corr of
+    endpoint degrees over und — all sufficient-statistic sums are exact
+    integers in double, so the closing formula is bit-identical."""
+    return (
+        prelude(p)
+        + """, udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         sum(CAST(du.deg AS DOUBLE)) AS sx,
+         sum(CAST(dv.deg AS DOUBLE)) AS sy,
+         sum(CAST(du.deg AS DOUBLE) * CAST(dv.deg AS DOUBLE)) AS sxy,
+         sum(CAST(du.deg AS DOUBLE) * CAST(du.deg AS DOUBLE)) AS sxx,
+         sum(CAST(dv.deg AS DOUBLE) * CAST(dv.deg AS DOUBLE)) AS syy
+  FROM und u JOIN udeg du ON du.v = u.src JOIN udeg dv ON dv.v = u.dst)
+SELECT round((m*sxy - sx*sy) / (sqrt(m*sxx - sx*sx) * sqrt(m*syy - sy*sy)), 9)
+       AS assortativity
+FROM st"""
+    )

@@ -80,6 +80,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "pagerank_weighted": so.pagerank_weighted_sql,
         "mis": so.mis_sql,
         "ktruss": lambda p: so.ktruss_sql(p, k=4),
+        "degree_assortativity": so.assortativity_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -198,6 +199,7 @@ QUERY_NAMES = [
     "pagerank_weighted",
     "mis",
     "ktruss",
+    "degree_assortativity",
 ]
 
 

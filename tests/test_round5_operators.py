@@ -1,7 +1,8 @@
 """Unit tests for the round-5 operators: HITS, personalized + weighted
 PageRank, k-core, k-truss, local clustering coefficient, Adamic–Adar
-link prediction, maximal independent set, degree histogram, bigram PMI,
-int8 embedding quantization, deterministic random walks.
+link prediction, maximal independent set, degree histogram, degree
+assortativity, bigram PMI, int8 embedding quantization, deterministic
+random walks.
 
 Each is verified against an independent brute-force numpy/python
 formulation on micrographs or synthetic tables (the DuckDB parity check
@@ -538,3 +539,31 @@ def test_ktruss_clique_is_complete(ray_session):
     # k=5 demands support 3 per edge — K4 can't provide it
     empty, _ = ktruss(as_dataset(oa, ob), n, k=5)
     assert empty.count() == 0
+
+
+# ----------------------------------------------- degree assortativity
+
+
+def test_degree_assortativity_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.degrees import degree_assortativity
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    got = float(
+        degree_assortativity(as_dataset(us, ud), n)["assortativity"][0].as_py()
+    )
+    deg = np.zeros(n, dtype=np.int64)
+    for a in us:
+        deg[a] += 1
+    x = deg[us].astype(np.float64)
+    y = deg[ud].astype(np.float64)
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert abs(got - want) < 1e-9
+    # a star is maximally disassortative
+    s = np.repeat(0, 9)
+    d = np.arange(1, 10)
+    ss, sd = _sym_simple(s, d)
+    star = float(
+        degree_assortativity(as_dataset(ss, sd), 10)["assortativity"][0].as_py()
+    )
+    assert star == -1.0
