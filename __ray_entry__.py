@@ -462,6 +462,14 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_link_prediction_jaccard(sf_dir: str):
+    """Top-50 non-adjacent pairs by Jaccard coefficient (capped wedges)."""
+    from asterixdb_analytics_ray.pipelines.linkpred import jaccard_topk
+
+    views = _graph(sf_dir)
+    return jaccard_topk(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Pearson correlation of endpoint degrees (Newman assortativity)."""
     from asterixdb_analytics_ray.pipelines.degrees import degree_assortativity
@@ -928,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": _q_mis,
         "ktruss": _q_ktruss,
         "degree_assortativity": _q_degree_assortativity,
+        "link_prediction_jaccard": _q_link_prediction_jaccard,
     }
 
 
@@ -998,4 +1007,5 @@ def oracle_sql() -> dict[str, str]:
         "mis": so.mis_sql(p),
         "ktruss": so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql(p),
+        "link_prediction_jaccard": so.jaccard_linkpred_sql(p),
     }

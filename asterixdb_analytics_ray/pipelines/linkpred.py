@@ -1,24 +1,30 @@
-"""Adamic–Adar link prediction over the simple undirected graph.
+"""Link prediction over the simple undirected graph: Adamic–Adar and
+Jaccard-coefficient scores for non-adjacent pairs with ≥1 common neighbor.
 
-For every non-adjacent pair (a, b) with ≥1 common neighbor, score
 AA(a,b) = Σ_z 1/ln(deg(z)) over common neighbors z (Adamic & Adar, "Friends
-and neighbors on the Web", Social Networks 25(3), 2003 — public-knowledge
-formula). Top-k pairs by (score desc, a, b).
+and neighbors on the Web", Social Networks 25(3), 2003); J(a,b) =
+|Γa∩Γb| / |Γa∪Γb| (Liben-Nowell & Kleinberg, "The link-prediction problem
+for social networks", JASIST 2007 — both public-knowledge formulas).
+Top-k pairs by (score desc, a, b).
 
 Plan shape = the triangle-counting co-partition (``triangles.py``): und
 edges grouped by center z emit neighbor pairs keyed by a % P; existing
 edges are tagged into the SAME groupby so the non-adjacency filter is an
 in-group sorted-key ``searchsorted`` — no hash join, two exchanges total.
+The Jaccard union |Γa∪Γb| = deg(a)+deg(b)−common gathers full (uncapped)
+endpoint degrees from the P plasma degree shards inside the group task.
 
 Skew: a center z emits deg(z)²/2 wedges, so hubs explode quadratically.
 ``max_center_degree`` (default 256) excludes super-hub centers from the
-score — standard Adamic–Adar practice (a 10⁶-degree hub contributes
-1/ln(10⁶) ≈ 0.07 per pair anyway) and a DETERMINISTIC part of the query
-semantics: the DuckDB oracle applies the identical cap, so results match
-exactly while the worst-case wedge volume is bounded by cap²·|centers|.
+score — standard practice (a 10⁶-degree hub contributes 1/ln(10⁶) ≈ 0.07
+per AA pair anyway) and a DETERMINISTIC part of the query semantics: the
+DuckDB oracle applies the identical cap, so results match exactly while
+the worst-case wedge volume is bounded by cap²·|centers|.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
@@ -29,22 +35,15 @@ AA_MAX_CENTER_DEGREE = 256
 AA_TOP_K = 50
 
 
-def adamic_adar_topk(
+def _tagged_candidates(
     und_edges: ray.data.Dataset,
-    n: int,
-    k: int = AA_TOP_K,
-    max_center_degree: int = AA_MAX_CENTER_DEGREE,
-    num_partitions: int = 32,
+    P: int,
+    max_center_degree: int,
+    weighted: bool,
 ) -> ray.data.Dataset:
-    """→ (a, b, common, score) — top-k non-adjacent pairs by Adamic–Adar.
-
-    ``und_edges``: the symmetric simple edge set (``LinkGraph`` und view —
-    both directions present, self-loops dropped, deduplicated), so a
-    center's group size IS its degree.
-    """
-    from ..stages.blocks import partitions_for
-
-    P = partitions_for(und_edges.count(), num_partitions)
+    """Wedge pair rows {part, a, b, w} (w = 1/ln(deg z) when ``weighted``
+    else 1.0) unioned with existing-edge marker rows (w = NaN), all keyed
+    by a % P so each group is closed for the non-adjacency anti-join."""
 
     def key_by_center(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -53,8 +52,8 @@ def adamic_adar_topk(
 
     def wedge_emit(t: pa.Table) -> pa.Table:
         """One src-hash partition: per center z (a run of its und edges),
-        emit all neighbor pairs a<b weighted 1/ln(deg z), re-keyed a % P.
-        Closed-form (i, j) pair-index inversion — no per-center loop."""
+        emit all neighbor pairs a<b, re-keyed a % P. Closed-form (i, j)
+        pair-index inversion — no per-center loop."""
         src = t["src"].to_numpy()
         dst = t["dst"].to_numpy()
         order = np.lexsort((dst, src))
@@ -84,8 +83,11 @@ def adamic_adar_topk(
         run0 = starts[rid]
         a = d[run0 + i]  # d ascending within a run ⇒ a < b
         b = d[run0 + j]
-        # the exact double expression the oracle uses: 1.0/ln(CAST(deg))
-        w = 1.0 / np.log(lens[rid].astype(np.float64))
+        if weighted:
+            # the exact double expression the oracle uses: 1.0/ln(CAST(deg))
+            w = 1.0 / np.log(lens[rid].astype(np.float64))
+        else:
+            w = np.ones(total, dtype=np.float64)
         return pa.table(
             {
                 "part": pa.array((a % P).astype(np.int32)),
@@ -117,11 +119,23 @@ def adamic_adar_topk(
             }
         )
 
-    tagged = wedges.union(und_edges.map_batches(edge_rows, batch_format="pyarrow"))
+    return wedges.union(und_edges.map_batches(edge_rows, batch_format="pyarrow"))
+
+
+def _make_close_group(
+    n: int, finish: Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray], dict]
+) -> Callable[[pa.Table], pa.Table]:
+    """Per-group aggregator: sum pair weights, count common neighbors, drop
+    adjacent pairs (in-group sorted anti-join), then hand (a, b, common,
+    wsum) to ``finish`` for the metric-specific score columns."""
+    empty_extra = finish(
+        np.array([], np.int64),
+        np.array([], np.int64),
+        np.array([], np.int64),
+        np.array([], np.float64),
+    )
 
     def close_group(g: pa.Table) -> pa.Table:
-        """Aggregate pair scores and drop adjacent pairs — every pair (a,b)
-        and the edge (a,b) share part = a % P, so the group is closed."""
         a = g["a"].to_numpy()
         b = g["b"].to_numpy()
         w = g["w"].to_numpy()
@@ -139,7 +153,7 @@ def adamic_adar_topk(
                     "a": pa.array([], pa.int64()),
                     "b": pa.array([], pa.int64()),
                     "common": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
+                    **empty_extra,
                 }
             )
         order = np.argsort(wk, kind="stable")
@@ -159,16 +173,94 @@ def adamic_adar_topk(
             ua, ub = uk // np.int64(n), uk % np.int64(n)
         else:
             ua, ub = uk["a"], uk["b"]
+        ua = ua.astype(np.int64)
+        ub = ub.astype(np.int64)
+        counts = counts.astype(np.int64)
         return pa.table(
-            {
-                "a": ua.astype(np.int64),
-                "b": ub.astype(np.int64),
-                "common": counts.astype(np.int64),
-                "score": np.round(sums, 9),
-            }
+            {"a": ua, "b": ub, "common": counts, **finish(ua, ub, counts, sums)}
         )
 
-    scored = tagged.groupby("part").map_groups(close_group, batch_format="pyarrow")
+    return close_group
+
+
+def adamic_adar_topk(
+    und_edges: ray.data.Dataset,
+    n: int,
+    k: int = AA_TOP_K,
+    max_center_degree: int = AA_MAX_CENTER_DEGREE,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """→ (a, b, common, score) — top-k non-adjacent pairs by Adamic–Adar.
+
+    ``und_edges``: the symmetric simple edge set (``LinkGraph`` und view —
+    both directions present, self-loops dropped, deduplicated), so a
+    center's group size IS its degree.
+    """
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(und_edges.count(), num_partitions)
+    tagged = _tagged_candidates(und_edges, P, max_center_degree, weighted=True)
+
+    def finish(ua, ub, counts, sums):
+        return {"score": np.round(sums, 9)}
+
+    scored = tagged.groupby("part").map_groups(
+        _make_close_group(n, finish), batch_format="pyarrow"
+    )
+    return scored.sort(
+        ["score", "a", "b"], descending=[True, False, False]
+    ).limit(k)
+
+
+def jaccard_topk(
+    und_edges: ray.data.Dataset,
+    n: int,
+    k: int = AA_TOP_K,
+    max_center_degree: int = AA_MAX_CENTER_DEGREE,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """→ (a, b, common, union_size, score) — top-k non-adjacent pairs by
+    Jaccard coefficient common/(deg(a)+deg(b)−common).
+
+    ``common`` counts wedges through centers under the degree cap (the same
+    deterministic semantics as Adamic–Adar, mirrored in the oracle); the
+    union denominator uses FULL endpoint degrees from the plasma shards.
+    Every quantity is an exact integer in double, so the single closing
+    division is bit-identical to DuckDB's and rounding half-away matches
+    SQL ``round`` even on exact decimal ties (e.g. common/2^10)."""
+    import pyarrow.compute as pc
+
+    from ..functions.fasthash import round_like_sql
+    from ..pipelines.triangles import _degree_shards, _shard_lookup
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(und_edges.count(), num_partitions)
+    # und has each edge twice — count each undirected edge once per endpoint
+    half = und_edges.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+    deg_refs = _degree_shards(half, n, P)
+    tagged = _tagged_candidates(und_edges, P, max_center_degree, weighted=False)
+
+    def finish(ua, ub, counts, sums):
+        if len(ua) == 0:
+            return {
+                "union_size": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        shards = ray.get(deg_refs)  # zero-copy plasma reads, shared per node
+        da = _shard_lookup(ua, shards, P)
+        db = _shard_lookup(ub, shards, P)
+        union = da + db - counts
+        score = round_like_sql(
+            counts.astype(np.float64) / union.astype(np.float64), 9
+        )
+        return {"union_size": union.astype(np.int64), "score": score}
+
+    scored = tagged.groupby("part").map_groups(
+        _make_close_group(n, finish), batch_format="pyarrow"
+    )
     return scored.sort(
         ["score", "a", "b"], descending=[True, False, False]
     ).limit(k)

@@ -1687,6 +1687,35 @@ e{i} AS MATERIALIZED (
     return "".join(parts)
 
 
+def jaccard_linkpred_sql(p: str, k: int = AA_TOP_K, cap: int = AA_CAP) -> str:
+    """Top-k Jaccard-coefficient pairs (linkpred.jaccard_topk): capped
+    common-neighbor wedges (identical deterministic cap on both sides),
+    FULL endpoint degrees for the union denominator, existing edges
+    anti-joined out — one exact-integer double division closes the score."""
+    return (
+        prelude(p)
+        + f""", udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS dg FROM und GROUP BY src),
+wedge AS MATERIALIZED (
+  SELECT u1.dst AS a, u2.dst AS b
+  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+  JOIN udeg dz ON dz.v = u1.src AND dz.dg <= {cap}),
+cand AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM wedge GROUP BY a, b),
+sc AS (
+  SELECT c.a, c.b, c.common,
+         CAST(da.dg + db.dg - c.common AS BIGINT) AS union_size,
+         round(CAST(c.common AS DOUBLE)
+               / CAST(da.dg + db.dg - c.common AS DOUBLE), 9) AS score
+  FROM cand c JOIN udeg da ON da.v = c.a JOIN udeg db ON db.v = c.b)
+SELECT s.a, s.b, s.common, s.union_size, s.score
+FROM sc s LEFT JOIN ori o ON o.a = s.a AND o.b = s.b
+WHERE o.a IS NULL
+ORDER BY s.score DESC, s.a ASC, s.b ASC
+LIMIT {k}"""
+    )
+
+
 def assortativity_sql(p: str) -> str:
     """Degree assortativity (degrees.degree_assortativity): Pearson corr of
     endpoint degrees over und — all sufficient-statistic sums are exact

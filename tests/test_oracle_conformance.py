@@ -81,6 +81,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "mis": so.mis_sql,
         "ktruss": lambda p: so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql,
+        "link_prediction_jaccard": so.jaccard_linkpred_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -200,6 +201,7 @@ QUERY_NAMES = [
     "mis",
     "ktruss",
     "degree_assortativity",
+    "link_prediction_jaccard",
 ]
 
 

@@ -1,6 +1,6 @@
 """Unit tests for the round-5 operators: HITS, personalized + weighted
-PageRank, k-core, k-truss, local clustering coefficient, Adamic–Adar
-link prediction, maximal independent set, degree histogram, degree
+PageRank, k-core, k-truss, local clustering coefficient, Adamic–Adar +
+Jaccard link prediction, maximal independent set, degree histogram, degree
 assortativity, bigram PMI, int8 embedding quantization, deterministic
 random walks.
 
@@ -567,3 +567,54 @@ def test_degree_assortativity_brute_force(ray_session):
         degree_assortativity(as_dataset(ss, sd), 10)["assortativity"][0].as_py()
     )
     assert star == -1.0
+
+
+# ----------------------------------------------- Jaccard link prediction
+
+
+def test_jaccard_topk_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.linkpred import jaccard_topk
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    got = (
+        jaccard_topk(as_dataset(us, ud), n, k=1000)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force: adjacency sets, all non-adjacent pairs with >=1 common
+    adj = {v: set() for v in range(n)}
+    for a, b in zip(us, ud):
+        adj[int(a)].add(int(b))
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            common = len(adj[a] & adj[b])
+            if common == 0:
+                continue
+            union = len(adj[a] | adj[b])
+            rows.append((a, b, common, union, common / union))
+    want = pd.DataFrame(
+        rows, columns=["a", "b", "common", "union_size", "score"]
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["a"] == want["a"]).all() and (got["b"] == want["b"]).all()
+    assert (got["common"] == want["common"]).all()
+    assert (got["union_size"] == want["union_size"]).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+
+def test_jaccard_topk_respects_center_cap(ray_session):
+    """A star center above the degree cap contributes no wedges at all."""
+    from asterixdb_analytics_ray.pipelines.linkpred import jaccard_topk
+
+    s = np.repeat(0, 9)
+    d = np.arange(1, 10)
+    ss, sd = _sym_simple(s, d)
+    assert jaccard_topk(as_dataset(ss, sd), 10, max_center_degree=4).count() == 0
+    full = jaccard_topk(as_dataset(ss, sd), 10, max_center_degree=16).to_pandas()
+    # all leaf pairs share exactly the hub: common=1, union=1 → score 1.0
+    assert len(full) == 36 and (full["score"] == 1.0).all()
