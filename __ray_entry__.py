@@ -462,6 +462,21 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(views["directed"], views["graph"].n_nodes)
 
 
+def _q_doc_token_entropy(sf_dir: str):
+    """Per-doc type–token ratio + Shannon token entropy (quality filters)."""
+    from asterixdb_analytics_ray.pipelines.corpus import token_entropy
+
+    return token_entropy(_docs_ds(sf_dir))
+
+
+def _q_transitivity(sf_dir: str):
+    """Global clustering coefficient: 3·triangles / wedges."""
+    from asterixdb_analytics_ray.pipelines.triangles import transitivity
+
+    views = _graph(sf_dir)
+    return transitivity(views["oriented"], views["graph"].n_nodes)
+
+
 def _q_link_prediction_jaccard(sf_dir: str):
     """Top-50 non-adjacent pairs by Jaccard coefficient (capped wedges)."""
     from asterixdb_analytics_ray.pipelines.linkpred import jaccard_topk
@@ -937,6 +952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": _q_ktruss,
         "degree_assortativity": _q_degree_assortativity,
         "link_prediction_jaccard": _q_link_prediction_jaccard,
+        "transitivity": _q_transitivity,
+        "doc_token_entropy": _q_doc_token_entropy,
     }
 
 
@@ -1008,4 +1025,6 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql(p),
         "link_prediction_jaccard": so.jaccard_linkpred_sql(p),
+        "transitivity": so.transitivity_sql(p),
+        "doc_token_entropy": so.token_entropy_sql(),
     }

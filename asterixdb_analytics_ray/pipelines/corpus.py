@@ -381,6 +381,61 @@ def hash_sample(
     return docs.map_batches(keep, batch_format="pandas")
 
 
+def token_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document lexical-diversity scores: (doc_id, n_tokens,
+    distinct_tokens, ttr, entropy) — type–token ratio and Shannon token
+    entropy −Σ p·log2(p), p = tf/n (standard corpus-quality filters for
+    training-data pipelines; repetitive/templated docs score low on both).
+
+    Pure map-side (each document is one row, so its term frequencies are
+    complete within the batch — the 100 TB shape: zero shuffles). The
+    integer columns and ttr (one exact-int division) are bit-identical to
+    the oracle; entropy is a float SUM whose accumulation order differs
+    between numpy and DuckDB, so it is rounded at 6 decimals (the HITS
+    precedent) where the ~1e-15 order noise cannot reach a boundary, and
+    −0.0 from single-token docs is normalized with +0.0 on both sides."""
+    from ..functions.fasthash import round_like_sql
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _explode_tokens(df)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": np.zeros(len(df), dtype=np.int64),
+                "distinct_tokens": np.zeros(len(df), dtype=np.int64),
+                "ttr": np.zeros(len(df), dtype=np.float64),
+                "entropy": np.zeros(len(df), dtype=np.float64),
+            }
+        ).set_index("doc_id")
+        if len(tf):
+            g = tf.groupby("doc_id", sort=False)["tf"]
+            n = g.transform("sum").to_numpy().astype(np.float64)
+            p = tf["tf"].to_numpy().astype(np.float64) / n
+            contrib = pd.Series(-(p * np.log2(p)), index=tf.index)
+            agg = pd.DataFrame(
+                {
+                    "n_tokens": g.sum(),
+                    "distinct_tokens": g.size(),
+                    "ent": contrib.groupby(tf["doc_id"], sort=False).sum(),
+                }
+            )
+            out.loc[agg.index, "n_tokens"] = agg["n_tokens"].astype(np.int64)
+            out.loc[agg.index, "distinct_tokens"] = agg[
+                "distinct_tokens"
+            ].astype(np.int64)
+            out.loc[agg.index, "ttr"] = round_like_sql(
+                agg["distinct_tokens"].to_numpy().astype(np.float64)
+                / agg["n_tokens"].to_numpy().astype(np.float64),
+                9,
+            )
+            out.loc[agg.index, "entropy"] = (
+                round_like_sql(agg["ent"].to_numpy(), 6) + 0.0
+            )
+        return out.reset_index()
+
+    return docs.map_batches(per_batch, batch_format="pandas")
+
+
 def length_quantiles(
     docs: ray.data.Dataset, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 ) -> pd.DataFrame:

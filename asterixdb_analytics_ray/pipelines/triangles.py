@@ -363,6 +363,45 @@ def clustering_coefficient(
     return ray.data.from_arrow_refs(shards)
 
 
+@ray.remote
+def _wedge_sum(deg_shard: np.ndarray) -> int:
+    """Σ d(d−1)/2 over one dense degree shard — exact int64 (d ≤ n)."""
+    d = deg_shard
+    return int((d * (d - 1) // 2).sum())
+
+
+def transitivity(
+    oriented_edges: ray.data.Dataset, n: int, num_partitions: int = 32
+) -> pa.Table:
+    """One-row (triangles, wedges, transitivity) table: the GLOBAL
+    clustering coefficient 3·|triangles| / Σ_v C(deg v, 2) (Newman, "The
+    structure and function of complex networks", SIAM Rev. 2003 — public
+    formula; distinct from the per-vertex LCC in ``clustering_coefficient``).
+
+    Triangle total reuses the degree-rank oriented closing; the wedge
+    denominator is a per-shard Σ d(d−1)/2 over the plasma degree shards
+    (P small ints to the driver, zero O(n) driver state). Both operands
+    are exact integers in double, so the closing division + half-away
+    round are bit-identical to the DuckDB oracle."""
+    from ..functions.fasthash import round_like_sql
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(oriented_edges.count(), num_partitions)
+    _, total = triangle_count(oriented_edges, n, num_partitions)
+    deg_refs = _degree_shards(oriented_edges, n, P)
+    wedges = int(sum(ray.get([_wedge_sum.remote(r) for r in deg_refs])))
+    t = round_like_sql(
+        np.array([(3.0 * float(total)) / float(wedges)]), 9
+    ) if wedges else np.array([0.0])
+    return pa.table(
+        {
+            "triangles": pa.array([int(total)], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "transitivity": t,
+        }
+    )
+
+
 def triangles_table(per_vertex: ray.data.Dataset, n: int) -> pa.Table:
     """Densify to all n vertices (zeros where no triangles), sorted by v.
 

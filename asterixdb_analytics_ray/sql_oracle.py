@@ -1687,6 +1687,61 @@ e{i} AS MATERIALIZED (
     return "".join(parts)
 
 
+def token_entropy_sql() -> str:
+    """Per-doc lexical diversity (corpus.token_entropy): TTR is one
+    exact-int double division (bit-identical); entropy is a float sum
+    rounded at 6 decimals so engine-vs-SQL accumulation-order noise
+    (~1e-15) cannot reach a rounding boundary; +0.0 clears −0.0 from
+    single-token docs on both sides."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+nt AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS dt
+  FROM tf GROUP BY doc_id),
+ent AS (
+  SELECT t.doc_id,
+         round(sum(-(CAST(t.tf AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                   * log2(CAST(t.tf AS DOUBLE) / CAST(nt.n AS DOUBLE))), 6)
+         + 0.0 AS entropy
+  FROM tf t JOIN nt ON nt.doc_id = t.doc_id
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(nt.n, 0) AS n_tokens,
+       COALESCE(nt.dt, 0) AS distinct_tokens,
+       COALESCE(round(CAST(nt.dt AS DOUBLE) / CAST(nt.n AS DOUBLE), 9), 0.0)
+         AS ttr,
+       COALESCE(ent.entropy, 0.0) AS entropy
+FROM documents d
+LEFT JOIN nt ON nt.doc_id = d.doc_id
+LEFT JOIN ent ON ent.doc_id = d.doc_id"""
+
+
+def transitivity_sql(p: str) -> str:
+    """Global clustering coefficient (triangles.transitivity):
+    3·|triangles| / Σ_v C(deg v, 2) — both operands exact integers in
+    double, single closing division + round(9)."""
+    return (
+        prelude(p)
+        + """, udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS dg FROM und GROUP BY src),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM ori e1
+  JOIN ori e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+wed AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS w FROM udeg)
+SELECT tri.t AS triangles, wed.w AS wedges,
+       round(3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE), 9)
+       AS transitivity
+FROM tri, wed"""
+    )
+
+
 def jaccard_linkpred_sql(p: str, k: int = AA_TOP_K, cap: int = AA_CAP) -> str:
     """Top-k Jaccard-coefficient pairs (linkpred.jaccard_topk): capped
     common-neighbor wedges (identical deterministic cap on both sides),

@@ -82,6 +82,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "ktruss": lambda p: so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql,
         "link_prediction_jaccard": so.jaccard_linkpred_sql,
+        "transitivity": so.transitivity_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -106,6 +107,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_length_quantiles": so.length_quantiles_sql,
         "doc_simhash_dups": lambda: so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql,
+        "doc_token_entropy": so.token_entropy_sql,
         "doc_fingerprints": so.fingerprints_sql,
         "doc_exact_dedup": so.exact_dedup_sql,
         "doc_quality": so.quality_scores_sql,
@@ -202,6 +204,8 @@ QUERY_NAMES = [
     "ktruss",
     "degree_assortativity",
     "link_prediction_jaccard",
+    "transitivity",
+    "doc_token_entropy",
 ]
 
 

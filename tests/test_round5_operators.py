@@ -1,8 +1,8 @@
 """Unit tests for the round-5 operators: HITS, personalized + weighted
 PageRank, k-core, k-truss, local clustering coefficient, Adamic–Adar +
 Jaccard link prediction, maximal independent set, degree histogram, degree
-assortativity, bigram PMI, int8 embedding quantization, deterministic
-random walks.
+assortativity, global transitivity, bigram PMI, token entropy/TTR,
+int8 embedding quantization, deterministic random walks.
 
 Each is verified against an independent brute-force numpy/python
 formulation on micrographs or synthetic tables (the DuckDB parity check
@@ -618,3 +618,84 @@ def test_jaccard_topk_respects_center_cap(ray_session):
     full = jaccard_topk(as_dataset(ss, sd), 10, max_center_degree=16).to_pandas()
     # all leaf pairs share exactly the hub: common=1, union=1 → score 1.0
     assert len(full) == 36 and (full["score"] == 1.0).all()
+
+
+# ----------------------------------------------------- global transitivity
+
+
+def test_transitivity_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.triangles import transitivity
+
+    src, dst, n = webmap20()
+    oa, ob = _oriented(src, dst)
+    t = transitivity(as_dataset(oa, ob), n)
+    adj = [set() for _ in range(n)]
+    for a, b in zip(oa, ob):
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a in range(n)
+        for b in adj[a]
+        for c in adj[b]
+        if a < b < c and c in adj[a]
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj)
+    assert t["triangles"][0].as_py() == tri
+    assert t["wedges"][0].as_py() == wedges
+    assert abs(t["transitivity"][0].as_py() - 3.0 * tri / wedges) < 1e-9
+    # a clique is perfectly transitive
+    src, dst, n = clique7()
+    oa, ob = _oriented(src, dst)
+    # keep only the K4 {0,1,2,3}
+    m = (oa < 4) & (ob < 4)
+    t2 = transitivity(as_dataset(oa[m], ob[m]), 4)
+    assert t2["transitivity"][0].as_py() == 1.0
+
+
+# -------------------------------------------------- token entropy / TTR
+
+
+def test_token_entropy_brute_force(ray_session):
+    import math
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import token_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b a b a",          # skewed bigram vocab
+                "one",                 # single token → entropy 0, ttr 1
+                "",                    # empty → all zeros
+                "x y z",               # uniform → entropy log2(3)
+                "  spaced   out  ",    # whitespace runs
+            ],
+        }
+    )
+    got = (
+        token_entropy(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        toks = docs.loc[docs["doc_id"] == row["doc_id"], "text"].iloc[0].split()
+        n = len(toks)
+        assert row["n_tokens"] == n
+        assert row["distinct_tokens"] == len(set(toks))
+        if n == 0:
+            assert row["ttr"] == 0.0 and row["entropy"] == 0.0
+            continue
+        assert abs(row["ttr"] - len(set(toks)) / n) < 1e-9
+        ent = -sum(
+            (toks.count(t) / n) * math.log2(toks.count(t) / n)
+            for t in set(toks)
+        )
+        assert abs(row["entropy"] - ent) < 1e-6
+    # signs are clean: no -0.0 leaks from single-token docs
+    one = got.loc[got["doc_id"] == 1, "entropy"].iloc[0]
+    assert math.copysign(1.0, one) == 1.0
+    assert abs(got.loc[got["doc_id"] == 3, "entropy"].iloc[0] - math.log2(3)) < 1e-6
