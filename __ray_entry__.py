@@ -401,6 +401,22 @@ def _q_hits(sf_dir: str):
     return hits_table(views["directed"], views["graph"].n_nodes)
 
 
+def _q_katz(sf_dir: str):
+    """Katz centrality (10 un-normalized iterations, max-scaled)."""
+    from asterixdb_analytics_ray.pipelines.katz import katz_table
+
+    views = _graph(sf_dir)
+    return katz_table(views["directed"], views["graph"].n_nodes)
+
+
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Per-vertex mean neighbor degree over the undirected simple graph."""
+    from asterixdb_analytics_ray.pipelines.degrees import avg_neighbor_degree
+
+    views = _graph(sf_dir)
+    return avg_neighbor_degree(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_pagerank_personalized(sf_dir: str):
     """Personalized PageRank: teleport mass lands only on vertex 0."""
     import numpy as np
@@ -939,6 +955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "media_features": _q_media_features,
         "hits": _q_hits,
+        "katz": _q_katz,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "pagerank_personalized": _q_pagerank_personalized,
         "kcore": _q_kcore,
         "clustering_coefficient": _q_clustering_coefficient,
@@ -1012,6 +1030,8 @@ def oracle_sql() -> dict[str, str]:
             os.path.join(_SF_ORACLE, "embeddings.parquet")
         ),
         "hits": so.hits_sql(p),
+        "katz": so.katz_sql(p),
+        "avg_neighbor_degree": so.avg_neighbor_degree_sql(p),
         "pagerank_personalized": so.ppr_sql(p, source=0),
         "kcore": so.kcore_sql(p, k=3),
         "clustering_coefficient": so.clustering_coefficient_sql(p),

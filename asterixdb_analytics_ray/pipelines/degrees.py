@@ -97,6 +97,59 @@ def degree_histogram(edges: ray.data.Dataset, n: int) -> ray.data.Dataset:
     return hist
 
 
+def avg_neighbor_degree(und_edges: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """(v, avg_nbr_deg) — mean undirected degree of each vertex's neighbors
+    (the per-vertex form of the assortativity statistic; Barrat et al.,
+    "The architecture of complex weighted networks", PNAS 101, 2004).
+
+    Shape: degrees live in P plasma shards (``triangles._degree_shards`` —
+    no O(n) driver array); one map over ``und`` gathers deg[dst] and
+    segment-sums it per src IN INT64 (exact, order-independent), one
+    bounded groupby-sum combines partials, and the finishing map divides by
+    deg[v] — a single double op, so the oracle's
+    ``sum(deg)::DOUBLE / count(*)::DOUBLE`` is bit-identical before the
+    half-away round."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.combiners import SUM
+    from ..functions.fasthash import round_like_sql
+    from ..pipelines.triangles import _degree_shards, _shard_lookup
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(und_edges.count(), 32)
+    half = und_edges.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )
+    deg_refs = _degree_shards(half, n, P)
+
+    def partial(t: pa.Table) -> pa.Table:
+        shards = ray.get(deg_refs)
+        dd = _shard_lookup(t["dst"].to_numpy(), shards, P)
+        v, s = SUM.segment_reduce(t["src"].to_numpy(), dd)
+        return pa.table({"v": v, "s": s.astype(np.int64)})
+
+    sums = (
+        und_edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        shards = ray.get(deg_refs)
+        v = t["v"].to_numpy()
+        dv = _shard_lookup(v, shards, P).astype(np.float64)
+        s = t["s"].to_numpy().astype(np.float64)
+        return pa.table(
+            {"v": v, "avg_nbr_deg": round_like_sql(s / dv, 9)}
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def degree_assortativity(und_edges: ray.data.Dataset, n: int) -> "pa.Table":
     """One-row (assortativity) table: the Pearson correlation of endpoint
     degrees over the symmetric simple edge set (Newman, "Assortative mixing

@@ -1791,3 +1791,45 @@ SELECT round((m*sxy - sx*sy) / (sqrt(m*sxx - sx*sx) * sqrt(m*syy - sy*sy)), 9)
        AS assortativity
 FROM st"""
     )
+
+
+def katz_sql(
+    p: str, alpha: float = 0.01, iters: int = 10, decimals: int = 7
+) -> str:
+    """Katz centrality unrolled (pipelines/katz.py): x_{k+1} = 1 + alpha *
+    sum of in-neighbor x_k, no per-round normalization; max-scaled once at
+    the end exactly like the HITS oracle."""
+    parts = [prelude(p)]
+    parts.append(", x0 AS MATERIALIZED (SELECT v, 1.0 AS x FROM verts)\n")
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", x{i} AS MATERIALIZED (
+  SELECT verts.v, 1.0 + {alpha} * coalesce(m.s, 0.0) AS x
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(x.x) AS s
+    FROM edges e JOIN x{i - 1} x ON e.src = x.v GROUP BY e.dst) m
+  ON m.v = verts.v)
+"""
+        )
+    parts.append(
+        f"SELECT v, round(x / (SELECT max(x) FROM x{iters}), {decimals}) "
+        f"AS katz FROM x{iters}"
+    )
+    return "".join(parts)
+
+
+def avg_neighbor_degree_sql(p: str) -> str:
+    """Per-vertex mean neighbor degree (degrees.avg_neighbor_degree): the
+    numerator sum is an exact integer in double and count(*) equals the
+    vertex's undirected degree, so the single closing division matches the
+    engine bit-for-bit before the half-away round."""
+    return (
+        prelude(p)
+        + """, udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS deg FROM und GROUP BY src)
+SELECT u.src AS v,
+       round(CAST(sum(d.deg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         AS avg_nbr_deg
+FROM und u JOIN udeg d ON d.v = u.dst
+GROUP BY u.src"""
+    )

@@ -83,6 +83,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "degree_assortativity": so.assortativity_sql,
         "link_prediction_jaccard": so.jaccard_linkpred_sql,
         "transitivity": so.transitivity_sql,
+        "katz": so.katz_sql,
+        "avg_neighbor_degree": so.avg_neighbor_degree_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -206,6 +208,8 @@ QUERY_NAMES = [
     "link_prediction_jaccard",
     "transitivity",
     "doc_token_entropy",
+    "katz",
+    "avg_neighbor_degree",
 ]
 
 
