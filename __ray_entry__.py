@@ -364,6 +364,42 @@ def _q_events_range_join(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (view → click → purchase): per user the
+    furthest stage reached with first-touch strictly-after semantics —
+    one `user_id % 256` bucket shuffle, vectorized groupby-min chains."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import funnel_stages
+
+    return funnel_stages(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id", "event_type"],
+        )
+    )
+
+
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users per (first-activity day,
+    day offset) — per-batch (user, day) dedup, bucketed exact partials,
+    closing groupby bounded by days² cells."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import retention_counts
+
+    return retention_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -938,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": _q_doc_hll_registers,
         "events_sessionize": _q_events_sessionize,
         "events_session_ids": _q_events_session_ids,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
@@ -1004,6 +1042,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_hll_registers": so.hll_registers_sql(),
         "events_sessionize": so.sessionize_sql(),
         "events_session_ids": so.session_ids_sql(),
+        "events_funnel": so.funnel_stages_sql(),
+        "events_retention": so.retention_counts_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),

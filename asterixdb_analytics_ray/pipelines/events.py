@@ -233,6 +233,117 @@ def range_join_counts(
     )
 
 
+def funnel_stages(
+    events: ray.data.Dataset,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> ray.data.Dataset:
+    """Ordered-funnel analysis: per user, the furthest stage reached with
+    first-touch semantics — t1 = first ``stages[0]`` event, t2 = first
+    ``stages[1]`` STRICTLY after t1, t3 = first ``stages[2]`` strictly
+    after t2 (the standard conversion-funnel definition).
+
+    → (user_id: int64, funnel_stage: int64 in 1..3) for every user with at
+    least one ``stages[0]`` event.
+
+    Same bucket contract as ``sessionize``: one hash shuffle on
+    ``user_id % 256``; a user's events land wholly in one bucket, and each
+    bucket resolves ALL of its users with three vectorized
+    groupby-min/map passes — no per-user Python."""
+    n_buckets = np.int64(256)
+    s_idx = {s: i for i, s in enumerate(stages)}
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(list(stages))
+        df = df[keep]
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "tsu": df["ts"].astype("int64").to_numpy(),
+                "stage": df["event_type"].map(s_idx).to_numpy(np.int64),
+            }
+        )
+        out["bucket"] = out["user_id"] % n_buckets
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = df[df["stage"] == 0].groupby("user_id")["tsu"].min()
+        s2 = df[df["stage"] == 1].copy()
+        s2["t_prev"] = s2["user_id"].map(t1)
+        t2 = (
+            s2[s2["tsu"] > s2["t_prev"]].groupby("user_id")["tsu"].min()
+        )
+        s3 = df[df["stage"] == 2].copy()
+        s3["t_prev"] = s3["user_id"].map(t2)
+        t3 = (
+            s3[s3["tsu"] > s3["t_prev"]].groupby("user_id")["tsu"].min()
+        )
+        users = t1.index.to_numpy(np.int64)
+        stage = (
+            1
+            + np.isin(users, t2.index.to_numpy(np.int64)).astype(np.int64)
+            + np.isin(users, t3.index.to_numpy(np.int64)).astype(np.int64)
+        )
+        return pd.DataFrame({"user_id": users, "funnel_stage": stage})
+
+    return (
+        events.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_DAY_US = np.int64(86_400_000_000)
+
+
+def retention_counts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Cohort retention: cohort = a user's first-activity day (epoch days),
+    and for each (cohort_day, day_offset) the number of DISTINCT users from
+    that cohort active ``offset`` days after their first day.
+
+    → (cohort_day: int64, day_offset: int64 ≥ 0, n_users: int64).
+
+    Per-batch (user, day) dedup shrinks the shuffle to active-user-days;
+    the ``user_id % 256`` bucket groupby sees each user whole, so bucket
+    counts are exact partials and the closing (cohort, offset) groupby-sum
+    touches only cohort-cells — bounded by days², independent of events."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = np.int64(256)
+
+    def days(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        day = pa.compute.divide(t["ts"].cast(pa.int64()), _DAY_US)
+        out = pa.table({"user_id": uid, "day": day}).group_by(
+            ["user_id", "day"]
+        ).aggregate([])
+        bucket = pa.compute.bit_wise_and(
+            out["user_id"], np.int64(n_buckets - 1)
+        )
+        return out.append_column("bucket", bucket)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        first = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first.to_numpy(np.int64),
+                "day_offset": (df["day"] - first).to_numpy(np.int64),
+            }
+        )
+        cells = out.groupby(["cohort_day", "day_offset"]).size()
+        res = cells.reset_index(name="n")
+        res["n"] = res["n"].astype(np.int64)
+        return res
+
+    return (
+        events.map_batches(days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
 def sessionize(
     events: ray.data.Dataset, gap_us: int = 1_800_000_000
 ) -> ray.data.Dataset:

@@ -1833,3 +1833,50 @@ SELECT u.src AS v,
 FROM und u JOIN udeg d ON d.v = u.dst
 GROUP BY u.src"""
     )
+
+
+def funnel_stages_sql(
+    stages: tuple = ("view", "click", "purchase"),
+) -> str:
+    """Ordered conversion funnel (events.funnel_stages) recomputed as a
+    chain of first-touch min-joins: t1 = first stage-0 event per user,
+    t2 = first stage-1 event STRICTLY after t1, t3 = first stage-2 event
+    strictly after t2 — integer-exact (microsecond timestamps)."""
+    s0, s1, s2 = stages
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type
+  FROM events WHERE event_type IN ('{s0}', '{s1}', '{s2}')
+),
+t1 AS (SELECT user_id, min(tsu) AS t FROM e
+       WHERE event_type = '{s0}' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.tsu) AS t FROM e JOIN t1 USING (user_id)
+       WHERE e.event_type = '{s1}' AND e.tsu > t1.t GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.tsu) AS t FROM e JOIN t2 USING (user_id)
+       WHERE e.event_type = '{s2}' AND e.tsu > t2.t GROUP BY e.user_id)
+SELECT t1.user_id AS user_id,
+       CAST(1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS funnel_stage
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def retention_counts_sql(day_us: int = 86_400_000_000) -> str:
+    """Cohort retention (events.retention_counts): distinct active
+    (user, epoch-day) pairs, cohort = each user's min day, then distinct
+    users per (cohort_day, day_offset) cell — integer-exact."""
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {day_us} AS BIGINT) AS day
+  FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+SELECT f.cohort AS cohort_day,
+       ud.day - f.cohort AS day_offset,
+       count(*) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -98,6 +98,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_hll_registers": so.hll_registers_sql,
         "events_sessionize": so.sessionize_sql,
         "events_session_ids": so.session_ids_sql,
+        "events_funnel": so.funnel_stages_sql,
+        "events_retention": so.retention_counts_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
@@ -210,6 +212,8 @@ QUERY_NAMES = [
     "doc_token_entropy",
     "katz",
     "avg_neighbor_degree",
+    "events_funnel",
+    "events_retention",
 ]
 
 
