@@ -400,6 +400,24 @@ def _q_events_retention(sf_dir: str):
     )
 
 
+def _q_events_top_per_user(sf_dir: str):
+    """Per-user top-3 events by value (distributed per-key top-k with a
+    pre-shuffle combiner prune)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import top_events_per_user
+
+    return top_events_per_user(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        ),
+        k=3,
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -535,6 +553,16 @@ def _q_link_prediction_jaccard(sf_dir: str):
 
     views = _graph(sf_dir)
     return jaccard_topk(views["undirected"], views["graph"].n_nodes)
+
+
+def _q_link_prediction_ra(sf_dir: str):
+    """Top-50 non-adjacent pairs by resource-allocation index (1/deg z)."""
+    from asterixdb_analytics_ray.pipelines.linkpred import (
+        resource_allocation_topk,
+    )
+
+    views = _graph(sf_dir)
+    return resource_allocation_topk(views["undirected"], views["graph"].n_nodes)
 
 
 def _q_degree_assortativity(sf_dir: str):
@@ -976,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_ids": _q_events_session_ids,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_top_per_user": _q_events_top_per_user,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": _q_ktruss,
         "degree_assortativity": _q_degree_assortativity,
         "link_prediction_jaccard": _q_link_prediction_jaccard,
+        "link_prediction_ra": _q_link_prediction_ra,
         "transitivity": _q_transitivity,
         "doc_token_entropy": _q_doc_token_entropy,
     }
@@ -1044,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_ids": so.session_ids_sql(),
         "events_funnel": so.funnel_stages_sql(),
         "events_retention": so.retention_counts_sql(),
+        "events_top_per_user": so.top_events_per_user_sql(3),
         "doc_decontaminate": so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),
@@ -1085,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql(p),
         "link_prediction_jaccard": so.jaccard_linkpred_sql(p),
+        "link_prediction_ra": so.resource_allocation_sql(p),
         "transitivity": so.transitivity_sql(p),
         "doc_token_entropy": so.token_entropy_sql(),
     }

@@ -292,6 +292,55 @@ def funnel_stages(
     )
 
 
+def top_events_per_user(
+    events: ray.data.Dataset, k: int = 3
+) -> ray.data.Dataset:
+    """Distributed per-key top-k: each user's ``k`` highest-value events,
+    ranked 1..k (ties broken by smaller event_id — fully deterministic).
+
+    → (user_id: int64, event_id: int64, value: float64, rn: int64).
+
+    Scale shape: each input batch is pruned to ≤k rows per user BEFORE the
+    shuffle (the standard top-k combiner), so the ``user_id % 256`` bucket
+    exchange carries at most k·|users| rows regardless of event volume;
+    each bucket then re-ranks its survivors with one lexsort."""
+    n_buckets = np.int64(256)
+
+    def _topk(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+        """Rows sorted (user asc, value desc, event_id asc) + within-user
+        rank, truncated to rank < k. Pure numpy, no per-user loop."""
+        u = df["user_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        e = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, -v, u))
+        u, v, e = u[order], v[order], e[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        rank = np.arange(len(u), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(u)])))
+        )
+        keep = rank < k
+        out = pd.DataFrame(
+            {"user_id": u[keep], "event_id": e[keep], "value": v[keep]}
+        )
+        return out, rank[keep]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _topk(df)
+        out["bucket"] = out["user_id"] % n_buckets
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out, rank = _topk(df)
+        out["rn"] = rank + 1
+        return out
+
+    return (
+        events.map_batches(prune, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 _DAY_US = np.int64(86_400_000_000)
 
 

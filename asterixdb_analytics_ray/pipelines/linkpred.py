@@ -39,11 +39,12 @@ def _tagged_candidates(
     und_edges: ray.data.Dataset,
     P: int,
     max_center_degree: int,
-    weighted: bool,
+    weight: str,
 ) -> ray.data.Dataset:
-    """Wedge pair rows {part, a, b, w} (w = 1/ln(deg z) when ``weighted``
-    else 1.0) unioned with existing-edge marker rows (w = NaN), all keyed
-    by a % P so each group is closed for the non-adjacency anti-join."""
+    """Wedge pair rows {part, a, b, w} (w = 1/ln(deg z) for ``weight='aa'``,
+    1/deg z for ``'ra'``, 1.0 for ``'none'``) unioned with existing-edge
+    marker rows (w = NaN), all keyed by a % P so each group is closed for
+    the non-adjacency anti-join."""
 
     def key_by_center(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -83,9 +84,12 @@ def _tagged_candidates(
         run0 = starts[rid]
         a = d[run0 + i]  # d ascending within a run ⇒ a < b
         b = d[run0 + j]
-        if weighted:
+        if weight == "aa":
             # the exact double expression the oracle uses: 1.0/ln(CAST(deg))
             w = 1.0 / np.log(lens[rid].astype(np.float64))
+        elif weight == "ra":
+            # resource allocation: 1.0/CAST(deg AS DOUBLE), exact division
+            w = 1.0 / lens[rid].astype(np.float64)
         else:
             w = np.ones(total, dtype=np.float64)
         return pa.table(
@@ -199,10 +203,40 @@ def adamic_adar_topk(
     from ..stages.blocks import partitions_for
 
     P = partitions_for(und_edges.count(), num_partitions)
-    tagged = _tagged_candidates(und_edges, P, max_center_degree, weighted=True)
+    tagged = _tagged_candidates(und_edges, P, max_center_degree, weight="aa")
 
     def finish(ua, ub, counts, sums):
         return {"score": np.round(sums, 9)}
+
+    scored = tagged.groupby("part").map_groups(
+        _make_close_group(n, finish), batch_format="pyarrow"
+    )
+    return scored.sort(
+        ["score", "a", "b"], descending=[True, False, False]
+    ).limit(k)
+
+
+def resource_allocation_topk(
+    und_edges: ray.data.Dataset,
+    n: int,
+    k: int = AA_TOP_K,
+    max_center_degree: int = AA_MAX_CENTER_DEGREE,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """→ (a, b, common, score) — top-k non-adjacent pairs by the
+    resource-allocation index RA(a,b) = Σ_z 1/deg(z) (Zhou, Lü & Zhang,
+    "Predicting missing links via local information", EPJ B 71, 2009 —
+    public-knowledge formula). Identical plan shape and deterministic
+    degree cap as ``adamic_adar_topk``; only the center weight differs
+    (1/deg instead of 1/ln deg)."""
+    from ..functions.fasthash import round_like_sql
+    from ..stages.blocks import partitions_for
+
+    P = partitions_for(und_edges.count(), num_partitions)
+    tagged = _tagged_candidates(und_edges, P, max_center_degree, weight="ra")
+
+    def finish(ua, ub, counts, sums):
+        return {"score": round_like_sql(sums, 9)}
 
     scored = tagged.groupby("part").map_groups(
         _make_close_group(n, finish), batch_format="pyarrow"
@@ -241,7 +275,7 @@ def jaccard_topk(
         batch_format="pyarrow",
     )
     deg_refs = _degree_shards(half, n, P)
-    tagged = _tagged_candidates(und_edges, P, max_center_degree, weighted=False)
+    tagged = _tagged_candidates(und_edges, P, max_center_degree, weight="none")
 
     def finish(ua, ub, counts, sums):
         if len(ua) == 0:

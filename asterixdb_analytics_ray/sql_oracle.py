@@ -1880,3 +1880,42 @@ SELECT f.cohort AS cohort_day,
 FROM ud JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def resource_allocation_sql(p: str, k: int = AA_TOP_K, cap: int = AA_CAP) -> str:
+    """Top-k resource-allocation pairs (linkpred.resource_allocation_topk):
+    the adamic_adar_sql plan with center weight 1.0/CAST(deg AS DOUBLE)."""
+    return (
+        prelude(p)
+        + f""", udeg AS MATERIALIZED (
+  SELECT src AS v, count(*) AS dg FROM und GROUP BY src),
+wedge AS MATERIALIZED (
+  SELECT u1.dst AS a, u2.dst AS b, u1.src AS z
+  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+  JOIN udeg dz ON dz.v = u1.src AND dz.dg <= {cap}),
+cand AS MATERIALIZED (
+  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS common,
+         round(sum(1.0/CAST(dz.dg AS DOUBLE)), 9) AS score
+  FROM wedge w JOIN udeg dz ON dz.v = w.z
+  GROUP BY w.a, w.b)
+SELECT c.a, c.b, c.common, c.score
+FROM cand c LEFT JOIN ori o ON o.a = c.a AND o.b = c.b
+WHERE o.a IS NULL
+ORDER BY c.score DESC, c.a ASC, c.b ASC
+LIMIT {k}"""
+    )
+
+
+def top_events_per_user_sql(k: int = 3) -> str:
+    """Per-user top-k events by value (events.top_events_per_user): a
+    row_number window with the identical (value DESC, event_id ASC)
+    deterministic tie-break."""
+    return f"""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events)
+SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {k}
+"""

@@ -82,6 +82,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "ktruss": lambda p: so.ktruss_sql(p, k=4),
         "degree_assortativity": so.assortativity_sql,
         "link_prediction_jaccard": so.jaccard_linkpred_sql,
+        "link_prediction_ra": so.resource_allocation_sql,
         "transitivity": so.transitivity_sql,
         "katz": so.katz_sql,
         "avg_neighbor_degree": so.avg_neighbor_degree_sql,
@@ -100,6 +101,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_session_ids": so.session_ids_sql,
         "events_funnel": so.funnel_stages_sql,
         "events_retention": so.retention_counts_sql,
+        "events_top_per_user": lambda: so.top_events_per_user_sql(3),
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
@@ -214,6 +216,8 @@ QUERY_NAMES = [
     "avg_neighbor_degree",
     "events_funnel",
     "events_retention",
+    "events_top_per_user",
+    "link_prediction_ra",
 ]
 
 
