@@ -700,6 +700,16 @@ def _q_doc_minhash_dups(sf_dir: str):
     return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.4)
 
 
+def _q_doc_dup_clusters(sf_dir: str):
+    """Near-dup cluster canonicalization: CC over the MinHash dup-pair
+    graph (sharded min-label runner), one canonical doc per cluster."""
+    from asterixdb_analytics_ray.pipelines.textops import dup_clusters
+
+    docs = _docs_ds(sf_dir)
+    out, _rounds = dup_clusters(docs, n_docs=docs.count(), threshold=0.4)
+    return out
+
+
 def _q_doc_simhash(sf_dir: str):
     """(doc_id, simhash) with the 64-bit value as a 16-char hex string — hex
     because uint64 values above 2^63 don't survive the comparator's int64
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_language_id": _q_doc_language_id,
         "doc_minhash_dups": _q_doc_minhash_dups,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "doc_simhash": _q_doc_simhash,
         "doc_hll_registers": _q_doc_hll_registers,
         "events_sessionize": _q_events_sessionize,
@@ -1068,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": so.ngram_jaccard_sql(0.4),
         "doc_language_id": so.language_id_sql(),
         "doc_minhash_dups": so.minhash_lsh_sql(0.4),
+        "doc_dup_clusters": so.dup_clusters_sql(0.4),
         "doc_simhash": so.simhash_sql(),
         "doc_hll_registers": so.hll_registers_sql(),
         "events_sessionize": so.sessionize_sql(),

@@ -1298,3 +1298,80 @@ def cms_estimate(
         h = int.from_bytes(hashlib.md5(f"{r} {token}".encode()).digest()[:8], "big")
         est.append(lut.get((r, h % width), 0))
     return min(est)
+
+
+def dup_clusters(
+    docs: ray.data.Dataset,
+    n_docs: int,
+    threshold: float = 0.4,
+    P: int | None = None,
+    **lsh_kwargs,
+) -> tuple[ray.data.Dataset, int]:
+    """Near-dup cluster canonicalization — the standard corpus-dedup
+    composition: MinHash-LSH dup pairs → connected components over the
+    pair graph → one canonical doc per cluster.
+
+    → ((doc_id, cluster_id, keep), cc_rounds) for every doc that appears
+    in ≥1 dup pair; ``cluster_id`` = min doc_id in the doc's component,
+    ``keep`` = 1 iff the doc IS the canonical representative. Docs with no
+    near-dup are implicitly kept (absent from the output by design — at
+    corpus scale the dup set is the small side, so the table a filter
+    stage anti-joins against stays minimal; exactly how
+    ``corpus.corpus_pipeline`` consumes its drop set).
+
+    Plan shape: the pair graph reuses ``minhash_lsh_pairs`` (banded,
+    salted, exact-verified) and components run on ``ShardedMinLabel`` —
+    the CC scale path (per-shard state, no O(n) driver arrays during
+    iteration). doc_ids must be dense 0..n_docs−1 (the corpus contract
+    everywhere in this module). ``cc_rounds`` is returned so callers/tests
+    can assert convergence within a fixed unroll bound (the oracle runs
+    the same min-propagation unrolled).
+    """
+    from ..stages.partition import partition_edges
+    from ..stages.sharded import ShardedMinLabel
+
+    if P is None:
+        P = min(16, max(2, n_docs // 2048))
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, **lsh_kwargs)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    parts = partition_edges(edges, P)
+    runner = ShardedMinLabel(n=n_docs, P=P)
+    res = runner.run(parts)
+    runner.shutdown()
+    label_ref = ray.put(res.state["label"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": pc.unique(t["src"])})
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.slice(0, 1)  # one row per doc_id group
+        v = t["doc_id"].to_numpy().astype(np.int64)
+        lab = ray.get(label_ref)[v]
+        return pa.table(
+            {
+                "doc_id": v,
+                "cluster_id": lab.astype(np.int64),
+                "keep": (v == lab).astype(np.int64),
+            }
+        )
+
+    out = (
+        edges.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return out, res.supersteps

@@ -1919,3 +1919,37 @@ WITH r AS (
 SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn <= {k}
 """
+
+
+def dup_clusters_sql(threshold: float = 0.4, rounds: int = 12) -> str:
+    """Near-dup cluster canonicalization (textops.dup_clusters): the full
+    minhash_lsh_sql pair pipeline as a subquery, then ``rounds`` unrolled
+    Jacobi min-label-propagation steps over the symmetrized pair graph
+    (label0 = own id; label_{i+1}(v) = min(label_i(v), min_u label_i(u))).
+    Exact iff the engine's CC converges within ``rounds`` — asserted in
+    tests/test_dedup_pipeline.py style unroll-bound checks."""
+    inner = minhash_lsh_sql(threshold)
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS (
+  SELECT v, min(label) AS label FROM (
+    SELECT v, label FROM {prev}
+    UNION ALL
+    SELECT e.v AS v, l.label AS label FROM e JOIN {prev} l ON l.v = e.u
+  ) GROUP BY v)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({inner})),
+e AS MATERIALIZED (
+  SELECT doc_a AS v, doc_b AS u FROM pairs
+  UNION ALL SELECT doc_b AS v, doc_a AS u FROM pairs),
+l0 AS (SELECT DISTINCT v, v AS label FROM e),
+{chain}
+SELECT v AS doc_id, label AS cluster_id,
+       CAST(v = label AS BIGINT) AS keep
+FROM {prev}
+"""

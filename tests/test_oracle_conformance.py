@@ -94,6 +94,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_range_join": so.range_join_counts_sql,
         "doc_ngram_jaccard": lambda: so.ngram_jaccard_sql(0.4),
         "doc_minhash_dups": lambda: so.minhash_lsh_sql(0.4),
+        "doc_dup_clusters": lambda: so.dup_clusters_sql(0.4),
         "doc_language_id": so.language_id_sql,
         "doc_simhash": so.simhash_sql,
         "doc_hll_registers": so.hll_registers_sql,
@@ -218,6 +219,7 @@ QUERY_NAMES = [
     "events_retention",
     "events_top_per_user",
     "link_prediction_ra",
+    "doc_dup_clusters",
 ]
 
 

@@ -287,3 +287,27 @@ def test_repetition_scores_brute_force(ray_session):
         assert row["n_unique"] == len(c)
         assert row["max_gram_count"] == max(c.values())
         assert abs(row["dup_fraction"] - round(1 - len(c) / len(grams), 6)) < 1e-9
+
+
+def test_dup_clusters_canonicalization(ray_session):
+    """dup_clusters: CC over an engineered near-dup chain resolves to the
+    min doc id per cluster, converging well inside the oracle's 12-round
+    unroll bound (the fixed-unroll CTE contract)."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = [
+        base,                          # cluster {0,1,2} (near-identical)
+        base + "extra tail words",
+        base + "another small suffix",
+        "completely different content about graph engines " * 10,  # singleton
+        "completely different content about graph engines " * 10 + "y",  # pairs with 3
+    ]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out, rounds = T.dup_clusters(docs, n_docs=len(texts), threshold=0.4, P=2)
+    df = out.to_pandas().set_index("doc_id").sort_index()
+    assert rounds <= 12
+    # docs 0-2 form one cluster canonicalized to 0; 3-4 to 3
+    assert set(df.index) == {0, 1, 2, 3, 4}
+    assert list(df["cluster_id"]) == [0, 0, 0, 3, 3]
+    assert list(df["keep"]) == [1, 0, 0, 1, 0]
