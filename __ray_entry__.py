@@ -862,6 +862,16 @@ def _q_emb_knn(sf_dir: str):
     return knn_brute_force(ds, queries, qt["vec_id"].to_numpy(), k=10)
 
 
+def _q_emb_centroid_exemplars(sf_dir: str):
+    """Top-5 embeddings nearest each label's centroid (prototype mining):
+    sufficient-stat centroid pass + broadcast brute-force kNN."""
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        nearest_to_centroids,
+    )
+
+    return nearest_to_centroids(_emb_ds(sf_dir), k=5)
+
+
 def _q_emb_cosine_dups(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs
 
@@ -1031,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
+        "emb_centroid_exemplars": _q_emb_centroid_exemplars,
         "media_features": _q_media_features,
         "hits": _q_hits,
         "katz": _q_katz,
@@ -1106,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),
+        "emb_centroid_exemplars": so.nearest_to_centroids_sql(5),
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),

@@ -718,3 +718,63 @@ def quantize_int8(
         )
 
     return emb.map_batches(encode, batch_format="pyarrow")
+
+
+def nearest_to_centroids(emb: ray.data.Dataset, k: int = 5) -> pa.Table:
+    """Per-label exemplar retrieval: the k embeddings nearest (cosine) to
+    each label's mean vector — the "prototype mining" primitive used to
+    pick representative samples per cluster/topic at curation time.
+
+    → (query_id = label, vec_id, sim) rows, k per label, via the same
+    distributed partial-top-k merge as ``knn_brute_force``.
+
+    Pass 1 computes centroids as mergeable (label, n, Σv) sufficient
+    statistics (shuffle bounded by labels × blocks — never vectors); the
+    tiny (labels × d) centroid matrix is then broadcast once and pass 2
+    is the standard brute-force kNN scan. Float drift: block-parallel
+    summation order differs from the oracle's, absorbed by the 1e-6 sim
+    grid exactly as in ``label_centroids``."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        sums, ns = [], []
+        for j in range(len(labs)):
+            rows = order[starts[j] : starts[j + 1] if j + 1 < len(labs) else None]
+            sums.append(m[rows].sum(axis=0))
+            ns.append(len(rows))
+        return pa.table(
+            {
+                "label": pa.array(labs.astype(np.int64)),
+                "n": pa.array(ns, type=pa.int64()),
+                "sum_vec": _list_col(np.stack(sums)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        sv = np.stack(g["sum_vec"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {"label": [int(g["label"].iloc[0])], "centroid": [sv / n]}
+        )
+
+    cent = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # tiny: one row per label
+    ).sort_values("label")
+    C = np.stack(cent["centroid"].to_numpy())
+    labels = cent["label"].to_numpy(np.int64)
+    return knn_brute_force(emb, C, labels, k=k)

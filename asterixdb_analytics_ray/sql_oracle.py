@@ -1953,3 +1953,29 @@ SELECT v AS doc_id, label AS cluster_id,
        CAST(v = label AS BIGINT) AS keep
 FROM {prev}
 """
+
+
+def nearest_to_centroids_sql(k: int = 5) -> str:
+    """Per-label centroid exemplars (embeddings.nearest_to_centroids):
+    centroid = positional mean via aligned unnests, then the knn_sql plan
+    with centroids as the query side (list_cosine_similarity, identical
+    DESC/vec_id tie-break, 1e-6 sim grid)."""
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings),
+pern AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+dims AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS sx
+         FROM ex GROUP BY label, i),
+cent AS (SELECT d.label, list(sx / p.n ORDER BY i) AS c
+         FROM dims d JOIN pern p USING (label) GROUP BY d.label),
+sims AS (
+  SELECT CAST(cent.label AS BIGINT) AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) AS s
+  FROM embeddings e CROSS JOIN cent)
+SELECT query_id, vec_id, round(s, 6) AS sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, vec_id ASC) AS rn
+      FROM sims)
+WHERE rn <= {k}
+"""

@@ -125,6 +125,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_knn": lambda: so.knn_sql((0, 1, 2), 10),
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": lambda: so.lsh_dup_pairs_sql(0.4, 8, 4),
+        "emb_centroid_exemplars": lambda: so.nearest_to_centroids_sql(5),
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
         ),
@@ -220,6 +221,7 @@ QUERY_NAMES = [
     "events_top_per_user",
     "link_prediction_ra",
     "doc_dup_clusters",
+    "emb_centroid_exemplars",
 ]
 
 
