@@ -212,6 +212,39 @@ def _q_sssp(sf_dir: str):
     )
 
 
+def _q_bfs_multi_source(sf_dir: str):
+    """Multi-source BFS distances from vertices 0-3: FOUR SSSP jobs
+    chained over ONE shared PartitionedEdges bulk load of the directed
+    edge set (the reference's Driver.compatible multi-job path) — the
+    exchange is paid once, each job reuses the loaded partitions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.stages.partition import partition_edges
+    from asterixdb_analytics_ray.stages.sharded import ShardedSSSP
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    P = _sharded_p(g.n_nodes)
+    if "dir_parts" not in views:
+        views["dir_parts"] = partition_edges(views["directed"], P)
+    tables = []
+    for s in (0, 1, 2, 3):
+        res = ShardedSSSP(n=g.n_nodes, P=P, source=s).run(views["dir_parts"])
+        dist = res.state["dist"]
+        finite = np.isfinite(dist)
+        tables.append(
+            pa.table(
+                {
+                    "source": np.full(int(finite.sum()), s, dtype=np.int64),
+                    "v": np.arange(g.n_nodes, dtype=np.int64)[finite],
+                    "dist": dist[finite].astype(np.int64),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
 def _q_sssp_weighted(sf_dir: str):
     """Weighted SSSP: per-edge weights carried through the graph build
     (conv_tool = usage count, reply = 1, tool_cooc = shared-conv count)."""
@@ -415,6 +448,23 @@ def _q_events_top_per_user(sf_dir: str):
             columns=["user_id", "event_id", "value"],
         ),
         k=3,
+    )
+
+
+def _q_events_value_quantiles(sf_dir: str):
+    """Per-type exact value quantiles via the bounded-histogram plan (no
+    sort; picks return stored doubles bit-identically)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import event_value_quantiles
+
+    return event_value_quantiles(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
     )
 
 
@@ -872,6 +922,16 @@ def _q_emb_centroid_exemplars(sf_dir: str):
     return nearest_to_centroids(_emb_ds(sf_dir), k=5)
 
 
+def _q_emb_centroid_separation(sf_dir: str):
+    """Pairwise cosine similarity between label centroids (cluster
+    separation diagnostic; one sufficient-stat pass)."""
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        centroid_separation,
+    )
+
+    return centroid_separation(_emb_ds(sf_dir))
+
+
 def _q_emb_cosine_dups(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs
 
@@ -1003,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
+        "bfs_multi_source": _q_bfs_multi_source,
         "reachability": _q_reachability,
         "max_clique": _q_max_clique,
         "graph_sample": _q_graph_sample,
@@ -1026,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_top_per_user": _q_events_top_per_user,
+        "events_value_quantiles": _q_events_value_quantiles,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
@@ -1042,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "emb_centroid_exemplars": _q_emb_centroid_exemplars,
+        "emb_centroid_separation": _q_emb_centroid_separation,
         "media_features": _q_media_features,
         "hits": _q_hits,
         "katz": _q_katz,
@@ -1082,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
         "sssp_weighted": so.sssp_weighted_sql(p),
+        "bfs_multi_source": so.bfs_multi_sql(p),
         "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),
         "events_windowed_counts": so.windowed_counts_sql(),
@@ -1098,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": so.funnel_stages_sql(),
         "events_retention": so.retention_counts_sql(),
         "events_top_per_user": so.top_events_per_user_sql(3),
+        "events_value_quantiles": so.event_value_quantiles_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),
@@ -1118,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),
         "emb_centroid_exemplars": so.nearest_to_centroids_sql(5),
+        "emb_centroid_separation": so.centroid_separation_sql(),
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),

@@ -734,6 +734,16 @@ def nearest_to_centroids(emb: ray.data.Dataset, k: int = 5) -> pa.Table:
     is the standard brute-force kNN scan. Float drift: block-parallel
     summation order differs from the oracle's, absorbed by the 1e-6 sim
     grid exactly as in ``label_centroids``."""
+    labels, C = _label_centroid_matrix(emb)
+    return knn_brute_force(emb, C, labels, k=k)
+
+
+def _label_centroid_matrix(
+    emb: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted int64 labels, (L × d) float64 centroid matrix) via one
+    streaming pass of mergeable (label, n, Σv) partials — the shuffle is
+    bounded by labels × blocks, never vectors."""
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
@@ -777,4 +787,26 @@ def nearest_to_centroids(emb: ray.data.Dataset, k: int = 5) -> pa.Table:
     ).sort_values("label")
     C = np.stack(cent["centroid"].to_numpy())
     labels = cent["label"].to_numpy(np.int64)
-    return knn_brute_force(emb, C, labels, k=k)
+    return labels, C
+
+
+def centroid_separation(emb: ray.data.Dataset) -> pa.Table:
+    """Cluster-separation matrix: cosine similarity between every pair of
+    label centroids (label_a < label_b) — the curation-time diagnostic for
+    how distinct the labeled clusters are.
+
+    → (label_a, label_b, sim rounded to 1e-6). The distributed work is the
+    single sufficient-statistic centroid pass of
+    ``_label_centroid_matrix``; the L×L closing product is driver-side on
+    a labels-sized matrix (KBs)."""
+    labels, C = _label_centroid_matrix(emb)
+    Cn = _normalize(C)
+    S = Cn @ Cn.T
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pa.table(
+        {
+            "label_a": labels[ia],
+            "label_b": labels[ib],
+            "sim": np.round(S[ia, ib], SIM_DECIMALS),
+        }
+    )

@@ -510,3 +510,51 @@ def session_ids(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def event_value_quantiles(
+    events: ray.data.Dataset, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> pd.DataFrame:
+    """Exact per-type value quantiles (discrete lower-quantile: smallest
+    value whose cumulative count reaches ceil(q·n)) — the
+    ``corpus.length_quantiles`` bounded-histogram shape over events.
+
+    → (event_type, p25, p50, p75, p95). Exactness without a sort: the
+    stream reduces to an (event_type, value) histogram (per-batch partial
+    counts → one small groupby — the generator's 2-decimal values keep
+    distinct keys bounded), and the quantile picks return the stored
+    doubles bit-identically (no arithmetic on the values at all)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            df.groupby(["event_type", "value"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        counts["n"] = counts["n"].astype(np.int64)
+        return counts
+
+    hist = (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["value"].to_numpy(np.float64)
+        row = {"event_type": etype}
+        for q in qs:
+            target = math.ceil(q * total)
+            row[f"p{int(round(q * 100))}"] = float(
+                vals[int(np.searchsorted(cum, target))]
+            )
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)

@@ -1979,3 +1979,59 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM sims)
 WHERE rn <= {k}
 """
+
+
+def bfs_multi_sql(p: str, sources: tuple = (0, 1, 2, 3)) -> str:
+    """Multi-source BFS distances (one unrolled sssp_sql per source,
+    unioned with a source tag) — the oracle for the shared-bulk-load
+    multi-job chain in ``_q_bfs_multi_source``."""
+    legs = [
+        f"SELECT CAST({s} AS BIGINT) AS source, v, dist FROM ({sssp_sql(p, s)})"
+        for s in sources
+    ]
+    return "\nUNION ALL\n".join(legs)
+
+
+def event_value_quantiles_sql(qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> str:
+    """Per-type exact value quantiles (events.event_value_quantiles): the
+    length_quantiles_sql cumulative-histogram plan over (event_type,
+    value) — picks return stored doubles bit-identically."""
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cum >= ceil({q!r} * total) THEN value END) "
+        f"AS p{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+WITH hist AS MATERIALIZED (
+  SELECT event_type, value, count(*) AS n FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, value,
+         sum(n) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type,
+       {picks}
+FROM cum GROUP BY event_type
+"""
+
+
+def centroid_separation_sql() -> str:
+    """Label-centroid cosine separation matrix
+    (embeddings.centroid_separation): centroids via aligned unnests +
+    list(), pairwise list_cosine_similarity on the label_a < label_b
+    triangle, 1e-6 sim grid."""
+    return """
+WITH ex AS MATERIALIZED (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings),
+pern AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+dims AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS sx
+         FROM ex GROUP BY label, i),
+cent AS (SELECT d.label, list(sx / p.n ORDER BY i) AS c
+         FROM dims d JOIN pern p USING (label) GROUP BY d.label)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       round(list_cosine_similarity(a.c, b.c), 6) AS sim
+FROM cent a JOIN cent b ON a.label < b.label
+"""

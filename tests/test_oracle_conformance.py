@@ -66,6 +66,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "triangle_count": so.triangles_sql,
         "triangle_total": so.triangle_total_sql,
         "sssp": so.sssp_sql,
+        "bfs_multi_source": so.bfs_multi_sql,
         "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
         "graph_sample": so.graph_sample_sql,
@@ -103,6 +104,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_funnel": so.funnel_stages_sql,
         "events_retention": so.retention_counts_sql,
         "events_top_per_user": lambda: so.top_events_per_user_sql(3),
+        "events_value_quantiles": so.event_value_quantiles_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
@@ -126,6 +128,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_cosine_dups": lambda: so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": lambda: so.lsh_dup_pairs_sql(0.4, 8, 4),
         "emb_centroid_exemplars": lambda: so.nearest_to_centroids_sql(5),
+        "emb_centroid_separation": so.centroid_separation_sql,
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
         ),
@@ -222,6 +225,9 @@ QUERY_NAMES = [
     "link_prediction_ra",
     "doc_dup_clusters",
     "emb_centroid_exemplars",
+    "bfs_multi_source",
+    "events_value_quantiles",
+    "emb_centroid_separation",
 ]
 
 
