@@ -468,6 +468,56 @@ def _q_events_value_quantiles(sf_dir: str):
     )
 
 
+def _q_events_sliding_counts(sf_dir: str):
+    """Sliding-window (1h width, 15min hop) per-type aggregate — true
+    overlapping windows via vectorized per-batch expansion + one shuffle."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import sliding_counts
+
+    return sliding_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+    )
+
+
+def _q_events_user_profiles(sf_dir: str):
+    """Per-user activity profile (feature-table build): one bucket
+    shuffle, vectorized per-bucket groupby."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import user_profiles
+
+    return user_profiles(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type", "value"],
+        )
+    )
+
+
+def _q_doc_source_stats(sf_dir: str):
+    """Per-source corpus rollup (docs, distinct langs, mean chars)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import source_stats
+
+    return source_stats(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "lang", "n_chars"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1088,6 +1138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_top_per_user": _q_events_top_per_user,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_sliding_counts": _q_events_sliding_counts,
+        "events_user_profiles": _q_events_user_profiles,
+        "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
@@ -1163,6 +1216,9 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": so.retention_counts_sql(),
         "events_top_per_user": so.top_events_per_user_sql(3),
         "events_value_quantiles": so.event_value_quantiles_sql(),
+        "events_sliding_counts": so.sliding_counts_sql(),
+        "events_user_profiles": so.user_profiles_sql(),
+        "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),

@@ -872,3 +872,48 @@ def lm_score(
         )
 
     return scored.union(docs.map_batches(empties, batch_format="pandas"))
+
+
+def source_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source corpus rollup — the curation dashboard primitive:
+    → (source, n_docs, n_langs, mean_chars rounded 6).
+
+    Per-batch (source, lang) partials (n, Σchars) make the shuffle
+    sources × langs × blocks rows; the close per source touches a
+    langs-sized group. Σchars is an exact integer in double, so the one
+    closing division matches the oracle bit-for-bit before the half-away
+    round (``round_like_sql``)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import round_like_sql
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return g
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([n], dtype=np.int64),
+                "n_langs": np.array([g["lang"].nunique()], dtype=np.int64),
+                "mean_chars": round_like_sql(
+                    np.array([g["sum_chars"].sum() / float(n)]), 6
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_chars", alias_name="sum_chars"))
+        .groupby("source")
+        .map_groups(close, batch_format="pandas")
+    )

@@ -558,3 +558,115 @@ def event_value_quantiles(
             )
         rows.append(row)
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def sliding_counts(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> ray.data.Dataset:
+    """SLIDING-window per-type aggregate (window width > hop ⇒ overlapping
+    windows — the streaming-window shape ``windowed_counts`` can't express).
+
+    → (window_us: int64 window START in epoch-µs, event_type, n: int64,
+    sum_value: float64 rounded to 6) for every window [start, start+width)
+    with start on the hop grid that contains ≥1 event.
+
+    Each event lands in exactly ``ceil(width/hop)`` windows: the per-batch
+    projection np.repeats rows onto their window starts (vectorized — the
+    expansion factor is the overlap ratio, a constant), then ONE shuffle
+    aggregates; no ordering requirement, arbitrarily parallel."""
+    from ray.data.aggregate import Count, Sum
+
+    w = np.int64(window_us)
+    h = np.int64(hop_us)
+    k = int((window_us + hop_us - 1) // hop_us)  # windows per event
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        n = len(ts)
+        if n == 0:
+            return pa.table(
+                {
+                    "window_us": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        # last grid start covering ts is (ts // h) * h; walk k hops back
+        last = (ts // h) * h
+        starts = np.repeat(last, k) - np.tile(
+            np.arange(k, dtype=np.int64) * h, n
+        )
+        rows = np.repeat(np.arange(n), k)
+        keep = np.repeat(ts, k) < starts + w  # start ≤ ts always holds
+        keep &= starts >= 0
+        return pa.table(
+            {
+                "window_us": starts[keep],
+                "event_type": t["event_type"].take(pa.array(rows[keep])),
+                "value": t["value"].take(pa.array(rows[keep])),
+            }
+        )
+
+    agg = (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": t["window_us"],
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": np.round(t["sum_value"].to_numpy(), 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_profiles(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user activity profile — the feature-table build step:
+    → (user_id, n_events, n_types, sum_value rounded 6, first_us, last_us).
+
+    Same bucket contract as ``sessionize``: one ``user_id % 256`` hash
+    shuffle; each bucket resolves ALL of its users with one vectorized
+    pandas groupby (count / nunique / sum / min / max). sum_value rounds
+    at 6 decimals (block-order summation tolerance, the windowed_counts
+    precedent)."""
+    n_buckets = np.int64(256)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "bucket": pa.compute.bit_wise_and(uid, np.int64(n_buckets - 1)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")
+        out = pd.DataFrame(
+            {
+                "n_events": g.size().astype(np.int64),
+                "n_types": g["event_type"].nunique().astype(np.int64),
+                "sum_value": g["value"].sum().round(6),
+                "first_us": g["ts_us"].min().astype(np.int64),
+                "last_us": g["ts_us"].max().astype(np.int64),
+            }
+        ).reset_index()
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

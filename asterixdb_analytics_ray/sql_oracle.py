@@ -2035,3 +2035,52 @@ SELECT CAST(a.label AS BIGINT) AS label_a,
        round(list_cosine_similarity(a.c, b.c), 6) AS sim
 FROM cent a JOIN cent b ON a.label < b.label
 """
+
+
+def sliding_counts_sql(
+    window_us: int = 3_600_000_000, hop_us: int = 900_000_000
+) -> str:
+    """Sliding-window per-type aggregate (events.sliding_counts): each
+    event unnested onto its ceil(width/hop) covering hop-grid starts."""
+    k = int((window_us + hop_us - 1) // hop_us)
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type, value FROM events
+),
+exp AS (
+  SELECT (tsu // {hop_us}) * {hop_us} - unnest(range({k})) * {hop_us}
+           AS window_us,
+         tsu, event_type, value
+  FROM ev
+)
+SELECT window_us, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM exp
+WHERE tsu < window_us + {window_us} AND window_us >= 0
+GROUP BY 1, 2
+"""
+
+
+def user_profiles_sql() -> str:
+    """Per-user activity profile (events.user_profiles)."""
+    return """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 6) AS sum_value,
+       min(CAST(epoch_us(ts) AS BIGINT)) AS first_us,
+       max(CAST(epoch_us(ts) AS BIGINT)) AS last_us
+FROM events GROUP BY user_id
+"""
+
+
+def source_stats_sql() -> str:
+    """Per-source corpus rollup (corpus.source_stats): Σchars exact in
+    double, one closing division, half-away round."""
+    return """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM documents GROUP BY source
+"""

@@ -105,6 +105,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_retention": so.retention_counts_sql,
         "events_top_per_user": lambda: so.top_events_per_user_sql(3),
         "events_value_quantiles": so.event_value_quantiles_sql,
+        "events_sliding_counts": so.sliding_counts_sql,
+        "events_user_profiles": so.user_profiles_sql,
+        "doc_source_stats": so.source_stats_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
@@ -228,6 +231,9 @@ QUERY_NAMES = [
     "bfs_multi_source",
     "events_value_quantiles",
     "emb_centroid_separation",
+    "events_sliding_counts",
+    "events_user_profiles",
+    "doc_source_stats",
 ]
 
 
