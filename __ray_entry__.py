@@ -665,6 +665,17 @@ def _q_link_prediction_ra(sf_dir: str):
     return resource_allocation_topk(views["undirected"], views["graph"].n_nodes)
 
 
+def _q_betweenness(sf_dir: str):
+    """Source-sampled Brandes betweenness from seeds 0-3 (level-synchronous
+    forward σ + backward δ sweeps, one edge scan per level)."""
+    from asterixdb_analytics_ray.pipelines.betweenness import (
+        brandes_betweenness,
+    )
+
+    views = _graph(sf_dir)
+    return brandes_betweenness(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Pearson correlation of endpoint degrees (Newman assortativity)."""
     from asterixdb_analytics_ray.pipelines.degrees import degree_assortativity
@@ -1176,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "link_prediction_jaccard": _q_link_prediction_jaccard,
         "link_prediction_ra": _q_link_prediction_ra,
+        "betweenness": _q_betweenness,
         "transitivity": _q_transitivity,
         "doc_token_entropy": _q_doc_token_entropy,
     }
@@ -1263,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": so.assortativity_sql(p),
         "link_prediction_jaccard": so.jaccard_linkpred_sql(p),
         "link_prediction_ra": so.resource_allocation_sql(p),
+        "betweenness": so.betweenness_sql(p),
         "transitivity": so.transitivity_sql(p),
         "doc_token_entropy": so.token_entropy_sql(),
     }

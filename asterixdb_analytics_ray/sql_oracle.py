@@ -2084,3 +2084,72 @@ SELECT source,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
 FROM documents GROUP BY source
 """
+
+
+BETW_SOURCES = (0, 1, 2, 3)
+BETW_DEPTH = 12
+BETW_DECIMALS = 6
+
+
+def betweenness_sql(
+    p: str,
+    sources: tuple = BETW_SOURCES,
+    depth: int = BETW_DEPTH,
+    decimals: int = BETW_DECIMALS,
+) -> str:
+    """Source-sampled Brandes betweenness (pipelines/betweenness.py):
+    per source an unrolled forward BFS accumulating path counts σ (levels
+    n0..nD with a growing visited set), then unrolled backward dependency
+    CTEs d{l} evaluating the engine's exact per-edge double expression
+    σ_u/σ_v · (1+δ_v); contributions unioned across sources, summed per
+    vertex, rounded half-away. Engine raises if a BFS exceeds ``depth``,
+    so the two unrolls can never silently desynchronize."""
+    ctes = []
+    finals = []
+    for s in sources:
+        sx = f"s{s}"
+        ctes.append(
+            f"n0_{sx} AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS v, "
+            f"CAST(1 AS DOUBLE) AS sig)"
+        )
+        ctes.append(f"vis0_{sx} AS MATERIALIZED (SELECT v FROM n0_{sx})")
+        for l in range(1, depth + 1):
+            ctes.append(
+                f"""n{l}_{sx} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(pr.sig) AS sig
+  FROM und e JOIN n{l - 1}_{sx} pr ON e.src = pr.v
+  LEFT JOIN vis{l - 1}_{sx} x ON x.v = e.dst
+  WHERE x.v IS NULL GROUP BY e.dst)"""
+            )
+            ctes.append(
+                f"vis{l}_{sx} AS MATERIALIZED (SELECT v FROM vis{l - 1}_{sx} "
+                f"UNION ALL SELECT v FROM n{l}_{sx})"
+            )
+        ctes.append(
+            f"d{depth}_{sx} AS MATERIALIZED (SELECT v, CAST(0.0 AS DOUBLE) AS delta "
+            f"FROM n{depth}_{sx})"
+        )
+        for l in range(depth - 1, 0, -1):
+            ctes.append(
+                f"""d{l}_{sx} AS MATERIALIZED (
+  SELECT pr.v, coalesce(sum(pr.sig / c.sig * (1 + c.delta)), 0.0) AS delta
+  FROM n{l}_{sx} pr
+  LEFT JOIN und e ON e.src = pr.v
+  LEFT JOIN (SELECT q.v, q.sig, dd.delta
+             FROM n{l + 1}_{sx} q JOIN d{l + 1}_{sx} dd ON dd.v = q.v) c
+    ON c.v = e.dst
+  GROUP BY pr.v)"""
+            )
+        finals.extend(
+            f"SELECT v, delta FROM d{l}_{sx}" for l in range(1, depth + 1)
+        )
+    contrib = "\nUNION ALL\n".join(finals)
+    return (
+        prelude(p)
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v, round(sum(delta), {decimals}) AS bc
+FROM ({contrib})
+GROUP BY v HAVING sum(delta) > 0"""
+    )

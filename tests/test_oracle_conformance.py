@@ -84,6 +84,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "degree_assortativity": so.assortativity_sql,
         "link_prediction_jaccard": so.jaccard_linkpred_sql,
         "link_prediction_ra": so.resource_allocation_sql,
+        "betweenness": so.betweenness_sql,
         "transitivity": so.transitivity_sql,
         "katz": so.katz_sql,
         "avg_neighbor_degree": so.avg_neighbor_degree_sql,
@@ -234,6 +235,7 @@ QUERY_NAMES = [
     "events_sliding_counts",
     "events_user_profiles",
     "doc_source_stats",
+    "betweenness",
 ]
 
 

@@ -699,3 +699,80 @@ def test_token_entropy_brute_force(ray_session):
     one = got.loc[got["doc_id"] == 1, "entropy"].iloc[0]
     assert math.copysign(1.0, one) == 1.0
     assert abs(got.loc[got["doc_id"] == 3, "entropy"].iloc[0] - math.log2(3)) < 1e-6
+
+
+# ------------------------------------------------------- betweenness
+
+
+def _brandes_ref(src, dst, n, sources):
+    """Sequential textbook Brandes (BFS + stack-ordered dependency
+    accumulation) — structurally independent of the engine's
+    level-synchronous formulation."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[a].append(b)
+    bc = np.zeros(n)
+    for s in sources:
+        stack, preds = [], [[] for _ in range(n)]
+        sigma = np.zeros(n)
+        sigma[s] = 1.0
+        dist = np.full(n, -1)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            stack.append(u)
+            for v in adj[u]:
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = np.zeros(n)
+        while stack:
+            w = stack.pop()
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_brute_force(ray_session):
+    """Engine Brandes equals the sequential textbook algorithm on the
+    webmap micrograph (and the path graph's interior-vertex closed form),
+    and every BFS stays inside the oracle's 12-level unroll."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.betweenness import (
+        brandes_betweenness,
+    )
+
+    src, dst, n = webmap20()
+    us, ud = _sym_simple(src, dst)
+    sources = (0, 1, 2, 3)
+    got = (
+        brandes_betweenness(as_dataset(us, ud), n, sources=sources)
+        .to_pandas()
+        .set_index("v")["bc"]
+    )
+    want = _brandes_ref(us, ud, n, sources)
+    for v in range(n):
+        if want[v] > 0:
+            assert abs(got.get(v, 0.0) - round(want[v], 6)) < 2e-6, v
+        else:
+            assert v not in got.index
+
+    # path 0-1-2-3-4, sources {0}: delta(3)=1, delta(2)=2, delta(1)=3
+    ps, pd_ = _sym_simple(
+        np.array([0, 1, 2, 3]), np.array([1, 2, 3, 4])
+    )
+    out = (
+        brandes_betweenness(as_dataset(ps, pd_), 5, sources=(0,))
+        .to_pandas()
+        .set_index("v")["bc"]
+    )
+    assert out.to_dict() == {1: 3.0, 2: 2.0, 3: 1.0}
