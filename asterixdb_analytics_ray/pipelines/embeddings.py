@@ -810,3 +810,46 @@ def centroid_separation(emb: ray.data.Dataset) -> pa.Table:
             "sim": np.round(S[ia, ib], SIM_DECIMALS),
         }
     )
+
+
+def random_projection(
+    emb: ray.data.Dataset, k: int = 8, dim: int = 64
+) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction with an
+    md5-Rademacher projection (Achlioptas, "Database-friendly random
+    projections", JCSS 66(4), 2003 — ±1 entries preserve JL guarantees):
+    sign(i,j) = ±1 from the parity of md5("rp:i:j"), so the matrix is a
+    pure function of the dimensions — restartable, broadcast once, and
+    exactly reproducible by the SQL oracle.
+
+    → (vec_id, j in 0..k−1, value = Σ_i x_i·s_ij / √k, rounded 1e-6 for
+    summation-order tolerance). One map-side pass: each batch is a single
+    (batch × d) @ (d × k) matmul against the broadcast sign matrix."""
+    from ..functions.fasthash import md5_prefix_u64, round_like_sql
+
+    keys = [f"rp:{i}:{j}" for i in range(dim) for j in range(k)]
+    parity = (md5_prefix_u64(keys) & np.uint64(1)).astype(np.float64)
+    S = np.where(parity == 0, 1.0, -1.0).reshape(dim, k)
+    sref = ray.put(S)
+    scale = np.sqrt(float(k))
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        y = (m @ ray.get(sref)) / scale
+        return pa.table(
+            {
+                "vec_id": np.repeat(ids.astype(np.int64), k),
+                "j": np.tile(np.arange(k, dtype=np.int64), len(ids)),
+                "value": round_like_sql(y.reshape(-1), 6),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")

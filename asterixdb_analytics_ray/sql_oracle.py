@@ -2153,3 +2153,35 @@ SELECT v, round(sum(delta), {decimals}) AS bc
 FROM ({contrib})
 GROUP BY v HAVING sum(delta) > 0"""
     )
+
+
+def bfs_harmonic_sql(p: str, sources: tuple = (0, 1, 2, 3)) -> str:
+    """Harmonic centrality of the BFS seeds (Σ 1/dist over reached
+    vertices) — closes over the bfs_multi_sql union."""
+    return f"""
+SELECT source, round(sum(1.0 / dist), 6) AS harmonic,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM ({bfs_multi_sql(p, sources)})
+WHERE dist > 0 GROUP BY source
+"""
+
+
+def random_projection_sql(k: int = 8, dim: int = 64) -> str:
+    """md5-Rademacher JL projection (embeddings.random_projection): the
+    sign matrix recomputed from the SAME md5 parity, aligned unnests, one
+    sum per (vec, j) divided by √k — 1e-6 grid for summation order."""
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings),
+sgn AS MATERIALIZED (
+  SELECT ii.range AS i, jj.range AS j,
+         CASE WHEN (('0x' || substr(md5('rp:' || ii.range || ':' || jj.range),
+                     1, 16))::UBIGINT % 2) = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range({dim}) ii, range({k}) jj)
+SELECT e.vec_id, s.j,
+       round(sum(CAST(e.x AS DOUBLE) * s.s) / sqrt({float(k)!r}), 6) AS value
+FROM ex e JOIN sgn s ON s.i = e.i
+GROUP BY 1, 2
+"""

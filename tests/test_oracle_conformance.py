@@ -67,6 +67,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "triangle_total": so.triangle_total_sql,
         "sssp": so.sssp_sql,
         "bfs_multi_source": so.bfs_multi_sql,
+        "harmonic_centrality": so.bfs_harmonic_sql,
         "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
         "graph_sample": so.graph_sample_sql,
@@ -133,6 +134,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_lsh_dups": lambda: so.lsh_dup_pairs_sql(0.4, 8, 4),
         "emb_centroid_exemplars": lambda: so.nearest_to_centroids_sql(5),
         "emb_centroid_separation": so.centroid_separation_sql,
+        "emb_random_projection": lambda: so.random_projection_sql(8, 64),
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
         ),
@@ -236,6 +238,8 @@ QUERY_NAMES = [
     "events_user_profiles",
     "doc_source_stats",
     "betweenness",
+    "harmonic_centrality",
+    "emb_random_projection",
 ]
 
 
