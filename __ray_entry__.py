@@ -554,6 +554,23 @@ def _q_doc_source_stats(sf_dir: str):
     )
 
 
+def _q_events_anomalies(sf_dir: str):
+    """Per-type window volume anomalies (|population z| ≥ 2 over the
+    bounded windowed-counts table)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import window_anomalies
+
+    return window_anomalies(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1196,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": _q_events_top_per_user,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_sliding_counts": _q_events_sliding_counts,
+        "events_anomalies": _q_events_anomalies,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1277,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_per_user": so.top_events_per_user_sql(3),
         "events_value_quantiles": so.event_value_quantiles_sql(),
         "events_sliding_counts": so.sliding_counts_sql(),
+        "events_anomalies": so.window_anomalies_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

@@ -670,3 +670,57 @@ def user_profiles(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def window_anomalies(
+    events: ray.data.Dataset,
+    window_us: int = 3_600_000_000,
+    z_threshold: float = 2.0,
+) -> ray.data.Dataset:
+    """Volume-anomaly detection: tumbling windows whose per-type event
+    count deviates ≥ ``z_threshold`` population z-scores from that type's
+    mean across OBSERVED windows (empty windows don't exist in the stream
+    and are excluded on both sides by construction).
+
+    → (window_us, event_type, n, z rounded 1e-6).
+
+    The stream reduces to the ``windowed_counts`` table (windows × types
+    rows); each type's two-pass mean/σ close runs inside one
+    ``map_groups`` over that bounded table. μ and every per-window
+    deviation are exact-integer-derived doubles; only the Σ(n−μ)²
+    accumulation order differs from SQL, absorbed by the 1e-6 grid."""
+    from ray.data.aggregate import Count
+
+    w = np.int64(window_us)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"window_us": (ts // w) * w, "event_type": t["event_type"]}
+        )
+
+    wc = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    from ..functions.fasthash import round_like_sql
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        cnt = len(n)
+        mu = float(n.sum()) / cnt  # exact int in double / count
+        sd = np.sqrt(((n - mu) ** 2).sum() / cnt)
+        z = (n - mu) / sd
+        keep = np.abs(z) >= z_threshold
+        return pd.DataFrame(
+            {
+                "window_us": g["window_us"].to_numpy(np.int64)[keep],
+                "event_type": g["event_type"].to_numpy()[keep],
+                "n": n[keep],
+                "z": round_like_sql(z[keep], 6),
+            }
+        )
+
+    return wc.groupby("event_type").map_groups(close, batch_format="pandas")

@@ -2185,3 +2185,28 @@ SELECT e.vec_id, s.j,
 FROM ex e JOIN sgn s ON s.i = e.i
 GROUP BY 1, 2
 """
+
+
+def window_anomalies_sql(
+    window_us: int = 3_600_000_000, z_threshold: float = 2.0
+) -> str:
+    """Window volume anomalies (events.window_anomalies): the identical
+    two-pass population z-score (explicit Σ(n−μ)²/c, NOT var_pop's online
+    accumulator, so the FP path matches the engine's)."""
+    return f"""
+WITH wc AS MATERIALIZED (
+  SELECT (epoch_us(ts) // {window_us}) * {window_us} AS window_us,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS MATERIALIZED (
+  SELECT event_type, CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+         count(*) AS c
+  FROM wc GROUP BY 1),
+sd AS MATERIALIZED (
+  SELECT w.event_type, sqrt(sum((w.n - s.mu) * (w.n - s.mu)) / s.c) AS sd
+  FROM wc w JOIN st s USING (event_type) GROUP BY w.event_type, s.c)
+SELECT w.window_us, w.event_type, w.n,
+       round((w.n - s.mu) / d.sd, 6) AS z
+FROM wc w JOIN st s USING (event_type) JOIN sd d USING (event_type)
+WHERE abs((w.n - s.mu) / d.sd) >= {z_threshold!r}
+"""

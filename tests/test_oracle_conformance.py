@@ -108,6 +108,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_top_per_user": lambda: so.top_events_per_user_sql(3),
         "events_value_quantiles": so.event_value_quantiles_sql,
         "events_sliding_counts": so.sliding_counts_sql,
+        "events_anomalies": so.window_anomalies_sql,
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
@@ -240,6 +241,7 @@ QUERY_NAMES = [
     "betweenness",
     "harmonic_centrality",
     "emb_random_projection",
+    "events_anomalies",
 ]
 
 
