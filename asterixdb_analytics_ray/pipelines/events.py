@@ -712,6 +712,17 @@ def window_anomalies(
         cnt = len(n)
         mu = float(n.sum()) / cnt  # exact int in double / count
         sd = np.sqrt(((n - mu) ** 2).sum() / cnt)
+        if sd == 0.0:
+            # constant series: no deviation ⇒ no anomaly (and the SQL
+            # side's x/0.0 is NULL, which its >= filter likewise drops)
+            return pd.DataFrame(
+                {
+                    "window_us": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "z": pd.Series([], dtype=np.float64),
+                }
+            )
         z = (n - mu) / sd
         keep = np.abs(z) >= z_threshold
         return pd.DataFrame(

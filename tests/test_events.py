@@ -325,3 +325,32 @@ def test_topk_merge_empty_embeddings(ray_session):
     )
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "vec_id", "sim"]
+
+
+def test_window_anomalies_constant_series_drops_type(ray_session):
+    """A type whose every window has the same count has σ=0: the engine
+    emits nothing for it (matching the oracle, whose x/0.0 is NULL and is
+    dropped by the >= filter)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import window_anomalies
+
+    hour = 3_600_000_000
+    ts, types = [], []
+    for wdx in range(6):
+        ts += [wdx * hour + 1]  # one 'flat' event per window
+        types += ["flat"]
+    # 'spiky': 1,1,1,1,1,20 → last window is a >2σ anomaly
+    for wdx in range(6):
+        k = 20 if wdx == 5 else 1
+        ts += [wdx * hour + 2] * k
+        types += ["spiky"] * k
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime(np.array(ts, dtype="int64"), unit="us"),
+         "event_type": types}
+    )
+    out = window_anomalies(ray.data.from_pandas(df)).to_pandas()
+    assert set(out["event_type"]) == {"spiky"}
+    assert (out["n"] == 20).any()
