@@ -571,6 +571,30 @@ def _q_events_anomalies(sf_dir: str):
     )
 
 
+def _q_events_gap_stats(sf_dir: str):
+    """Per-user inter-arrival gap stats (burstiness features); exact-int
+    microsecond gaps inside one bucket shuffle."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import gap_stats
+
+    return gap_stats(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+    )
+
+
+def _q_doc_vocab_stats(sf_dir: str):
+    """Corpus vocabulary stats (total/distinct/hapax tokens, TTR)."""
+    from asterixdb_analytics_ray.pipelines.corpus import vocab_stats
+
+    return vocab_stats(_docs_ds(sf_dir))
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1214,6 +1238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_sliding_counts": _q_events_sliding_counts,
         "events_anomalies": _q_events_anomalies,
+        "events_gap_stats": _q_events_gap_stats,
+        "doc_vocab_stats": _q_doc_vocab_stats,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1296,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": so.event_value_quantiles_sql(),
         "events_sliding_counts": so.sliding_counts_sql(),
         "events_anomalies": so.window_anomalies_sql(),
+        "events_gap_stats": so.gap_stats_sql(),
+        "doc_vocab_stats": so.vocab_stats_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

@@ -917,3 +917,51 @@ def source_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("source")
         .map_groups(close, batch_format="pandas")
     )
+
+
+def vocab_stats(docs: ray.data.Dataset) -> pd.DataFrame:
+    """Corpus-level vocabulary statistics — (total_tokens,
+    distinct_tokens, hapax, ttr): the Heaps'-law dashboard numbers a
+    curation run tracks across snapshots.
+
+    Per-batch partial token counts → one vocabulary-bounded
+    ``groupby.sum`` (the ``top_tokens`` shuffle shape) → per-block
+    3-integer partials → a blocks-sized driver close. ttr =
+    distinct/total is one exact-int double division."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import round_like_sql
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        g = ex.groupby("token", sort=False)["tf"].sum().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "total": [int(n.sum())],
+                "distinct": [len(n)],
+                "hapax": [int((n == 1).sum())],
+            }
+        )
+
+    parts = counts.map_batches(fold, batch_format="pandas").to_pandas()
+    total = int(parts["total"].sum())
+    distinct = int(parts["distinct"].sum())
+    return pd.DataFrame(
+        {
+            "total_tokens": np.array([total], dtype=np.int64),
+            "distinct_tokens": np.array([distinct], dtype=np.int64),
+            "hapax": np.array([int(parts["hapax"].sum())], dtype=np.int64),
+            "ttr": round_like_sql(np.array([distinct / float(total)]), 9),
+        }
+    )

@@ -735,3 +735,61 @@ def window_anomalies(
         )
 
     return wc.groupby("event_type").map_groups(close, batch_format="pandas")
+
+
+def gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user inter-arrival statistics — the burstiness/engagement
+    feature: → (user_id, n_gaps, mean_gap_us rounded 6, max_gap_us) for
+    users with ≥2 events.
+
+    Same bucket contract as ``sessionize``; each bucket sorts its users'
+    timestamps once and the gap aggregation is one vectorized pandas
+    groupby. Σgap and every gap are exact int64 microseconds, so the one
+    closing mean division matches the oracle bit-for-bit before the
+    half-away round."""
+    from ..functions.fasthash import round_like_sql
+
+    n_buckets = np.int64(256)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "tsu": t["ts"].cast(pa.int64()),
+                "bucket": pa.compute.bit_wise_and(uid, np.int64(n_buckets - 1)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "tsu"])
+        gap = s.groupby("user_id")["tsu"].diff()
+        s = s.assign(gap=gap).dropna(subset=["gap"])
+        if not len(s):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "mean_gap_us": pd.Series([], dtype=np.float64),
+                    "max_gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = s.groupby("user_id")["gap"]
+        cnt = g.size().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": g.size().index.to_numpy(np.int64),
+                "n_gaps": cnt,
+                "mean_gap_us": round_like_sql(
+                    g.sum().to_numpy(np.float64) / cnt.astype(np.float64), 6
+                ),
+                "max_gap_us": g.max().to_numpy(np.int64),
+            }
+        )
+        return out
+
+    return (
+        events.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -2210,3 +2210,36 @@ SELECT w.window_us, w.event_type, w.n,
 FROM wc w JOIN st s USING (event_type) JOIN sd d USING (event_type)
 WHERE abs((w.n - s.mu) / d.sd) >= {z_threshold!r}
 """
+
+
+def gap_stats_sql() -> str:
+    """Per-user inter-arrival stats (events.gap_stats): lag-diff gaps,
+    exact-int Σ/count mean, half-away round."""
+    return """
+WITH e AS MATERIALIZED (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events),
+g AS (
+  SELECT user_id,
+         tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS gap
+  FROM e)
+SELECT user_id,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS mean_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def vocab_stats_sql() -> str:
+    """Corpus vocabulary stats (corpus.vocab_stats)."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS MATERIALIZED (SELECT unnest(ws) AS token FROM toks),
+tc AS MATERIALIZED (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(n), 9) AS ttr
+FROM tc
+"""

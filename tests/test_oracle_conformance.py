@@ -109,6 +109,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_value_quantiles": so.event_value_quantiles_sql,
         "events_sliding_counts": so.sliding_counts_sql,
         "events_anomalies": so.window_anomalies_sql,
+        "events_gap_stats": so.gap_stats_sql,
+        "doc_vocab_stats": so.vocab_stats_sql,
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
@@ -242,6 +244,8 @@ QUERY_NAMES = [
     "harmonic_centrality",
     "emb_random_projection",
     "events_anomalies",
+    "events_gap_stats",
+    "doc_vocab_stats",
 ]
 
 
