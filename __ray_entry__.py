@@ -595,6 +595,38 @@ def _q_doc_vocab_stats(sf_dir: str):
     return vocab_stats(_docs_ds(sf_dir))
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov event-type transition counts per user."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import transition_counts
+
+    return transition_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
+def _q_events_rolling_wau(sf_dir: str):
+    """Rolling 7-day distinct active users per observed day."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import rolling_active_users
+
+    return rolling_active_users(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1240,6 +1272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalies": _q_events_anomalies,
         "events_gap_stats": _q_events_gap_stats,
         "doc_vocab_stats": _q_doc_vocab_stats,
+        "events_transitions": _q_events_transitions,
+        "events_rolling_wau": _q_events_rolling_wau,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1324,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
         "events_anomalies": so.window_anomalies_sql(),
         "events_gap_stats": so.gap_stats_sql(),
         "doc_vocab_stats": so.vocab_stats_sql(),
+        "events_transitions": so.transition_counts_sql(),
+        "events_rolling_wau": so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

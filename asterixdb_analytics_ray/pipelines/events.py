@@ -793,3 +793,137 @@ def gap_stats(events: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def transition_counts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """First-order Markov transition counts over each user's event-type
+    sequence: → (from_type, to_type, n) for consecutive events ordered by
+    (ts, event_id) within a user.
+
+    One ``user_id % 256`` bucket shuffle; each bucket lexsorts once,
+    pairs adjacent rows within user runs, and pre-aggregates its
+    (from, to) counts, so the closing groupby touches ≤ types² rows per
+    bucket — integer-exact everywhere."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = np.int64(256)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "tsu": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "bucket": pa.compute.bit_wise_and(uid, np.int64(n_buckets - 1)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                df["event_id"].to_numpy(np.int64),
+                df["tsu"].to_numpy(np.int64),
+                df["user_id"].to_numpy(np.int64),
+            )
+        )
+        u = df["user_id"].to_numpy(np.int64)[order]
+        et = df["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        out = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        g = out.groupby(["from_type", "to_type"], sort=False).size()
+        res = g.reset_index(name="n")
+        res["n"] = res["n"].astype(np.int64)
+        return res
+
+    return (
+        events.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def rolling_active_users(
+    events: ray.data.Dataset, window_days: int = 7
+) -> ray.data.Dataset:
+    """Rolling WAU: for every epoch day with ≥1 event, the number of
+    DISTINCT users active in the ``window_days``-day window ending that
+    day — the growth-dashboard metric.
+
+    Per-batch (user, day) dedup → vectorized expansion onto the ≤W
+    covering window-end days → global (day, user) distinct via the
+    ``user_id % 256`` bucket groupby (exact partials: a user's rows land
+    whole) → one days-bounded count close. Window-end days with no event
+    ON them are excluded on both sides (observed-day semantics)."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = np.int64(256)
+    W = int(window_days)
+
+    def expand(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        day = pa.compute.divide(t["ts"].cast(pa.int64()), _DAY_US)
+        ud = (
+            pa.table({"user_id": uid, "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = ud["user_id"].to_numpy()
+        d = ud["day"].to_numpy()
+        n = len(u)
+        ends = np.repeat(d, W) + np.tile(np.arange(W, dtype=np.int64), n)
+        uu = np.repeat(u, W)
+        out = pa.table({"user_id": uu, "end_day": ends})
+        out = out.group_by(["user_id", "end_day"]).aggregate([])
+        bucket = pa.compute.bit_wise_and(
+            out["user_id"], np.int64(n_buckets - 1)
+        )
+        return out.append_column("bucket", bucket)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["user_id", "end_day"]).groupby("end_day")
+        res = g.size().reset_index(name="n")
+        res["n"] = res["n"].astype(np.int64)
+        res["end_day"] = res["end_day"].astype(np.int64)
+        return res
+
+    counts = (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("end_day")
+        .aggregate(Sum("n", alias_name="wau"))
+    )
+
+    # keep only OBSERVED days (an event on that very day), exactly as the
+    # oracle's day list — a small distinct-day broadcast
+    def obs_days(t: pa.Table) -> pa.Table:
+        day = pa.compute.divide(t["ts"].cast(pa.int64()), _DAY_US)
+        return pa.table({"day": day}).group_by(["day"]).aggregate([])
+
+    days = (
+        events.map_batches(obs_days, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .to_pandas()["day"]
+        .to_numpy(np.int64)
+    )
+    dref = ray.put(np.sort(days))
+
+    def keep_observed(t: pa.Table) -> pa.Table:
+        obs = ray.get(dref)
+        ends = t["end_day"].to_numpy()
+        idx = np.searchsorted(obs, ends)
+        idx[idx == len(obs)] = 0
+        m = obs[idx] == ends
+        return pa.table(
+            {
+                "day": ends[m].astype(np.int64),
+                "wau": t["wau"].to_numpy()[m].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(keep_observed, batch_format="pyarrow")

@@ -2243,3 +2243,36 @@ SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
        round(CAST(count(*) AS DOUBLE) / sum(n), 9) AS ttr
 FROM tc
 """
+
+
+def transition_counts_sql() -> str:
+    """Markov transition counts (events.transition_counts): lead() window
+    with the identical (ts, event_id) in-user ordering."""
+    return """
+WITH e AS MATERIALIZED (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id, event_type
+  FROM events),
+nx AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tsu, event_id) AS to_type
+  FROM e)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def rolling_active_users_sql(window_days: int = 7) -> str:
+    """Rolling WAU (events.rolling_active_users) recomputed as a direct
+    band join — an independent formulation of the engine's expand +
+    distinct plan."""
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+obs AS (SELECT DISTINCT day FROM ud)
+SELECT o.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM obs o JOIN ud u ON u.day BETWEEN o.day - {window_days - 1} AND o.day
+GROUP BY o.day
+"""

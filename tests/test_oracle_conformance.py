@@ -111,6 +111,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_anomalies": so.window_anomalies_sql,
         "events_gap_stats": so.gap_stats_sql,
         "doc_vocab_stats": so.vocab_stats_sql,
+        "events_transitions": so.transition_counts_sql,
+        "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
         "doc_decontaminate": lambda: so.decontaminate_sql(5),
@@ -246,6 +248,8 @@ QUERY_NAMES = [
     "events_anomalies",
     "events_gap_stats",
     "doc_vocab_stats",
+    "events_transitions",
+    "events_rolling_wau",
 ]
 
 
