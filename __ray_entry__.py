@@ -627,6 +627,23 @@ def _q_events_rolling_wau(sf_dir: str):
     )
 
 
+def _q_events_session_pairs(sf_dir: str):
+    """Per-session event-type co-occurrence support counts (basket
+    mining over the sessionize kernel)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import session_type_pairs
+
+    return session_type_pairs(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1110,6 +1127,14 @@ def _q_emb_random_projection(sf_dir: str):
     return random_projection(_emb_ds(sf_dir), k=8, dim=64)
 
 
+def _q_emb_cluster_cohesion(sf_dir: str):
+    """Per-label mean member-to-centroid cosine (cohesion side of the
+    cohesion/separation clustering dashboard)."""
+    from asterixdb_analytics_ray.pipelines.embeddings import cluster_cohesion
+
+    return cluster_cohesion(_emb_ds(sf_dir))
+
+
 def _q_emb_cosine_dups(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs
 
@@ -1274,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_stats": _q_doc_vocab_stats,
         "events_transitions": _q_events_transitions,
         "events_rolling_wau": _q_events_rolling_wau,
+        "events_session_pairs": _q_events_session_pairs,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1293,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "emb_centroid_exemplars": _q_emb_centroid_exemplars,
         "emb_centroid_separation": _q_emb_centroid_separation,
+        "emb_cluster_cohesion": _q_emb_cluster_cohesion,
         "media_features": _q_media_features,
         "hits": _q_hits,
         "katz": _q_katz,
@@ -1360,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_stats": so.vocab_stats_sql(),
         "events_transitions": so.transition_counts_sql(),
         "events_rolling_wau": so.rolling_active_users_sql(7),
+        "events_session_pairs": so.session_type_pairs_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),
@@ -1383,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),
         "emb_centroid_exemplars": so.nearest_to_centroids_sql(5),
         "emb_centroid_separation": so.centroid_separation_sql(),
+        "emb_cluster_cohesion": so.cluster_cohesion_sql(),
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),

@@ -853,3 +853,71 @@ def random_projection(
         )
 
     return emb.map_batches(project, batch_format="pyarrow")
+
+
+def cluster_cohesion(emb: ray.data.Dataset) -> pa.Table:
+    """Cluster-quality diagnostic: per label the mean cosine similarity of
+    members to their OWN label centroid (higher = tighter cluster) —
+    read together with ``centroid_separation`` it is the
+    cohesion/separation pair clustering dashboards track.
+
+    → (label, n, mean_sim rounded 1e-6). Two passes: the sufficient-stat
+    centroid pass, then one map-side scan accumulating (label, Σsim, n)
+    partials against the broadcast centroid matrix — the closing division
+    is by an exact integer count; Σsim order differs from SQL, absorbed
+    by the 1e-6 grid (label_centroids precedent)."""
+    import pandas as pd
+
+    from ..functions.fasthash import round_like_sql
+
+    labels, C = _label_centroid_matrix(emb)
+    Cn = _normalize(C)
+    lref = ray.put(labels)
+    cref = ray.put(Cn)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        all_labels = ray.get(lref)
+        Cn_ = ray.get(cref)
+        idx = np.searchsorted(all_labels, labs)
+        sims = np.einsum("ij,ij->i", _normalize(m), Cn_[idx])
+        order = np.argsort(labs, kind="stable")
+        ls = labs[order]
+        starts = np.flatnonzero(np.concatenate(([True], ls[1:] != ls[:-1])))
+        return pa.table(
+            {
+                "label": ls[starts],
+                "s": np.add.reduceat(sims[order], starts),
+                "n": np.diff(np.concatenate((starts, [len(ls)]))).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # labels-sized
+    ).sort_values("label")
+    return pa.table(
+        {
+            "label": agg["label"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+            "mean_sim": round_like_sql(
+                agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64),
+                6,
+            ),
+        }
+    )

@@ -927,3 +927,64 @@ def rolling_active_users(
         )
 
     return counts.map_batches(keep_observed, batch_format="pyarrow")
+
+
+def session_type_pairs(
+    events: ray.data.Dataset, gap_us: int = 1_800_000_000
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence over sessions: for every unordered
+    event-type pair (a < b), the number of sessions containing BOTH —
+    the association-mining primitive (support counts).
+
+    → (type_a, type_b, n). Same session-break kernel and bucket contract
+    as ``sessionize``; each bucket dedups (session, type) and self-joins
+    per session (sessions hold ≤ |types| distinct types, so the join is
+    tiny), emitting per-bucket partial counts — the closing groupby
+    touches ≤ types² rows per bucket. Integer-exact."""
+    from ray.data.aggregate import Sum
+
+    g = np.int64(gap_us)
+    n_buckets = np.int64(256)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "tsu": df["ts"].astype("int64").to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+            }
+        )
+        out["bucket"] = out["user_id"] % n_buckets
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "tsu", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["tsu"].to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        new[1:] = ((uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > g)).astype(
+            np.int64
+        )
+        run = np.cumsum(new) - 1
+        st = pd.DataFrame(
+            {"run": run, "t": df["event_type"].to_numpy()}
+        ).drop_duplicates()
+        pairs = st.merge(st, on="run")
+        pairs = pairs[pairs["t_x"] < pairs["t_y"]]
+        res = (
+            pairs.groupby(["t_x", "t_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"t_x": "type_a", "t_y": "type_b"})
+        )
+        res["n"] = res["n"].astype(np.int64)
+        return res
+
+    return (
+        events.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

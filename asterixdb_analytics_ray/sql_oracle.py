@@ -2276,3 +2276,56 @@ SELECT o.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
 FROM obs o JOIN ud u ON u.day BETWEEN o.day - {window_days - 1} AND o.day
 GROUP BY o.day
 """
+
+
+def cluster_cohesion_sql() -> str:
+    """Per-label cohesion (embeddings.cluster_cohesion): the
+    nearest_to_centroids_sql centroid CTEs, members joined to their OWN
+    label centroid, Σsim/count on the 1e-6 grid."""
+    return """
+WITH ex AS MATERIALIZED (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings),
+pern AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+dims AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS sx
+         FROM ex GROUP BY label, i),
+cent AS (SELECT d.label, list(sx / p.n ORDER BY i) AS c
+         FROM dims d JOIN pern p USING (label) GROUP BY d.label),
+sims AS (
+  SELECT e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) AS s
+  FROM embeddings e JOIN cent ON cent.label = e.label)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       round(sum(s) / count(*), 6) AS mean_sim
+FROM sims GROUP BY label
+"""
+
+
+def session_type_pairs_sql(gap_us: int = 1_800_000_000) -> str:
+    """Per-session type co-occurrence (events.session_type_pairs): the
+    sessionize_sql windows + a distinct (session, type) self-join."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events
+),
+flags AS (
+  SELECT user_id, event_type, tsu, event_id,
+         CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > {gap_us} THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flags
+),
+st AS MATERIALIZED (SELECT DISTINCT user_id, session_id, event_type FROM sess)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM st a JOIN st b
+  ON a.user_id = b.user_id AND a.session_id = b.session_id
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""

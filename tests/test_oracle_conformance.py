@@ -112,6 +112,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_gap_stats": so.gap_stats_sql,
         "doc_vocab_stats": so.vocab_stats_sql,
         "events_transitions": so.transition_counts_sql,
+        "events_session_pairs": so.session_type_pairs_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -139,6 +140,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_lsh_dups": lambda: so.lsh_dup_pairs_sql(0.4, 8, 4),
         "emb_centroid_exemplars": lambda: so.nearest_to_centroids_sql(5),
         "emb_centroid_separation": so.centroid_separation_sql,
+        "emb_cluster_cohesion": so.cluster_cohesion_sql,
         "emb_random_projection": lambda: so.random_projection_sql(8, 64),
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
@@ -250,6 +252,8 @@ QUERY_NAMES = [
     "doc_vocab_stats",
     "events_transitions",
     "events_rolling_wau",
+    "emb_cluster_cohesion",
+    "events_session_pairs",
 ]
 
 
