@@ -644,6 +644,56 @@ def _q_events_session_pairs(sf_dir: str):
     )
 
 
+def _q_tpch_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (exact integer-unit
+    partials; one groups-bounded shuffle)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+    )
+
+
+def _q_tpch_nation_revenue(sf_dir: str):
+    """Revenue per customer nation: distributed hash join (orders ⨝
+    customer) + broadcast 25-row nation dictionary."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import nation_revenue
+
+    return nation_revenue(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        ),
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        ),
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1300,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_rolling_wau": _q_events_rolling_wau,
         "events_session_pairs": _q_events_session_pairs,
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_nation_revenue": _q_tpch_nation_revenue,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1388,6 +1440,8 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": so.transition_counts_sql(),
         "events_rolling_wau": so.rolling_active_users_sql(7),
         "events_session_pairs": so.session_type_pairs_sql(),
+        "tpch_pricing_summary": so.pricing_summary_sql(),
+        "tpch_nation_revenue": so.nation_revenue_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

@@ -1,0 +1,176 @@
+"""Relational analytics over the TPC-H-style tables (lineitem / orders /
+customer / nation) — the warehouse-flavored pipelines a data platform runs
+next to the corpus/graph work, expressed Ray-Data-first.
+
+Exactness contract: every money column in the generator carries two
+decimals, so each aggregate folds EXACT integer units (cents for prices,
+1e-4 units for the discounted extension) inside per-batch partials; the
+global sums stay far below 2^53 at any scale this repo targets (at sf0.1:
+Σcents ≈ 6e12, Σdisc-units ≈ 6e14 vs 9.0e15), and the few closing
+divisions are mirrored op-for-op by the SQL oracles, so results are
+deterministic and hash-identical — no float summation anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_CUTOFF_US = np.int64(
+    int(pd.Timestamp("1998-09-02").value // 1000)
+)  # TPC-H Q1's DATE '1998-12-01' - 90 days
+
+
+def pricing_summary(
+    lineitem: ray.data.Dataset, cutoff_us: int | None = None
+) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary: per (returnflag, linestatus) over
+    rows with ``l_shipdate ≤ cutoff``: Σqty, Σbase price, Σdiscounted
+    price, row count, and the two averages.
+
+    → (l_returnflag, l_linestatus, sum_qty: int64, sum_base_price,
+    sum_disc_price, n: int64, avg_qty, avg_price). One map-side partial
+    pass (exact integer units) + one groups-bounded shuffle."""
+    from ray.data.aggregate import Sum
+
+    cut = np.int64(cutoff_us if cutoff_us is not None else _CUTOFF_US)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        keep = ship <= cut
+        qty = np.rint(t["l_quantity"].to_numpy()[keep]).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy()[keep] * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy()[keep] * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "l_linestatus": t["l_linestatus"].to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "q": qty,
+                "c": cents,
+                "u": cents * (100 - dcents),  # 1e-4 units, exact
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_q=("q", "sum"),
+                sum_c=("c", "sum"),
+                sum_u=("u", "sum"),
+                n=("q", "size"),
+            )
+            .reset_index()
+        )
+        for col in ["sum_q", "sum_c", "sum_u", "n"]:
+            g[col] = g[col].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sum_u", alias_name="sum_u"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = t["sum_q"].to_numpy().astype(np.int64)
+        c = t["sum_c"].to_numpy().astype(np.float64)
+        u = t["sum_u"].to_numpy().astype(np.float64)
+        n = t["n"].to_numpy().astype(np.int64)
+        nd = n.astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": q,
+                "sum_base_price": c / 100.0,
+                "sum_disc_price": u / 10000.0,
+                "n": n,
+                # the oracle's exact double-op order
+                "avg_qty": q.astype(np.float64) / nd,
+                "avg_price": c / 100.0 / nd,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_revenue(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation_table: pa.Table,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Revenue rollup per customer nation: orders ⨝ customer on custkey
+    (Ray Data's distributed HASH JOIN — the orders side is the big one),
+    then the 25-row nation dictionary applied as a BROADCAST lookup
+    inside the aggregate pass (never a shuffle join for the tiny side).
+
+    → (n_name, n_orders: int64, revenue) with revenue folded in exact
+    cents."""
+    from ray.data.aggregate import Sum
+
+    nmap = {}
+    for k, v in zip(
+        nation_table["n_nationkey"].to_pylist(),
+        nation_table["n_name"].to_pylist(),
+    ):
+        nmap[int(k)] = v
+    nref = ray.put(nmap)
+
+    joined = orders.select_columns(["o_custkey", "o_totalprice"]).join(
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"nk": nk, "cents": cents})
+        g = (
+            df.groupby("nk", sort=False)
+            .agg(cents=("cents", "sum"), n=("cents", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array([nm[int(k)] for k in g["nk"]]),
+                "cents": g["cents"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_orders": t["n"].to_numpy().astype(np.int64),
+                "revenue": t["cents"].to_numpy().astype(np.float64) / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2329,3 +2329,41 @@ FROM st a JOIN st b
  AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    """TPC-H Q1-style pricing summary (relational.pricing_summary): every
+    aggregate folded in exact integer units (cents / 1e-4 units), closing
+    divisions in the engine's exact double-op order."""
+    return f"""
+WITH li AS MATERIALIZED (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS u
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(c) AS DOUBLE) / 100.0 / count(*) AS avg_price
+FROM li GROUP BY 1, 2
+"""
+
+
+def nation_revenue_sql() -> str:
+    """Per-nation order revenue (relational.nation_revenue): exact cents."""
+    return """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""

@@ -113,6 +113,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_vocab_stats": so.vocab_stats_sql,
         "events_transitions": so.transition_counts_sql,
         "events_session_pairs": so.session_type_pairs_sql,
+        "tpch_pricing_summary": so.pricing_summary_sql,
+        "tpch_nation_revenue": so.nation_revenue_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -254,6 +256,8 @@ QUERY_NAMES = [
     "events_rolling_wau",
     "emb_cluster_cohesion",
     "events_session_pairs",
+    "tpch_pricing_summary",
+    "tpch_nation_revenue",
 ]
 
 
