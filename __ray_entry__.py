@@ -694,6 +694,32 @@ def _q_tpch_nation_revenue(sf_dir: str):
     )
 
 
+def _q_tpch_shipping_priority(sf_dir: str):
+    """Q3-style top-10 unshipped BUILDING orders by discounted revenue
+    (two distributed hash joins + exact-int revenue fold)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import shipping_priority
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    # num_partitions sized to the smallest supported session (two chained
+    # hash-join aggregator pools must co-schedule even on a 4-CPU test
+    # fixture; a production cluster raises this with the CPU count)
+    return shipping_priority(
+        rd(
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ),
+        rd("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd("customer", ["c_custkey", "c_mktsegment"]),
+        num_partitions=4,
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1352,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_pairs": _q_events_session_pairs,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_nation_revenue": _q_tpch_nation_revenue,
+        "tpch_shipping_priority": _q_tpch_shipping_priority,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1442,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_pairs": so.session_type_pairs_sql(),
         "tpch_pricing_summary": so.pricing_summary_sql(),
         "tpch_nation_revenue": so.nation_revenue_sql(),
+        "tpch_shipping_priority": so.shipping_priority_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

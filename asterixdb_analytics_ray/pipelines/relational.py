@@ -174,3 +174,107 @@ def nation_revenue(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_Q3_DATE_US = np.int64(int(pd.Timestamp("1998-01-01").value // 1000))
+
+
+def shipping_priority(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    segment: str = "BUILDING",
+    date_us: int | None = None,
+    k: int = 10,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """TPC-H Q3-style shipping priority: top-k unshipped orders of a
+    market segment by discounted revenue — the big-big join showcase.
+
+    → (l_orderkey, revenue, o_orderdate_us) ordered (revenue desc,
+    orderkey asc; revenue is an exact 1e-4-unit integer before the one
+    closing division, so ties are deterministic).
+
+    Plan: customer is filtered to the segment BEFORE its hash join with
+    the date-filtered orders (the small-after-filter side never ships
+    full), then that result joins the date-filtered lineitem — two Ray
+    Data distributed hash joins, revenue folded as exact-int per-batch
+    partials, a groups-bounded aggregate, sort + limit."""
+    from ray.data.aggregate import Max, Sum
+
+    cut = np.int64(date_us if date_us is not None else _Q3_DATE_US)
+
+    def keep_cust(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        )
+
+    def keep_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        return t.filter(pa.array(od < cut)).select(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+
+    def keep_li(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        t = t.filter(pa.array(sd > cut))
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    co = orders.map_batches(keep_orders, batch_format="pyarrow").join(
+        customer.map_batches(keep_cust, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    li = lineitem.map_batches(keep_li, batch_format="pyarrow")
+    big = li.join(
+        co,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "u": t["u"],
+                "odate": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        big.map_batches(to_units, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("u", alias_name="u"), Max("odate", alias_name="odate"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy().astype(np.int64),
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "o_orderdate_us": t["odate"].to_numpy().astype(np.int64),
+                "u": t["u"],  # exact-int sort key
+            }
+        )
+
+    out = (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["u", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out.select_columns(["l_orderkey", "revenue", "o_orderdate_us"])

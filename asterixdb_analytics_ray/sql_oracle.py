@@ -2367,3 +2367,31 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 """
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", date: str = "1998-01-01", k: int = 10
+) -> str:
+    """TPC-H Q3-style shipping priority (relational.shipping_priority):
+    exact 1e-4-unit revenue, (revenue desc, orderkey) deterministic
+    ordering."""
+    return f"""
+WITH big AS MATERIALIZED (
+  SELECT l.l_orderkey,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) AS odate
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = '{segment}'
+    AND o.o_orderdate < TIMESTAMP '{date}'
+    AND l.l_shipdate > TIMESTAMP '{date}'
+)
+SELECT l_orderkey,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS revenue,
+       max(odate) AS o_orderdate_us
+FROM big GROUP BY l_orderkey
+ORDER BY sum(u) DESC, l_orderkey ASC
+LIMIT {k}
+"""

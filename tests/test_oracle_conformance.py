@@ -115,6 +115,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_session_pairs": so.session_type_pairs_sql,
         "tpch_pricing_summary": so.pricing_summary_sql,
         "tpch_nation_revenue": so.nation_revenue_sql,
+        "tpch_shipping_priority": so.shipping_priority_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -258,6 +259,7 @@ QUERY_NAMES = [
     "events_session_pairs",
     "tpch_pricing_summary",
     "tpch_nation_revenue",
+    "tpch_shipping_priority",
 ]
 
 
