@@ -720,6 +720,51 @@ def _q_tpch_shipping_priority(sf_dir: str):
     )
 
 
+def _q_tpch_brand_volume(sf_dir: str):
+    """Per-brand volume: lineitem ⨝ part distributed hash join + brands-
+    bounded aggregate."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import brand_volume
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return brand_volume(
+        rd("lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]),
+        rd("part", ["p_partkey", "p_brand"]),
+    )
+
+
+def _q_tpch_region_revenue(sf_dir: str):
+    """Q5-lite: discounted revenue per supplier region (hash join +
+    fixed-cardinality nation/region broadcast lookups)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import region_revenue
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return region_revenue(
+        rd("lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]),
+        rd("supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_regionkey"],
+        ),
+        pq.read_table(
+            os.path.join(sf_dir, "region.parquet"),
+            columns=["r_regionkey", "r_name"],
+        ),
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1379,6 +1424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_nation_revenue": _q_tpch_nation_revenue,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "tpch_brand_volume": _q_tpch_brand_volume,
+        "tpch_region_revenue": _q_tpch_region_revenue,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1470,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": so.pricing_summary_sql(),
         "tpch_nation_revenue": so.nation_revenue_sql(),
         "tpch_shipping_priority": so.shipping_priority_sql(),
+        "tpch_brand_volume": so.brand_volume_sql(),
+        "tpch_region_revenue": so.region_revenue_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

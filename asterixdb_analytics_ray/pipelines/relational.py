@@ -278,3 +278,160 @@ def shipping_priority(
         .limit(k)
     )
     return out.select_columns(["l_orderkey", "revenue", "o_orderdate_us"])
+
+
+def brand_volume(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Per-brand shipped volume: lineitem ⨝ part on partkey (part is
+    data-proportional, so a distributed hash join — not a broadcast),
+    then a brands-bounded aggregate.
+
+    → (p_brand, n_items: int64, sum_qty: int64, revenue) with revenue in
+    exact cents."""
+    from ray.data.aggregate import Sum
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "q": np.rint(t["l_quantity"].to_numpy()).astype(np.int64),
+                "c": np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    joined = lineitem.map_batches(li_prep, batch_format="pyarrow").join(
+        part.select_columns(["p_partkey", "p_brand"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_brand": t["p_brand"].to_numpy(zero_copy_only=False),
+                "q": t["q"].to_numpy(),
+                "c": t["c"].to_numpy(),
+            }
+        )
+        g = (
+            df.groupby("p_brand", sort=False)
+            .agg(q=("q", "sum"), c=("c", "sum"), n=("q", "size"))
+            .reset_index()
+        )
+        for col in ["q", "c", "n"]:
+            g[col] = g[col].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("q", alias_name="q"),
+            Sum("c", alias_name="c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n_items": t["n"].to_numpy().astype(np.int64),
+                "sum_qty": t["q"].to_numpy().astype(np.int64),
+                "revenue": t["c"].to_numpy().astype(np.float64) / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def region_revenue(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation_table: pa.Table,
+    region_table: pa.Table,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Q5-flavored revenue per supplier REGION: lineitem ⨝ supplier on
+    suppkey (supplier grows with the data → hash join), then the
+    FIXED-cardinality nation (25) and region (5) dimensions applied as
+    broadcast lookups inside the aggregate pass.
+
+    → (r_name, n_items: int64, revenue) with revenue folded as exact
+    1e-4 discounted units."""
+    from ray.data.aggregate import Sum
+
+    n2r = {
+        int(nk): int(rk)
+        for nk, rk in zip(
+            nation_table["n_nationkey"].to_pylist(),
+            nation_table["n_regionkey"].to_pylist(),
+        )
+    }
+    rname = {
+        int(rk): nm
+        for rk, nm in zip(
+            region_table["r_regionkey"].to_pylist(),
+            region_table["r_name"].to_pylist(),
+        )
+    }
+    lookup = {nk: rname[rk] for nk, rk in n2r.items()}
+    lref = ray.put(lookup)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"], "u": cents * (100 - dcents)}
+        )
+
+    joined = lineitem.map_batches(li_prep, batch_format="pyarrow").join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"nk": nk, "u": t["u"].to_numpy()})
+        g = (
+            df.groupby("nk", sort=False)
+            .agg(u=("u", "sum"), n=("u", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "r_name": pa.array([lk[int(k)] for k in g["nk"]]),
+                "u": g["u"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_items": t["n"].to_numpy().astype(np.int64),
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

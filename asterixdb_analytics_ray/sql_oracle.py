@@ -2395,3 +2395,34 @@ FROM big GROUP BY l_orderkey
 ORDER BY sum(u) DESC, l_orderkey ASC
 LIMIT {k}
 """
+
+
+def brand_volume_sql() -> str:
+    """Per-brand shipped volume (relational.brand_volume): exact cents."""
+    return """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+def region_revenue_sql() -> str:
+    """Per-region supplier revenue (relational.region_revenue): exact
+    1e-4 discounted units."""
+    return """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""

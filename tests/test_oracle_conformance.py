@@ -116,6 +116,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_pricing_summary": so.pricing_summary_sql,
         "tpch_nation_revenue": so.nation_revenue_sql,
         "tpch_shipping_priority": so.shipping_priority_sql,
+        "tpch_brand_volume": so.brand_volume_sql,
+        "tpch_region_revenue": so.region_revenue_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -260,6 +262,8 @@ QUERY_NAMES = [
     "tpch_pricing_summary",
     "tpch_nation_revenue",
     "tpch_shipping_priority",
+    "tpch_brand_volume",
+    "tpch_region_revenue",
 ]
 
 
