@@ -1068,6 +1068,13 @@ def _q_doc_dup_clusters(sf_dir: str):
     return out
 
 
+def _q_doc_quality_by_lang(sf_dir: str):
+    """Per-language corpus quality rollup (mean score / stopword ratio)."""
+    from asterixdb_analytics_ray.pipelines.textops import quality_by_lang
+
+    return quality_by_lang(_docs_ds(sf_dir))
+
+
 def _q_doc_simhash(sf_dir: str):
     """(doc_id, simhash) with the 64-bit value as a 16-char hex string — hex
     because uint64 values above 2^63 don't survive the comparator's int64
@@ -1418,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalies": _q_events_anomalies,
         "events_gap_stats": _q_events_gap_stats,
         "doc_vocab_stats": _q_doc_vocab_stats,
+        "doc_quality_by_lang": _q_doc_quality_by_lang,
         "events_transitions": _q_events_transitions,
         "events_rolling_wau": _q_events_rolling_wau,
         "events_session_pairs": _q_events_session_pairs,
@@ -1511,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomalies": so.window_anomalies_sql(),
         "events_gap_stats": so.gap_stats_sql(),
         "doc_vocab_stats": so.vocab_stats_sql(),
+        "doc_quality_by_lang": so.quality_by_lang_sql(),
         "events_transitions": so.transition_counts_sql(),
         "events_rolling_wau": so.rolling_active_users_sql(7),
         "events_session_pairs": so.session_type_pairs_sql(),

@@ -71,41 +71,43 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     score = words weighted down by stopword share. Deterministic and
     SQL-replicable (the DuckDB oracle uses the same closed formula).
     """
+    return docs.map_batches(_quality_fn, batch_format="pandas")
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(df["text"])
-        n_words = toks.str.len().fillna(0).astype(np.int64)
-        nw_np = n_words.to_numpy()
-        # vectorized per-doc sums: one explode, two reduceat segment sums
-        # (replaces two per-row Python lambdas)
-        total_len = np.zeros(len(df), dtype=np.int64)
-        stop = np.zeros(len(df), dtype=np.int64)
-        flat = toks.explode().dropna()
-        if len(flat):
-            nz = nw_np > 0
-            starts = np.cumsum(nw_np) - nw_np
-            total_len[nz] = np.add.reduceat(
-                flat.str.len().to_numpy(np.int64), starts[nz]
-            )
-            stop[nz] = np.add.reduceat(
-                flat.isin(STOPWORDS).to_numpy().astype(np.int64), starts[nz]
-            )
-        nw = nw_np.astype(np.float64)
-        safe = np.maximum(nw, 1.0)
-        avg_len = np.round(total_len / safe, 6)
-        stop_ratio = np.round(stop / safe, 6)
-        score = np.round(nw * (1.0 - stop_ratio), 6)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_words": n_words,
-                "avg_word_len": avg_len,
-                "stopword_ratio": stop_ratio,
-                "score": score,
-            }
+
+def _quality_fn(df: pd.DataFrame) -> pd.DataFrame:
+    """The per-doc quality kernel shared by ``quality_scores`` and
+    ``quality_by_lang`` — one explode, two reduceat segment sums."""
+    toks = _tokens(df["text"])
+    n_words = toks.str.len().fillna(0).astype(np.int64)
+    nw_np = n_words.to_numpy()
+    # vectorized per-doc sums: one explode, two reduceat segment sums
+    # (replaces two per-row Python lambdas)
+    total_len = np.zeros(len(df), dtype=np.int64)
+    stop = np.zeros(len(df), dtype=np.int64)
+    flat = toks.explode().dropna()
+    if len(flat):
+        nz = nw_np > 0
+        starts = np.cumsum(nw_np) - nw_np
+        total_len[nz] = np.add.reduceat(
+            flat.str.len().to_numpy(np.int64), starts[nz]
         )
-
-    return docs.map_batches(fn, batch_format="pandas")
+        stop[nz] = np.add.reduceat(
+            flat.isin(STOPWORDS).to_numpy().astype(np.int64), starts[nz]
+        )
+    nw = nw_np.astype(np.float64)
+    safe = np.maximum(nw, 1.0)
+    avg_len = np.round(total_len / safe, 6)
+    stop_ratio = np.round(stop / safe, 6)
+    score = np.round(nw * (1.0 - stop_ratio), 6)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_words": n_words,
+            "avg_word_len": avg_len,
+            "stopword_ratio": stop_ratio,
+            "score": score,
+        }
+    )
 
 
 def repetition_scores(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
@@ -1375,3 +1377,58 @@ def dup_clusters(
         .map_groups(attach, batch_format="pyarrow")
     )
     return out, res.supersteps
+
+
+def quality_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-language quality dashboard: → (lang, n_docs, mean_score,
+    mean_stopword_ratio) — the slice-level rollup curation runs track
+    (each language's corpus health at a glance).
+
+    Per-batch: the shared ``_quality_fn`` kernel scores the batch, then a
+    langs-bounded partial (n, Σscore, Σratio) folds — the shuffle is
+    langs × blocks rows. Per-doc scores are the SAME rounded values the
+    oracle computes, so only the Σ order differs (1e-6 grid, the
+    windowed_counts precedent)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import round_like_sql
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quality_fn(df)
+        q["lang"] = df["lang"].to_numpy()
+        g = (
+            q.groupby("lang", sort=False)
+            .agg(n=("score", "size"), s=("score", "sum"),
+                 r=("stopword_ratio", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("r", alias_name="r"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        nd = n.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": n,
+                "mean_score": round_like_sql(
+                    df["s"].to_numpy(np.float64) / nd, 6
+                ),
+                "mean_stopword_ratio": round_like_sql(
+                    df["r"].to_numpy(np.float64) / nd, 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

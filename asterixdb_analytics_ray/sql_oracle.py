@@ -2426,3 +2426,35 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY r.r_name
 """
+
+
+def quality_by_lang_sql() -> str:
+    """Per-language quality rollup (textops.quality_by_lang): the
+    quality_scores_sql per-doc expressions summed per language."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         len(ws) AS n_words,
+         CAST(len(list_filter(ws, x -> x IN {_STOPWORD_SQL})) AS DOUBLE)
+           AS stops
+  FROM toks
+),
+q AS (
+  SELECT lang,
+         round(n_words * (1 - round(stops / greatest(n_words, 1), 6)), 6)
+           AS score,
+         round(stops / greatest(n_words, 1), 6) AS ratio
+  FROM feats
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(score) / count(*), 6) AS mean_score,
+       round(sum(ratio) / count(*), 6) AS mean_stopword_ratio
+FROM q GROUP BY lang
+"""

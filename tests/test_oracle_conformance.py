@@ -111,6 +111,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_anomalies": so.window_anomalies_sql,
         "events_gap_stats": so.gap_stats_sql,
         "doc_vocab_stats": so.vocab_stats_sql,
+        "doc_quality_by_lang": so.quality_by_lang_sql,
         "events_transitions": so.transition_counts_sql,
         "events_session_pairs": so.session_type_pairs_sql,
         "tpch_pricing_summary": so.pricing_summary_sql,
@@ -264,6 +265,7 @@ QUERY_NAMES = [
     "tpch_shipping_priority",
     "tpch_brand_volume",
     "tpch_region_revenue",
+    "doc_quality_by_lang",
 ]
 
 
