@@ -130,6 +130,31 @@ def _q_pagerank(sf_dir: str):
     )
 
 
+def _q_pagerank_top_nodes(sf_dir: str):
+    """Top-20 vertices by PageRank joined back to their node metadata
+    (kind, key) — the rank→dimension join every report step needs.
+    Deterministic: sorts the ROUNDED ranks with a v tiebreak, exactly as
+    the oracle."""
+    import numpy as np
+
+    views = _graph(sf_dir)
+    ranks = _q_pagerank(sf_dir)
+    r = ranks["rank"].to_numpy()
+    v = ranks["v"].to_numpy()
+    order = np.lexsort((v, -r))[:20]
+    nodes = views["graph"].node_table.take(order)  # node_id-ordered table
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "v": v[order],
+            "kind": nodes["kind"],
+            "key": nodes["key"],
+            "rank": r[order],
+        }
+    )
+
+
 def _q_connected_components(sf_dir: str):
     """Min-label CC via the sharded scale-path runner (fixpoint identical to
     the dense kernel — tests/test_algorithms.py)."""
@@ -1263,6 +1288,14 @@ def _q_emb_cluster_cohesion(sf_dir: str):
     return cluster_cohesion(_emb_ds(sf_dir))
 
 
+def _q_emb_outliers(sf_dir: str):
+    """Mislabeled-embedding candidates: members ≥2σ below their label's
+    mean centroid similarity."""
+    from asterixdb_analytics_ray.pipelines.embeddings import centroid_outliers
+
+    return centroid_outliers(_emb_ds(sf_dir))
+
+
 def _q_emb_cosine_dups(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.embeddings import cosine_dup_pairs
 
@@ -1388,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degrees": _q_out_degrees,
         "top_degree": _q_top_degree,
         "pagerank": _q_pagerank,
+        "pagerank_top_nodes": _q_pagerank_top_nodes,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
@@ -1454,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_exemplars": _q_emb_centroid_exemplars,
         "emb_centroid_separation": _q_emb_centroid_separation,
         "emb_cluster_cohesion": _q_emb_cluster_cohesion,
+        "emb_outliers": _q_emb_outliers,
         "media_features": _q_media_features,
         "hits": _q_hits,
         "katz": _q_katz,
@@ -1489,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": so.out_degrees_sql(p),
         "top_degree": so.top_degree_sql(p),
         "pagerank": so.pagerank_sql(p),
+        "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "label_propagation": so.label_propagation_sql(p),
         "triangle_count": so.triangles_sql(p),
@@ -1552,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_exemplars": so.nearest_to_centroids_sql(5),
         "emb_centroid_separation": so.centroid_separation_sql(),
         "emb_cluster_cohesion": so.cluster_cohesion_sql(),
+        "emb_outliers": so.centroid_outliers_sql(),
         "media_features": so.media_features_sql(_media_path(_SF_ORACLE)),
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),

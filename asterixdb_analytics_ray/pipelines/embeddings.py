@@ -921,3 +921,116 @@ def cluster_cohesion(emb: ray.data.Dataset) -> pa.Table:
             ),
         }
     )
+
+
+def centroid_outliers(
+    emb: ray.data.Dataset, z_threshold: float = 2.0
+) -> ray.data.Dataset:
+    """Mislabeled-embedding detection: members whose cosine similarity to
+    their OWN label centroid sits ≥ ``z_threshold`` population z-scores
+    BELOW the label mean — the vector-side data-cleaning primitive.
+
+    → (label, vec_id, sim, z) for flagged members (z ≤ −threshold).
+
+    Three bounded passes: the sufficient-stat centroid pass, a map-side
+    sim scan folding per-label (n, Σs, Σs²) on the 1e-6-ROUNDED sims
+    (identical values on both sides, so μ/σ differ from SQL only in Σ
+    order), then a map-side re-scan flagging members against the
+    broadcast (μ, σ) table. σ=0 labels flag nothing (the SQL side's
+    x/0.0 is NULL, dropped by its filter — the window_anomalies
+    contract)."""
+    import pandas as pd
+
+    from ..functions.fasthash import round_like_sql
+
+    labels, C = _label_centroid_matrix(emb)
+    Cn = _normalize(C)
+    lref = ray.put(labels)
+    cref = ray.put(Cn)
+
+    def sims_of(t: pa.Table):
+        ids, m = _batch_matrix(t)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return ids.astype(np.int64), labs, np.empty(0)
+        idx = np.searchsorted(ray.get(lref), labs)
+        s = np.round(
+            np.einsum("ij,ij->i", _normalize(m), ray.get(cref)[idx]),
+            SIM_DECIMALS,
+        )
+        return ids.astype(np.int64), labs, s
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, labs, s = sims_of(t)
+        if not len(labs):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "s2": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(labs, kind="stable")
+        ls = labs[order]
+        starts = np.flatnonzero(np.concatenate(([True], ls[1:] != ls[:-1])))
+        return pa.table(
+            {
+                "label": ls[starts],
+                "n": np.diff(np.concatenate((starts, [len(ls)]))).astype(
+                    np.int64
+                ),
+                "s": np.add.reduceat(s[order], starts),
+                "s2": np.add.reduceat((s * s)[order], starts),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    st = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()  # labels-sized
+    ).sort_values("label")
+    n = st["n"].to_numpy(np.int64).astype(np.float64)
+    mu = st["s"].to_numpy(np.float64) / n
+    var = st["s2"].to_numpy(np.float64) / n - mu * mu
+    sd = np.sqrt(np.maximum(var, 0.0))
+    mu_ref = ray.put(mu)
+    sd_ref = ray.put(sd)
+    stat_labels = ray.put(st["label"].to_numpy(np.int64))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids, labs, s = sims_of(t)
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+                "z": pa.array([], pa.float64()),
+            }
+        )
+        if not len(labs):
+            return empty
+        idx = np.searchsorted(ray.get(stat_labels), labs)
+        m, d = ray.get(mu_ref)[idx], ray.get(sd_ref)[idx]
+        ok = d > 0.0
+        z = np.where(ok, (s - m) / np.where(ok, d, 1.0), 0.0)
+        keep = ok & (z <= -z_threshold)
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "label": labs[keep],
+                "vec_id": ids[keep],
+                "sim": s[keep],
+                "z": round_like_sql(z[keep], 6),
+            }
+        )
+
+    return emb.map_batches(flag, batch_format="pyarrow")

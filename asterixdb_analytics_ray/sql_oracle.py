@@ -2458,3 +2458,47 @@ SELECT lang,
        round(sum(ratio) / count(*), 6) AS mean_stopword_ratio
 FROM q GROUP BY lang
 """
+
+
+def centroid_outliers_sql(z_threshold: float = 2.0) -> str:
+    """Centroid outliers (embeddings.centroid_outliers): per-member sims
+    rounded to the shared 1e-6 grid FIRST, then the explicit two-moment
+    population μ/σ and the z ≤ −threshold filter (σ=0 labels drop via
+    NULL division, matching the engine guard)."""
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i
+  FROM embeddings),
+pern AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+dims AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS sx
+         FROM ex GROUP BY label, i),
+cent AS (SELECT d.label, list(sx / p.n ORDER BY i) AS c
+         FROM dims d JOIN pern p USING (label) GROUP BY d.label),
+sims AS MATERIALIZED (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      cent.c), 6) AS s
+  FROM embeddings e JOIN cent ON cent.label = e.label),
+st AS (
+  SELECT label, CAST(sum(s) AS DOUBLE) / count(*) AS mu,
+         sqrt(sum(s * s) / count(*)
+              - (CAST(sum(s) AS DOUBLE) / count(*))
+                * (CAST(sum(s) AS DOUBLE) / count(*))) AS sd
+  FROM sims GROUP BY label)
+SELECT CAST(s.label AS BIGINT) AS label, s.vec_id, s.s AS sim,
+       round((s.s - t.mu) / t.sd, 6) AS z
+FROM sims s JOIN st t USING (label)
+WHERE (s.s - t.mu) / t.sd <= -{z_threshold!r}
+"""
+
+
+def pagerank_top_nodes_sql(p: str, k: int = 20) -> str:
+    """Top-k PageRank vertices with node metadata: the pagerank_sql and
+    nodes_sql results joined, ordered (rounded rank desc, v asc)."""
+    return f"""
+SELECT r.v, n.kind, n.key, r.rank
+FROM ({pagerank_sql(p)}) r
+JOIN ({nodes_sql(p)}) n ON n.node_id = r.v
+ORDER BY r.rank DESC, r.v ASC
+LIMIT {k}
+"""

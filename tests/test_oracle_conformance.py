@@ -61,6 +61,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "out_degrees": so.out_degrees_sql,
         "top_degree": so.top_degree_sql,
         "pagerank": so.pagerank_sql,
+        "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
         "label_propagation": so.label_propagation_sql,
         "triangle_count": so.triangles_sql,
@@ -147,6 +148,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_centroid_exemplars": lambda: so.nearest_to_centroids_sql(5),
         "emb_centroid_separation": so.centroid_separation_sql,
         "emb_cluster_cohesion": so.cluster_cohesion_sql,
+        "emb_outliers": so.centroid_outliers_sql,
         "emb_random_projection": lambda: so.random_projection_sql(8, 64),
         "media_features": lambda: so.media_features_sql(
             __import__("__ray_entry__")._media_path(SF_DIR)
@@ -266,6 +268,8 @@ QUERY_NAMES = [
     "tpch_brand_volume",
     "tpch_region_revenue",
     "doc_quality_by_lang",
+    "emb_outliers",
+    "pagerank_top_nodes",
 ]
 
 
