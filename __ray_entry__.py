@@ -790,6 +790,23 @@ def _q_tpch_region_revenue(sf_dir: str):
     )
 
 
+def _q_events_props_rollup(sf_dir: str):
+    """Semi-structured extraction: the props JSON field k rolled up per
+    event type (vectorized regex extraction, integer-exact stats)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import props_rollup
+
+    return props_rollup(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props"],
+        )
+    )
+
+
 def _q_events_bipartite_degree(sf_dir: str):
     """Bipartite user→event_type degree over the driver's events table."""
     import os
@@ -1463,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "events_rolling_wau": _q_events_rolling_wau,
         "events_session_pairs": _q_events_session_pairs,
+        "events_props_rollup": _q_events_props_rollup,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_nation_revenue": _q_tpch_nation_revenue,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
@@ -1559,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": so.transition_counts_sql(),
         "events_rolling_wau": so.rolling_active_users_sql(7),
         "events_session_pairs": so.session_type_pairs_sql(),
+        "events_props_rollup": so.props_rollup_sql(),
         "tpch_pricing_summary": so.pricing_summary_sql(),
         "tpch_nation_revenue": so.nation_revenue_sql(),
         "tpch_shipping_priority": so.shipping_priority_sql(),

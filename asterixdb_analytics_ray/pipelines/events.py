@@ -988,3 +988,48 @@ def session_type_pairs(
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def props_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Semi-structured extraction — the AsterixDB-flavored operator: parse
+    the ``props`` JSON column, extract the integer field ``k``, and roll
+    it up per event type.
+
+    → (event_type, n: int64 rows with a k field, sum_k, min_k, max_k:
+    int64). Extraction is one vectorized regex over the whole batch
+    (``Series.str.extract`` — no per-row json.loads in the hot path; the
+    pattern accepts arbitrary whitespace and key order around the field,
+    which is all the JSON variation the column carries). Rows without a
+    parseable ``k`` are dropped on both sides (SQL json_extract NULL).
+    Integer-exact everywhere."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        ok = k.notna()
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"][ok],
+                "k": k[ok].astype(np.int64),
+            }
+        )
+        # per-batch partial: one row per (type) with local sufficient stats
+        g = (
+            out.groupby("event_type", sort=False)["k"]
+            .agg(n="size", sum_k="sum", min_k="min", max_k="max")
+            .reset_index()
+        )
+        for c in ["n", "sum_k", "min_k", "max_k"]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        events.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

@@ -2502,3 +2502,22 @@ JOIN ({nodes_sql(p)}) n ON n.node_id = r.v
 ORDER BY r.rank DESC, r.v ASC
 LIMIT {k}
 """
+
+
+def props_rollup_sql() -> str:
+    """JSON props rollup (events.props_rollup): json_extract of the k
+    field, integer-exact per-type sufficient stats."""
+    return """
+WITH p AS MATERIALIZED (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM p WHERE k IS NOT NULL
+GROUP BY event_type
+"""

@@ -115,6 +115,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_quality_by_lang": so.quality_by_lang_sql,
         "events_transitions": so.transition_counts_sql,
         "events_session_pairs": so.session_type_pairs_sql,
+        "events_props_rollup": so.props_rollup_sql,
         "tpch_pricing_summary": so.pricing_summary_sql,
         "tpch_nation_revenue": so.nation_revenue_sql,
         "tpch_shipping_priority": so.shipping_priority_sql,
@@ -270,6 +271,7 @@ QUERY_NAMES = [
     "doc_quality_by_lang",
     "emb_outliers",
     "pagerank_top_nodes",
+    "events_props_rollup",
 ]
 
 
