@@ -1064,6 +1064,12 @@ def _q_doc_token_counts(sf_dir: str):
     return token_counts(_docs_ds(sf_dir))
 
 
+def _q_doc_scrub_terms(sf_dir: str):
+    from asterixdb_analytics_ray.pipelines.textops import scrub_terms
+
+    return scrub_terms(_docs_ds(sf_dir))
+
+
 def _q_doc_fingerprints(sf_dir: str):
     from asterixdb_analytics_ray.pipelines.textops import fingerprints
 
@@ -1458,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_scrub_terms": _q_doc_scrub_terms,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_quality": _q_doc_quality,
         "doc_repetition": _q_doc_repetition,
@@ -1595,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_dups": so.simhash_pairs_sql(3),
         "doc_token_counts": so.token_counts_sql(),
         "doc_fingerprints": so.fingerprints_sql(),
+        "doc_scrub_terms": so.scrub_terms_sql(),
         "doc_exact_dedup": so.exact_dedup_sql(),
         "doc_quality": so.quality_scores_sql(),
         "doc_repetition": so.repetition_scores_sql(),

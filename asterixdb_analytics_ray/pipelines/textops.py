@@ -1432,3 +1432,44 @@ def quality_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+DEFAULT_SCRUB_TERMS: tuple[str, ...] = ("spark", "slow", "dup")
+
+
+def scrub_terms(
+    docs: ray.data.Dataset,
+    terms: tuple[str, ...] = DEFAULT_SCRUB_TERMS,
+    replacement: str = "<TERM>",
+) -> ray.data.Dataset:
+    """Blocklist term scrubbing: redact whole-word occurrences of ``terms``,
+    returning ``(doc_id, n_hits, clean_text, clean_len)``.
+
+    The training-data boilerplate/banned-term removal pass: unlike
+    ``decontaminate`` (which DROPS matching documents) this REWRITES the
+    text in place, so downstream stages see the cleaned corpus. Pure
+    map-side — one compiled-RE2 pass per batch via
+    ``pyarrow.compute.replace_substring_regex`` (zero-copy Arrow in/out,
+    no Python row loop) and therefore shuffle-free at any scale.
+
+    The word-boundary RE2 pattern is byte-identical between pyarrow and
+    DuckDB (both RE2), so the oracle reproduces counts and the rewritten
+    text exactly (``sql_oracle.scrub_terms_sql``).
+    """
+    pat = r"\b(?:" + "|".join(terms) + r")\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = t["text"]
+        clean = pc.replace_substring_regex(text, pat, replacement)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pc.cast(pc.count_substring_regex(text, pat), pa.int64()),
+                "clean_text": clean,
+                "clean_len": pc.cast(pc.utf8_length(clean), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

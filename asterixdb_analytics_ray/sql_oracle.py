@@ -335,6 +335,22 @@ def fingerprints_sql() -> str:
     return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def scrub_terms_sql(
+    terms: tuple[str, ...] = ("spark", "slow", "dup"), replacement: str = "<TERM>"
+) -> str:
+    """Blocklist term scrubbing (``pipelines/textops.py scrub_terms``): both
+    sides run the SAME word-boundary RE2 pattern (pyarrow and DuckDB share
+    the RE2 engine), so the rewritten text hashes identically."""
+    pat = r"\b(?:" + "|".join(terms) + r")\b"
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}')) AS n_hits,
+       regexp_replace(text, '{pat}', '{replacement}', 'g') AS clean_text,
+       length(regexp_replace(text, '{pat}', '{replacement}', 'g')) AS clean_len
+FROM documents
+"""
+
+
 def exact_dedup_sql() -> str:
     return "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 

@@ -159,6 +159,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         ),
         "doc_bigram_pmi": lambda: so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql,
+        "doc_scrub_terms": so.scrub_terms_sql,
     }
     if name in view_based:
         return view_based[name]()
@@ -272,6 +273,7 @@ QUERY_NAMES = [
     "emb_outliers",
     "pagerank_top_nodes",
     "events_props_rollup",
+    "doc_scrub_terms",
 ]
 
 
