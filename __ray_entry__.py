@@ -215,6 +215,29 @@ def _q_triangle_total(sf_dir: str):
     return pa.table({"total_triangles": [total]})
 
 
+def _q_dag_levels(sf_dir: str):
+    """Longest-path topological level per vertex over the directed DAG
+    (max-propagation BSP; converges in longest-path supersteps, raises past
+    the oracle unroll bound)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.pipelines.dagdepth import dag_levels_dense
+    from asterixdb_analytics_ray.sql_oracle import DAG_LEVEL_ITERS
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = dag_levels_dense(
+        views["directed"], g.n_nodes, max_unroll=DAG_LEVEL_ITERS
+    )
+    return pa.table(
+        {
+            "v": np.arange(g.n_nodes, dtype=np.int64),
+            "level": res.state["level"].astype(np.int64),
+        }
+    )
+
+
 def _q_sssp(sf_dir: str):
     """Unit-weight SSSP from vertex 0 — runs the sharded scale-path runner
     (``ShardedSSSP``), semantics identical to the dense kernel."""
@@ -1450,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
+        "dag_levels": _q_dag_levels,
         "sssp_weighted": _q_sssp_weighted,
         "bfs_multi_source": _q_bfs_multi_source,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -1555,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": so.triangles_sql(p),
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
+        "dag_levels": so.dag_levels_sql(p),
         "sssp_weighted": so.sssp_weighted_sql(p),
         "bfs_multi_source": so.bfs_multi_sql(p),
         "harmonic_centrality": so.bfs_harmonic_sql(p),

@@ -220,6 +220,33 @@ def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
     return "".join(parts)
 
 
+DAG_LEVEL_ITERS = 24  # > longest directed path (reply chains ≤ ~16 hops);
+# the engine raises past this bound (pipelines/dagdepth.py dag_levels_dense)
+
+
+def dag_levels_sql(p: str, iters: int = DAG_LEVEL_ITERS) -> str:
+    """Longest-path topological level per vertex: unrolled max-propagation
+    (monotone, so relaxing from ALL vertices each round reaches the same
+    fixpoint as the engine's active-frontier run)."""
+    parts = [prelude(p)]
+    parts.append(
+        ", l0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS lvl FROM verts)\n"
+    )
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT s.v, greatest(s.lvl, coalesce(m.ml, s.lvl)) AS lvl
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS v, max(s2.lvl + 1) AS ml
+    FROM edges e JOIN {prev} s2 ON e.src = s2.v
+    GROUP BY e.dst) m ON m.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v, lvl AS level FROM l{iters}")
+    return "".join(parts)
+
+
 _WEDGES_CTE = """, wedges AS MATERIALIZED (
   SELECT ns.node_id AS src, nd.node_id AS dst, CAST(ctw.cnt AS DOUBLE) AS w
   FROM (SELECT conv_id, tool, count(*) AS cnt FROM t

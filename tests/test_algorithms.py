@@ -393,3 +393,29 @@ def test_lp_sharded_actor_executor_parity(ray_session):
     actors = act_runner.run(und, rounds=4)
     act_runner.shutdown()
     np.testing.assert_array_equal(tasks, actors)
+
+
+def test_dag_levels_dense():
+    """Longest-path levels on a handcrafted DAG: diamond + a long chain.
+
+    0→1→3, 0→2→3→4 and a chain 5→6→7→8: level = longest path ending at v.
+    """
+    from asterixdb_analytics_ray.pipelines.dagdepth import dag_levels_dense
+
+    src = np.array([0, 1, 0, 2, 3, 5, 6, 7], dtype=np.int64)
+    dst = np.array([1, 3, 2, 3, 4, 6, 7, 8], dtype=np.int64)
+    res = dag_levels_dense(as_dataset(src, dst), 9)
+    assert res.state["level"].astype(int).tolist() == [0, 1, 1, 2, 3, 0, 1, 2, 3]
+    assert res.supersteps <= 5  # longest path 3 → 4 relax rounds + quiesce
+
+
+def test_dag_levels_raises_on_cycle():
+    """A cyclic input must trip the oracle-unroll guard, never mismatch."""
+    import pytest as _pytest
+
+    from asterixdb_analytics_ray.pipelines.dagdepth import dag_levels_dense
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0], dtype=np.int64)
+    with _pytest.raises(RuntimeError, match="cyclic"):
+        dag_levels_dense(as_dataset(src, dst), 3, max_unroll=8)

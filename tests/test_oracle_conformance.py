@@ -90,6 +90,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "transitivity": so.transitivity_sql,
         "katz": so.katz_sql,
         "avg_neighbor_degree": so.avg_neighbor_degree_sql,
+        "dag_levels": so.dag_levels_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -274,6 +275,7 @@ QUERY_NAMES = [
     "pagerank_top_nodes",
     "events_props_rollup",
     "doc_scrub_terms",
+    "dag_levels",
 ]
 
 
