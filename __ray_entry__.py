@@ -1271,6 +1271,14 @@ def _q_corpus_pipeline(sf_dir: str):
     return corpus_pipeline(_docs_ds(sf_dir))
 
 
+def _q_emb_covariance(sf_dir: str):
+    """Corpus-wide embedding covariance (upper triangle) via per-batch
+    Gram-matrix sufficient statistics — the distributed PCA primitive."""
+    from asterixdb_analytics_ray.pipelines.embeddings import covariance_stats
+
+    return covariance_stats(_emb_ds(sf_dir))
+
+
 def _q_emb_label_centroids(sf_dir: str):
     """Per-label centroid norm + dispersion via mergeable sufficient stats."""
     from asterixdb_analytics_ray.pipelines.embeddings import label_centroids
@@ -1530,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "corpus_pipeline": _q_corpus_pipeline,
         "emb_label_centroids": _q_emb_label_centroids,
+        "emb_covariance": _q_emb_covariance,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_lsh_dups": _q_emb_lsh_dups,
@@ -1634,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": so.lm_score_sql(),
         "corpus_pipeline": so.corpus_pipeline_sql(),
         "emb_label_centroids": so.label_centroids_sql(),
+        "emb_covariance": so.covariance_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),

@@ -1034,3 +1034,63 @@ def centroid_outliers(
         )
 
     return emb.map_batches(flag, batch_format="pyarrow")
+
+
+def covariance_stats(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus-wide embedding covariance matrix (upper triangle): rows
+    ``(i, j, cov)`` for dimension pairs i ≤ j, population covariance
+    ``E[x_i x_j] − E[x_i]E[x_j]``.
+
+    The distributed linear-algebra primitive behind PCA / whitening /
+    ZCA of an embedding column: each batch emits ONE row of mergeable
+    sufficient statistics — (n, Σv, vec(ΣvvT)) via a d×d ``m.T @ m``
+    matmul — so the shuffle carries ``blocks`` rows of ~d² doubles
+    (d=64 → 33 KB) regardless of corpus size; the eigen-solve a PCA
+    would run on the merged d×d matrix is driver-trivial. Rounded to 6
+    decimals (block summation order vs the SQL oracle's row order).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if not len(ids):
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_vec": pa.array([], pa.list_(pa.float64())),
+                    "sum_outer": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        outer = m.T @ m  # (d, d) float64
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(ids)], pa.int64()),
+                "sum_vec": _list_col(m.sum(axis=0)[None, :]),
+                "sum_outer": _list_col(outer.reshape(1, -1)),
+            }
+        )
+
+    def merge(df):
+        import pandas as pd
+
+        n = int(df["n"].sum())
+        sv = np.stack(df["sum_vec"].to_numpy()).sum(axis=0)
+        so = np.stack(df["sum_outer"].to_numpy()).sum(axis=0)
+        d = len(sv)
+        mean = sv / n
+        cov = so.reshape(d, d) / n - np.outer(mean, mean)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "cov": np.round(cov[iu, ju], 6),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pandas")
+    )

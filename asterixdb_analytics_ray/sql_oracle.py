@@ -1365,6 +1365,32 @@ FROM pern p JOIN c2 USING (label) JOIN msq USING (label)
 """
 
 
+def covariance_sql() -> str:
+    """Embedding covariance upper triangle (embeddings.covariance_stats):
+    positional unnest, per-dimension-pair Σxy via a vec_id self-join, both
+    operands cast to DOUBLE before multiplying (the engine's float64
+    matmul), population covariance, rounded to 6."""
+    return """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS i
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+sums AS (SELECT i, sum(x) AS sx FROM ex GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i, p.j,
+       round(p.sxy / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n), 6) AS cov
+FROM pairs p, nn
+JOIN sums sa ON sa.i = p.i
+JOIN sums sb ON sb.i = p.j
+"""
+
+
 def lm_score_sql() -> str:
     """Unigram LM score (corpus.lm_score): mean ln(count/T) per doc,
     empty docs 0, rounded to 6 (per-doc summation-order tolerance)."""

@@ -161,6 +161,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_bigram_pmi": lambda: so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql,
         "doc_scrub_terms": so.scrub_terms_sql,
+        "emb_covariance": so.covariance_sql,
     }
     if name in view_based:
         return view_based[name]()
@@ -276,6 +277,7 @@ QUERY_NAMES = [
     "events_props_rollup",
     "doc_scrub_terms",
     "dag_levels",
+    "emb_covariance",
 ]
 
 
