@@ -215,6 +215,16 @@ def _q_triangle_total(sf_dir: str):
     return pa.table({"total_triangles": [total]})
 
 
+def _q_conv_tool_paths(sf_dir: str):
+    """Top-20 tool-invocation sequences across conversations (sequence
+    mining over the raw transcript table, conv-bucketed)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_paths
+
+    return tool_paths(ray.data.read_parquet(_transcripts_path(sf_dir)))
+
+
 def _q_dag_levels(sf_dir: str):
     """Longest-path topological level per vertex over the directed DAG
     (max-propagation BSP; converges in longest-path supersteps, raises past
@@ -1482,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": _q_triangle_total,
         "sssp": _q_sssp,
         "dag_levels": _q_dag_levels,
+        "conv_tool_paths": _q_conv_tool_paths,
         "sssp_weighted": _q_sssp_weighted,
         "bfs_multi_source": _q_bfs_multi_source,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -1589,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": so.triangle_total_sql(p),
         "sssp": so.sssp_sql(p),
         "dag_levels": so.dag_levels_sql(p),
+        "conv_tool_paths": so.tool_paths_sql(p),
         "sssp_weighted": so.sssp_weighted_sql(p),
         "bfs_multi_source": so.bfs_multi_sql(p),
         "harmonic_centrality": so.bfs_harmonic_sql(p),

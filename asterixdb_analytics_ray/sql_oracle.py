@@ -220,6 +220,23 @@ def sssp_sql(p: str, source: int = 0, iters: int = SSSP_ITERS) -> str:
     return "".join(parts)
 
 
+def tool_paths_sql(p: str, k: int = 20) -> str:
+    """Top-k tool-invocation paths per conversation (pipelines/convs.py
+    tool_paths): ordered string_agg per conv, counted, (count desc, path)."""
+    return f"""
+WITH tu AS MATERIALIZED (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{p}') WHERE tool IS NOT NULL
+),
+paths AS (
+  SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS path
+  FROM tu GROUP BY conv_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_convs
+FROM paths GROUP BY path
+ORDER BY n_convs DESC, path ASC LIMIT {k}
+"""
+
+
 DAG_LEVEL_ITERS = 24  # > longest directed path (reply chains ≤ ~16 hops);
 # the engine raises past this bound (pipelines/dagdepth.py dag_levels_dense)
 

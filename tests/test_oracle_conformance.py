@@ -91,6 +91,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "katz": so.katz_sql,
         "avg_neighbor_degree": so.avg_neighbor_degree_sql,
         "dag_levels": so.dag_levels_sql,
+        "conv_tool_paths": so.tool_paths_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -278,6 +279,7 @@ QUERY_NAMES = [
     "doc_scrub_terms",
     "dag_levels",
     "emb_covariance",
+    "conv_tool_paths",
 ]
 
 
