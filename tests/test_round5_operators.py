@@ -776,3 +776,72 @@ def test_betweenness_brute_force(ray_session):
         .set_index("v")["bc"]
     )
     assert out.to_dict() == {1: 3.0, 2: 2.0, 3: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# round-5 fourth wave: scrub_terms / covariance_stats / tool_paths
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_terms_counts_and_rewrite(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import scrub_terms
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["spark and slow spark", "sparkle dupe", ""],
+            }
+        )
+    )
+    out = scrub_terms(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out["n_hits"].tolist() == [3, 0, 0]
+    assert out.loc[1, "clean_text"] == "<TERM> and <TERM> <TERM>"
+    # substrings of blocked words survive (word-boundary semantics)
+    assert out.loc[2, "clean_text"] == "sparkle dupe"
+    assert out["clean_len"].tolist() == [24, 12, 0]
+
+
+def test_covariance_stats_matches_numpy(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import covariance_stats
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 5)).astype(np.float32)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(40, dtype=np.int64),
+                "embedding": pa.array(
+                    [r for r in m.tolist()], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+    out = covariance_stats(emb).to_pandas()
+    want = np.cov(m.astype(np.float64), rowvar=False, bias=True)
+    for _, r in out.iterrows():
+        assert abs(r["cov"] - want[int(r["i"]), int(r["j"])]) < 1e-6
+    assert len(out) == 5 * 6 // 2
+
+
+def test_tool_paths_ordering_and_topk(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_paths
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "a", "b", "b", "c", "d"],
+            "turn_idx": [2, 0, 1, 1, 0, 0, 0],
+            "tool": ["t3", "t1", None, "t3", "t1", "t1", "t9"],
+        }
+    )
+    out = tool_paths(ray.data.from_arrow(t), k=2).to_pandas()
+    # conv a: turns 0,2 with tools t1,t3 (turn 1 has no tool) → "t1>t3"
+    # conv b: "t1>t3"; conv c: "t1"; conv d: "t9" → top-2 by count then path
+    assert out["path"].tolist() == ["t1>t3", "t1"]
+    assert out["n_convs"].tolist() == [2, 1]
