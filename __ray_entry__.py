@@ -1289,6 +1289,14 @@ def _q_emb_covariance(sf_dir: str):
     return covariance_stats(_emb_ds(sf_dir))
 
 
+def _q_emb_top_direction(sf_dir: str):
+    """Top principal direction via fixed-step power iteration on the
+    distributed covariance sufficient stats (the first step of PCA)."""
+    from asterixdb_analytics_ray.pipelines.embeddings import top_direction
+
+    return top_direction(_emb_ds(sf_dir))
+
+
 def _q_emb_label_centroids(sf_dir: str):
     """Per-label centroid norm + dispersion via mergeable sufficient stats."""
     from asterixdb_analytics_ray.pipelines.embeddings import label_centroids
@@ -1550,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_covariance": _q_emb_covariance,
+        "emb_top_direction": _q_emb_top_direction,
         "emb_knn": _q_emb_knn,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_lsh_dups": _q_emb_lsh_dups,
@@ -1656,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": so.corpus_pipeline_sql(),
         "emb_label_centroids": so.label_centroids_sql(),
         "emb_covariance": so.covariance_sql(),
+        "emb_top_direction": so.top_direction_sql(),
         "emb_knn": so.knn_sql(_KNN_QUERY_IDS, k=10),
         "emb_cosine_dups": so.cosine_dup_pairs_sql(0.4),
         "emb_lsh_dups": so.lsh_dup_pairs_sql(0.4, n_bands=8, band_bits=4),

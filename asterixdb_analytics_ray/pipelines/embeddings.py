@@ -1036,6 +1036,31 @@ def centroid_outliers(
     return emb.map_batches(flag, batch_format="pyarrow")
 
 
+def _cov_partial(t: pa.Table) -> pa.Table:
+    """One row of mergeable covariance sufficient statistics per batch:
+    (n, Σv, vec(ΣvvT)) via a d×d ``m.T @ m`` matmul — ~d² doubles
+    (d=64 → 33 KB) regardless of batch row count."""
+    ids, m = _batch_matrix(t)
+    if not len(ids):
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_vec": pa.array([], pa.list_(pa.float64())),
+                "sum_outer": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    outer = m.T @ m  # (d, d) float64
+    return pa.table(
+        {
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64()),
+            "sum_vec": _list_col(m.sum(axis=0)[None, :]),
+            "sum_outer": _list_col(outer.reshape(1, -1)),
+        }
+    )
+
+
 def covariance_stats(emb: ray.data.Dataset) -> ray.data.Dataset:
     """Corpus-wide embedding covariance matrix (upper triangle): rows
     ``(i, j, cov)`` for dimension pairs i ≤ j, population covariance
@@ -1049,27 +1074,6 @@ def covariance_stats(emb: ray.data.Dataset) -> ray.data.Dataset:
     would run on the merged d×d matrix is driver-trivial. Rounded to 6
     decimals (block summation order vs the SQL oracle's row order).
     """
-
-    def partial(t: pa.Table) -> pa.Table:
-        ids, m = _batch_matrix(t)
-        if not len(ids):
-            return pa.table(
-                {
-                    "k": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "sum_vec": pa.array([], pa.list_(pa.float64())),
-                    "sum_outer": pa.array([], pa.list_(pa.float64())),
-                }
-            )
-        outer = m.T @ m  # (d, d) float64
-        return pa.table(
-            {
-                "k": pa.array([0], pa.int64()),
-                "n": pa.array([len(ids)], pa.int64()),
-                "sum_vec": _list_col(m.sum(axis=0)[None, :]),
-                "sum_outer": _list_col(outer.reshape(1, -1)),
-            }
-        )
 
     def merge(df):
         import pandas as pd
@@ -1090,7 +1094,44 @@ def covariance_stats(emb: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return (
-        emb.map_batches(partial, batch_format="pyarrow")
+        emb.map_batches(_cov_partial, batch_format="pyarrow")
         .groupby("k")
         .map_groups(merge, batch_format="pandas")
+    )
+
+
+def top_direction(emb: ray.data.Dataset, iters: int = 30) -> pa.Table:
+    """Top principal direction of the embedding covariance via FIXED-STEP
+    power iteration → rows ``(i, loading, eigenvalue)``.
+
+    The first step of distributed PCA: the data-parallel work is ONE
+    sufficient-statistics pass (``_cov_partial`` — the same blocks-bounded
+    shuffle as ``covariance_stats``); the driver then iterates on the d×d
+    matrix only (d=64 → microseconds), never on rows. Deterministic by
+    construction: all-ones/√d start, exactly ``iters`` matvec+normalize
+    steps, NO eigensolver and no convergence test — so the SQL oracle can
+    replay the identical arithmetic as unrolled CTEs
+    (``sql_oracle.top_direction_sql``) and the result is value-comparable
+    at the 1e-6 grid. Eigenvalue = vᵀCv at the final iterate.
+    """
+    parts = (
+        emb.map_batches(_cov_partial, batch_format="pyarrow").to_pandas()
+    )  # ≤ one 33 KB row per input block — a legitimate small materialization
+    n = int(parts["n"].sum())
+    sv = np.stack(parts["sum_vec"].to_numpy()).sum(axis=0)
+    so = np.stack(parts["sum_outer"].to_numpy()).sum(axis=0)
+    d = len(sv)
+    mean = sv / n
+    cov = so.reshape(d, d) / n - np.outer(mean, mean)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.sqrt((w * w).sum())
+    lam = float(v @ cov @ v)
+    return pa.table(
+        {
+            "i": np.arange(d, dtype=np.int64),
+            "loading": np.round(v, 6),
+            "eigenvalue": np.full(d, round(lam, 6)),
+        }
     )

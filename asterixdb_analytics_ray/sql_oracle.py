@@ -1408,6 +1408,58 @@ JOIN sums sb ON sb.i = p.j
 """
 
 
+def top_direction_sql(iters: int = 30) -> str:
+    """Top principal direction (embeddings.top_direction): the covariance
+    CTE (full matrix, cast-to-double products) + ``iters`` unrolled
+    matvec→normalize steps from the all-ones/√d start — the engine's exact
+    fixed-step power iteration, no eigensolver either side."""
+    parts = [
+        """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS i
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+sums AS (SELECT i, sum(x) AS sx FROM ex GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+cov AS MATERIALIZED (
+  SELECT p.i, p.j, p.sxy / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n) AS c
+  FROM pairs p, nn
+  JOIN sums sa ON sa.i = p.i
+  JOIN sums sb ON sb.i = p.j
+),
+dd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM sums),
+v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(dd.d) AS x FROM sums, dd)
+"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT c.i, sum(c.c * v.x) AS y FROM cov c JOIN {prev} v ON c.j = v.i
+  GROUP BY c.i),
+v{t} AS MATERIALIZED (
+  SELECT w.i, w.y / q.nrm AS x
+  FROM w{t} w, (SELECT sqrt(sum(y * y)) AS nrm FROM w{t}) q)
+"""
+        )
+    parts.append(
+        f""", lam AS (
+  SELECT sum(va.x * c.c * vb.x) AS l
+  FROM cov c JOIN v{iters} va ON va.i = c.i JOIN v{iters} vb ON vb.i = c.j
+)
+SELECT v.i, round(v.x, 6) AS loading, round(lam.l, 6) AS eigenvalue
+FROM v{iters} v, lam
+"""
+    )
+    return "".join(parts)
+
+
 def lm_score_sql() -> str:
     """Unigram LM score (corpus.lm_score): mean ln(count/T) per doc,
     empty docs 0, rounded to 6 (per-doc summation-order tolerance)."""

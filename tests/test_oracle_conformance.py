@@ -163,6 +163,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_quantize": so.quantize_int8_sql,
         "doc_scrub_terms": so.scrub_terms_sql,
         "emb_covariance": so.covariance_sql,
+        "emb_top_direction": so.top_direction_sql,
     }
     if name in view_based:
         return view_based[name]()
@@ -280,6 +281,7 @@ QUERY_NAMES = [
     "dag_levels",
     "emb_covariance",
     "conv_tool_paths",
+    "emb_top_direction",
 ]
 
 

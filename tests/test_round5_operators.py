@@ -845,3 +845,31 @@ def test_tool_paths_ordering_and_topk(ray_session):
     # conv b: "t1>t3"; conv c: "t1"; conv d: "t9" → top-2 by count then path
     assert out["path"].tolist() == ["t1>t3", "t1"]
     assert out["n_convs"].tolist() == [2, 1]
+
+
+def test_top_direction_matches_numpy_eig(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import top_direction
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant axis along dim 0
+    m = rng.normal(size=(200, 6)) * np.array([5.0, 1, 1, 0.5, 0.5, 0.1])
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(200, dtype=np.int64),
+                "embedding": pa.array(
+                    m.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(3)
+    out = top_direction(emb, iters=50).to_pandas().sort_values("i")
+    cov = np.cov(m.astype(np.float32).astype(np.float64), rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1] * np.sign(v[0, -1]) if v[0, -1] != 0 else v[:, -1]
+    got = out["loading"].to_numpy()
+    got = got * np.sign(got[0])
+    assert np.allclose(got, top, atol=1e-4)
+    assert abs(out["eigenvalue"].iloc[0] - w[-1]) < 1e-4
