@@ -225,6 +225,24 @@ def _q_conv_tool_paths(sf_dir: str):
     return tool_paths(ray.data.read_parquet(_transcripts_path(sf_dir)))
 
 
+def _q_tool_scc(sf_dir: str):
+    """SCC of the directed tool-precedence graph (cyclic across convs)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_scc
+
+    return tool_scc(ray.data.read_parquet(_transcripts_path(sf_dir)))
+
+
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation rollup via two-level combine (turns never shuffle)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import conv_stats
+
+    return conv_stats(ray.data.read_parquet(_transcripts_path(sf_dir)))
+
+
 def _q_dag_levels(sf_dir: str):
     """Longest-path topological level per vertex over the directed DAG
     (max-propagation BSP; converges in longest-path supersteps, raises past
@@ -1501,6 +1519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "dag_levels": _q_dag_levels,
         "conv_tool_paths": _q_conv_tool_paths,
+        "tool_scc": _q_tool_scc,
+        "conv_stats": _q_conv_stats,
         "sssp_weighted": _q_sssp_weighted,
         "bfs_multi_source": _q_bfs_multi_source,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -1610,6 +1630,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp": so.sssp_sql(p),
         "dag_levels": so.dag_levels_sql(p),
         "conv_tool_paths": so.tool_paths_sql(p),
+        "tool_scc": so.tool_scc_sql(p),
+        "conv_stats": so.conv_stats_sql(p),
         "sssp_weighted": so.sssp_weighted_sql(p),
         "bfs_multi_source": so.bfs_multi_sql(p),
         "harmonic_centrality": so.bfs_harmonic_sql(p),

@@ -77,3 +77,169 @@ def tool_paths(
         .sort(["n_convs", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+def tool_precedence_edges(
+    transcripts: ray.data.Dataset, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """Directed tool-precedence edges: ``src → dst`` when some turn using
+    ``src`` precedes (by turn_idx) some turn using ``dst`` within one
+    conversation — the ORDERED counterpart of the undirected ``tool_cooc``
+    projection (graph.py), and cyclic across conversations (A before B in
+    one conv, B before A in another).
+
+    Distributed shape: conv-bucket shuffle (vectorized md5 bucket), then one
+    self-merge per BUCKET (not per conversation) with turn_a < turn_b and a
+    per-bucket distinct — the exchange after the bucket stage is bounded by
+    tools² rows per bucket. A global distinct closes it.
+    """
+    nb = np.uint64(n_buckets)
+
+    def project_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t["tool"]))
+        bucket = (fasthash.md5_prefix_u64(t["conv_id"]) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "tool": t["tool"],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def per_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[["conv_id", "turn_idx", "tool"]].merge(
+            df[["conv_id", "turn_idx", "tool"]], on="conv_id", suffixes=("_a", "_b")
+        )
+        m = m[(m["turn_idx_a"] < m["turn_idx_b"]) & (m["tool_a"] != m["tool_b"])]
+        out = m[["tool_a", "tool_b"]].drop_duplicates()
+        return pd.DataFrame({"src": out["tool_a"], "dst": out["tool_b"]})
+
+    return (
+        transcripts.map_batches(project_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket_pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+
+
+def tool_scc(transcripts: ray.data.Dataset) -> pa.Table:
+    """Strongly connected components of the directed tool-precedence graph
+    → ``(tool, scc_id, scc_size)`` with ``scc_id`` = lexicographically
+    smallest member tool.
+
+    The data-parallel work is the precedence-edge derivation over every
+    turn (``tool_precedence_edges``); the closure then runs on the ≤
+    tools² edge table — the tool vocabulary is bounded (same class as the
+    langs/labels/types dimension tables elsewhere in this repo), so the
+    driver holds a tools×tools boolean matrix, never row data. Reachability
+    by repeated squaring (log₂ depth), mutual-reach intersection, min-name
+    labeling — replayed exactly by the oracle's unrolled DISTINCT-join CTEs
+    (``sql_oracle.tool_scc_sql``).
+    """
+    import pyarrow.compute as pc
+
+    e = tool_precedence_edges(transcripts).to_pandas()
+    # tool universe from the data, not the edge list: a tool that never
+    # shares a conversation with another tool is its own singleton SCC
+    tools_ds = (
+        transcripts.map_batches(
+            lambda t: pa.table({"tool": t.filter(pc.is_valid(t["tool"]))["tool"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("tool")
+        .count()
+        .to_pandas()
+    )
+    tools = np.sort(tools_ds["tool"].to_numpy())
+    idx = {t: i for i, t in enumerate(tools)}
+    n = len(tools)
+    reach = np.eye(n, dtype=bool)
+    if len(e):
+        reach[
+            e["src"].map(idx).to_numpy(), e["dst"].map(idx).to_numpy()
+        ] = True
+    # repeated squaring: closure in ceil(log2(n)) boolean matmuls
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
+        nxt = reach | (reach @ reach)
+        if (nxt == reach).all():
+            break
+        reach = nxt
+    mutual = reach & reach.T
+    scc_id = np.array([tools[np.flatnonzero(row)[0]] for row in mutual])
+    # sizes per component
+    import pandas as pd
+
+    sizes = pd.Series(scc_id).value_counts()
+    return pa.table(
+        {
+            "tool": pa.array(tools),
+            "scc_id": pa.array(scc_id),
+            "scc_size": pa.array(
+                sizes[scc_id].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def conv_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation rollup → ``(conv_id, n_turns, n_tool_calls,
+    start_us, end_us, duration_us)``.
+
+    The transcript-native dimension table a training pipeline filters and
+    samples conversations by. Two-level combine: each batch pre-aggregates
+    its turns to one row per (conv × batch) — a vectorized pandas groupby —
+    then Ray-native Sum/Min/Max close per conv, so the exchange carries
+    conversation partials, never turns (the MessageCombiner stepPartial /
+    stepFinal shape).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "one": np.ones(len(df), dtype=np.int64),
+                "toolcall": df["tool"].notna().to_numpy().astype(np.int64),
+                "tsu": df["ts"].astype("int64").to_numpy(),
+            }
+        ).groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("one", "sum"),
+            n_tool_calls=("toolcall", "sum"),
+            start_us=("tsu", "min"),
+            end_us=("tsu", "max"),
+        ).reset_index()
+        return out
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        transcripts.map_batches(partial, batch_format="pandas")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tool_calls", alias_name="n_tool_calls"),
+            Min("start_us", alias_name="start_us"),
+            Max("end_us", alias_name="end_us"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["start_us"].to_numpy(np.int64)
+        e = df["end_us"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "n_turns": df["n_turns"].astype(np.int64),
+                "n_tool_calls": df["n_tool_calls"].astype(np.int64),
+                "start_us": s,
+                "end_us": e,
+                "duration_us": e - s,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

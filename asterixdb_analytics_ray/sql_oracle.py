@@ -237,6 +237,65 @@ ORDER BY n_convs DESC, path ASC LIMIT {k}
 """
 
 
+def tool_scc_sql(p: str, squarings: int = 8) -> str:
+    """SCC over the directed tool-precedence graph (pipelines/convs.py
+    tool_scc): ordered-pair edge derivation, reachability closure by
+    ``squarings`` unrolled DISTINCT self-joins (paths ≤ 2^squarings — both
+    sides compute the same fixpoint), mutual-reach min-name labeling."""
+    parts = [
+        f"""
+WITH tu AS MATERIALIZED (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{p}') WHERE tool IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.tool AS src, b.tool AS dst
+  FROM tu a JOIN tu b
+    ON a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx AND a.tool <> b.tool
+),
+tools AS MATERIALIZED (SELECT DISTINCT tool FROM tu),
+r0 AS MATERIALIZED (
+  SELECT tool AS src, tool AS dst FROM tools
+  UNION
+  SELECT src, dst FROM e
+)
+"""
+    ]
+    for i in range(1, squarings + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst FROM {prev} a JOIN {prev} b ON a.dst = b.src)
+"""
+        )
+    parts.append(
+        f""", scc AS (
+  SELECT a.src AS tool, min(a.dst) AS scc_id
+  FROM r{squarings} a JOIN r{squarings} b
+    ON b.src = a.dst AND b.dst = a.src
+  GROUP BY a.src
+),
+sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+          FROM scc GROUP BY scc_id)
+SELECT s.tool, s.scc_id, z.scc_size FROM scc s JOIN sizes z USING (scc_id)
+"""
+    )
+    return "".join(parts)
+
+
+def conv_stats_sql(p: str) -> str:
+    """Per-conversation rollup (pipelines/convs.py conv_stats)."""
+    return f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM read_parquet('{p}')
+GROUP BY conv_id
+"""
+
+
 DAG_LEVEL_ITERS = 24  # > longest directed path (reply chains ≤ ~16 hops);
 # the engine raises past this bound (pipelines/dagdepth.py dag_levels_dense)
 

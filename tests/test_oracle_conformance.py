@@ -92,6 +92,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "avg_neighbor_degree": so.avg_neighbor_degree_sql,
         "dag_levels": so.dag_levels_sql,
         "conv_tool_paths": so.tool_paths_sql,
+        "tool_scc": so.tool_scc_sql,
+        "conv_stats": so.conv_stats_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -282,6 +284,8 @@ QUERY_NAMES = [
     "emb_covariance",
     "conv_tool_paths",
     "emb_top_direction",
+    "tool_scc",
+    "conv_stats",
 ]
 
 

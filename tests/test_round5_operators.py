@@ -873,3 +873,60 @@ def test_top_direction_matches_numpy_eig(ray_session):
     got = got * np.sign(got[0])
     assert np.allclose(got, top, atol=1e-4)
     assert abs(out["eigenvalue"].iloc[0] - w[-1]) < 1e-4
+
+
+def test_tool_scc_handcrafted(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_scc
+
+    # conv c1: a before b; conv c2: b before a  → {a,b} one SCC
+    # conv c3: a before c (one-way)             → c a singleton
+    # conv c4: d alone                          → d a singleton (no edges)
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2", "c3", "c3", "c4"],
+            "turn_idx": [0, 1, 0, 1, 0, 1, 0],
+            "role": ["u"] * 7,
+            "text": [""] * 7,
+            "tool": ["a", "b", "b", "a", "a", "c", "d"],
+            "ts": pd.to_datetime([0, 1, 2, 3, 4, 5, 6], unit="s"),
+        }
+    )
+    out = (
+        tool_scc(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("tool")
+        .sort_index()
+    )
+    assert out.loc["a", "scc_id"] == "a" and out.loc["b", "scc_id"] == "a"
+    assert out.loc["a", "scc_size"] == 2
+    assert out.loc["c", "scc_id"] == "c" and out.loc["c", "scc_size"] == 1
+    assert out.loc["d", "scc_id"] == "d" and out.loc["d", "scc_size"] == 1
+
+
+def test_conv_stats_two_level_combine(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import conv_stats
+
+    t = pa.table(
+        {
+            "conv_id": ["x", "x", "x", "y"],
+            "turn_idx": [0, 1, 2, 0],
+            "role": ["u", "a", "u", "u"],
+            "text": [""] * 4,
+            "tool": [None, "t1", None, None],
+            "ts": pd.to_datetime([10, 20, 35, 50], unit="s"),
+        }
+    )
+    out = (
+        conv_stats(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert out.loc["x", "n_turns"] == 3
+    assert out.loc["x", "n_tool_calls"] == 1
+    assert out.loc["x", "duration_us"] == 25_000_000
+    assert out.loc["y", "n_turns"] == 1 and out.loc["y", "duration_us"] == 0
