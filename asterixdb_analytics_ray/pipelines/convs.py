@@ -204,7 +204,10 @@ def conv_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
                 "conv_id": df["conv_id"],
                 "one": np.ones(len(df), dtype=np.int64),
                 "toolcall": df["tool"].notna().to_numpy().astype(np.int64),
-                "tsu": df["ts"].astype("int64").to_numpy(),
+                # normalize to µs explicitly: pandas preserves the parquet
+                # resolution (us here, ns for from-python frames), so a bare
+                # astype(int64) would be resolution-dependent
+                "tsu": df["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
             }
         ).groupby("conv_id", sort=False)
         out = g.agg(
