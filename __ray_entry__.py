@@ -243,6 +243,15 @@ def _q_conv_stats(sf_dir: str):
     return conv_stats(ray.data.read_parquet(_transcripts_path(sf_dir)))
 
 
+def _q_role_stats(sf_dir: str):
+    """Per-role turn/tool/char rollup (roles-bounded two-level combine)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import role_stats
+
+    return role_stats(ray.data.read_parquet(_transcripts_path(sf_dir)))
+
+
 def _q_dag_levels(sf_dir: str):
     """Longest-path topological level per vertex over the directed DAG
     (max-propagation BSP; converges in longest-path supersteps, raises past
@@ -352,6 +361,28 @@ def _q_harmonic_centrality(sf_dir: str):
         {
             "source": np.array(rows_s, dtype=np.int64),
             "harmonic": np.array(rows_h, dtype=np.float64),
+            "n_reached": np.array(rows_n, dtype=np.int64),
+        }
+    )
+
+
+def _q_graph_eccentricity(sf_dir: str):
+    """Seed eccentricities (max finite BFS distance) + reach counts —
+    closes over the SAME cached multi-job BFS runs as harmonic centrality
+    (one shared PartitionedEdges bulk load, zero extra supersteps)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows_s, rows_e, rows_n = [], [], []
+    for s, dist in _bfs_dists(sf_dir).items():
+        m = np.isfinite(dist) & (dist > 0)
+        rows_s.append(s)
+        rows_e.append(int(dist[m].max()) if m.any() else 0)
+        rows_n.append(int(m.sum()))
+    return pa.table(
+        {
+            "source": np.array(rows_s, dtype=np.int64),
+            "eccentricity": np.array(rows_e, dtype=np.int64),
             "n_reached": np.array(rows_n, dtype=np.int64),
         }
     )
@@ -1521,9 +1552,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_paths": _q_conv_tool_paths,
         "tool_scc": _q_tool_scc,
         "conv_stats": _q_conv_stats,
+        "role_stats": _q_role_stats,
         "sssp_weighted": _q_sssp_weighted,
         "bfs_multi_source": _q_bfs_multi_source,
         "harmonic_centrality": _q_harmonic_centrality,
+        "graph_eccentricity": _q_graph_eccentricity,
         "emb_random_projection": _q_emb_random_projection,
         "reachability": _q_reachability,
         "max_clique": _q_max_clique,
@@ -1632,9 +1665,11 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_paths": so.tool_paths_sql(p),
         "tool_scc": so.tool_scc_sql(p),
         "conv_stats": so.conv_stats_sql(p),
+        "role_stats": so.role_stats_sql(p),
         "sssp_weighted": so.sssp_weighted_sql(p),
         "bfs_multi_source": so.bfs_multi_sql(p),
         "harmonic_centrality": so.bfs_harmonic_sql(p),
+        "graph_eccentricity": so.bfs_eccentricity_sql(p),
         "emb_random_projection": so.random_projection_sql(8, 64),
         "reachability": so.reachability_sql(p),
         "events_bipartite_degree": so.events_bipartite_degree_sql(),

@@ -246,3 +246,59 @@ def conv_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def role_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-role rollup over every turn → ``(role, n_turns, n_tool_calls,
+    total_chars, mean_chars)``.
+
+    The roles vocabulary is tiny and fixed, so this is the cheapest shape
+    in the repo: per-batch vectorized partials (one row per role per
+    batch) → a roles-bounded ``groupby.sum`` → exact closing division
+    (half-away rounding, DuckDB parity via ``round_like_sql``).
+    """
+    from ..functions.fasthash import round_like_sql
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "role": df["role"],
+                "one": np.ones(len(df), dtype=np.int64),
+                "toolcall": df["tool"].notna().to_numpy().astype(np.int64),
+                "chars": df["text"].str.len().fillna(0).to_numpy(np.int64),
+            }
+        ).groupby("role", sort=False)
+        return g.agg(
+            n_turns=("one", "sum"),
+            n_tool_calls=("toolcall", "sum"),
+            total_chars=("chars", "sum"),
+        ).reset_index()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        transcripts.map_batches(partial, batch_format="pandas")
+        .groupby("role")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tool_calls", alias_name="n_tool_calls"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_turns"].to_numpy(np.int64)
+        tc = df["total_chars"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "role": df["role"],
+                "n_turns": n,
+                "n_tool_calls": df["n_tool_calls"].astype(np.int64),
+                "total_chars": tc,
+                "mean_chars": round_like_sql(
+                    tc.astype(np.float64) / n.astype(np.float64), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -282,6 +282,19 @@ SELECT s.tool, s.scc_id, z.scc_size FROM scc s JOIN sizes z USING (scc_id)
     return "".join(parts)
 
 
+def role_stats_sql(p: str) -> str:
+    """Per-role rollup (pipelines/convs.py role_stats)."""
+    return f"""
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(tool) AS BIGINT) AS n_tool_calls,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM read_parquet('{p}')
+GROUP BY role
+"""
+
+
 def conv_stats_sql(p: str) -> str:
     """Per-conversation rollup (pipelines/convs.py conv_stats)."""
     return f"""
@@ -2350,6 +2363,17 @@ SELECT v, round(sum(delta), {decimals}) AS bc
 FROM ({contrib})
 GROUP BY v HAVING sum(delta) > 0"""
     )
+
+
+def bfs_eccentricity_sql(p: str, sources: tuple = (0, 1, 2, 3)) -> str:
+    """Seed eccentricities (max finite BFS distance, diameter lower bound)
+    — closes over the bfs_multi_sql union like harmonic centrality."""
+    return f"""
+SELECT source, CAST(max(dist) AS BIGINT) AS eccentricity,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM ({bfs_multi_sql(p, sources)})
+WHERE dist > 0 GROUP BY source
+"""
 
 
 def bfs_harmonic_sql(p: str, sources: tuple = (0, 1, 2, 3)) -> str:

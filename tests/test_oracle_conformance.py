@@ -69,6 +69,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "sssp": so.sssp_sql,
         "bfs_multi_source": so.bfs_multi_sql,
         "harmonic_centrality": so.bfs_harmonic_sql,
+        "graph_eccentricity": so.bfs_eccentricity_sql,
         "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
         "graph_sample": so.graph_sample_sql,
@@ -94,6 +95,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "conv_tool_paths": so.tool_paths_sql,
         "tool_scc": so.tool_scc_sql,
         "conv_stats": so.conv_stats_sql,
+        "role_stats": so.role_stats_sql,
     }
     view_based = {
         "events_bipartite_degree": so.events_bipartite_degree_sql,
@@ -286,6 +288,8 @@ QUERY_NAMES = [
     "emb_top_direction",
     "tool_scc",
     "conv_stats",
+    "graph_eccentricity",
+    "role_stats",
 ]
 
 
