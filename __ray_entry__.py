@@ -775,6 +775,50 @@ def _q_tpch_pricing_summary(sf_dir: str):
     )
 
 
+def _q_tpch_inactive_customers(sf_dir: str):
+    """Distributed ANTI JOIN: customers with no order above 400k (orders
+    keys pre-deduped per batch; left-outer + null-marker filter)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import inactive_customers
+
+    return inactive_customers(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        ),
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        ),
+    )
+
+
+def _q_tpch_priority_returns(sf_dir: str):
+    """Distributed SEMI JOIN (Q4 shape): orders with a returned lineitem,
+    counted per priority."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        priority_return_counts,
+    )
+
+    return priority_return_counts(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        ),
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag"],
+        ),
+    )
+
+
 def _q_tpch_nation_revenue(sf_dir: str):
     """Revenue per customer nation: distributed hash join (orders ⨝
     customer) + broadcast 25-row nation dictionary."""
@@ -1594,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_rollup": _q_events_props_rollup,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_nation_revenue": _q_tpch_nation_revenue,
+        "tpch_inactive_customers": _q_tpch_inactive_customers,
+        "tpch_priority_returns": _q_tpch_priority_returns,
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "tpch_brand_volume": _q_tpch_brand_volume,
         "tpch_region_revenue": _q_tpch_region_revenue,
@@ -1699,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_rollup": so.props_rollup_sql(),
         "tpch_pricing_summary": so.pricing_summary_sql(),
         "tpch_nation_revenue": so.nation_revenue_sql(),
+        "tpch_inactive_customers": so.inactive_customers_sql(),
+        "tpch_priority_returns": so.priority_return_counts_sql(),
         "tpch_shipping_priority": so.shipping_priority_sql(),
         "tpch_brand_volume": so.brand_volume_sql(),
         "tpch_region_revenue": so.region_revenue_sql(),

@@ -435,3 +435,141 @@ def region_revenue(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def inactive_customers(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    min_totalprice: float = 400_000.0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed ANTI JOIN: customers with NO order above
+    ``min_totalprice`` → ``(c_custkey, c_name, c_acctbal)``.
+
+    Plan: filter orders map-side, pre-dedup custkeys per batch (the
+    combiner prune — the exchange then carries distinct keys per block,
+    never order rows), close the distinct with one groupby, and LEFT OUTER
+    join customer against the marked key set; the anti join is the
+    null-marker filter. No side is ever broadcast — both scale with data.
+    """
+    import pyarrow.compute as pc
+
+    thr = float(min_totalprice)
+
+    def big_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["o_totalprice"], thr))["o_custkey"]
+        u = pc.unique(keys)
+        return pa.table(
+            {
+                "o_custkey": u,
+                "has_order": pa.array(
+                    np.ones(len(u), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    okeys = (
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(big_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "has_order": pa.array(
+                        np.ones(len(t), dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = customer.select_columns(
+        ["c_custkey", "c_name", "c_acctbal"]
+    ).join(
+        okeys,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["has_order"]))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    return joined.map_batches(anti, batch_format="pyarrow")
+
+
+def priority_return_counts(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed SEMI JOIN (TPC-H Q4 shape): orders with at least one
+    RETURNED lineitem (``l_returnflag = 'R'``), counted per
+    ``o_orderpriority`` → ``(o_orderpriority, n_orders)``.
+
+    The dual of ``inactive_customers``: filter lineitem map-side,
+    per-batch distinct orderkeys (combiner prune), one-groupby distinct
+    close, INNER join orders — the distinct step is what makes the join a
+    semi join (each order matches at most once) — then a
+    priorities-bounded count rollup.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def ret_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        return pa.table({"l_orderkey": pc.unique(keys)})
+
+    lkeys = (
+        lineitem.select_columns(["l_orderkey", "l_returnflag"])
+        .map_batches(ret_keys, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .count()
+        .select_columns(["l_orderkey"])
+    )
+
+    joined = orders.select_columns(["o_orderkey", "o_orderpriority"]).join(
+        lkeys,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        g = df.groupby("o_orderpriority", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"]),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": t["n_orders"].to_numpy().astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -2576,6 +2576,31 @@ FROM li GROUP BY 1, 2
 """
 
 
+def inactive_customers_sql(min_totalprice: float = 400_000.0) -> str:
+    """Anti join (relational.inactive_customers): NOT EXISTS formulation."""
+    return f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {min_totalprice}
+)
+"""
+
+
+def priority_return_counts_sql() -> str:
+    """Semi join (relational.priority_return_counts): EXISTS formulation."""
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
 def nation_revenue_sql() -> str:
     """Per-nation order revenue (relational.nation_revenue): exact cents."""
     return """

@@ -124,6 +124,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "events_props_rollup": so.props_rollup_sql,
         "tpch_pricing_summary": so.pricing_summary_sql,
         "tpch_nation_revenue": so.nation_revenue_sql,
+        "tpch_inactive_customers": so.inactive_customers_sql,
+        "tpch_priority_returns": so.priority_return_counts_sql,
         "tpch_shipping_priority": so.shipping_priority_sql,
         "tpch_brand_volume": so.brand_volume_sql,
         "tpch_region_revenue": so.region_revenue_sql,
@@ -290,6 +292,8 @@ QUERY_NAMES = [
     "conv_stats",
     "graph_eccentricity",
     "role_stats",
+    "tpch_inactive_customers",
+    "tpch_priority_returns",
 ]
 
 
