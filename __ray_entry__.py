@@ -916,6 +916,140 @@ def _q_tpch_region_revenue(sf_dir: str):
     )
 
 
+def _q_tpch_forecast_revenue(sf_dir: str):
+    """Q6-style revenue forecast: pure map-side filter+exact-int fold
+    (one 2-int row leaves each block)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import forecast_revenue
+
+    return forecast_revenue(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_shipdate",
+                "l_discount",
+                "l_quantity",
+                "l_extendedprice",
+            ],
+        )
+    )
+
+
+def _q_tpch_promo_share(sf_dir: str):
+    """Q14-style promotion revenue share: lineitem ⨝ part hash join +
+    constant-key exact-unit fold."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        promo_revenue_share,
+    )
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return promo_revenue_share(
+        rd("lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
+        rd("part", ["p_partkey", "p_type"]),
+    )
+
+
+def _q_tpch_top_customers(sf_dir: str):
+    """Q10-style returned-item report: top-20 customers by return-window
+    revenue (hash join, exact-unit sort keys, broadcast nation)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        top_return_customers,
+    )
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return top_return_customers(
+        rd(
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ),
+        rd("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd("customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        ),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_order_counts(sf_dir: str):
+    """Q13-style customer order-count distribution (left-outer join keeps
+    the zero-order customers; both exchanges combiner-pruned)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        order_count_distribution,
+    )
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return order_count_distribution(
+        rd("customer", ["c_custkey"]), rd("orders", ["o_custkey"])
+    )
+
+
+def _q_tpch_large_orders(sf_dir: str):
+    """Q18-style large-volume orders (GROUP BY + HAVING as combiner-pruned
+    sum+filter, then two joins over the rare survivors)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import large_orders
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return large_orders(
+        rd("lineitem", ["l_orderkey", "l_quantity"]),
+        rd("orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        rd("customer", ["c_custkey", "c_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_discounted_revenue(sf_dir: str):
+    """Q19-style OR-of-ANDs discounted revenue (vectorized disjunct
+    lanes after the lineitem ⨝ part hash join)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        discounted_revenue,
+    )
+
+    rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+    return discounted_revenue(
+        rd(
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        rd("part", ["p_partkey", "p_brand", "p_size"]),
+    )
+
+
 def _q_events_props_rollup(sf_dir: str):
     """Semi-structured extraction: the props JSON field k rolled up per
     event type (vectorized regex extraction, integer-exact stats)."""
@@ -1643,6 +1777,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_shipping_priority": _q_tpch_shipping_priority,
         "tpch_brand_volume": _q_tpch_brand_volume,
         "tpch_region_revenue": _q_tpch_region_revenue,
+        "tpch_forecast_revenue": _q_tpch_forecast_revenue,
+        "tpch_promo_share": _q_tpch_promo_share,
+        "tpch_top_customers": _q_tpch_top_customers,
+        "tpch_order_counts": _q_tpch_order_counts,
+        "tpch_large_orders": _q_tpch_large_orders,
+        "tpch_discounted_revenue": _q_tpch_discounted_revenue,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1750,6 +1890,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_shipping_priority": so.shipping_priority_sql(),
         "tpch_brand_volume": so.brand_volume_sql(),
         "tpch_region_revenue": so.region_revenue_sql(),
+        "tpch_forecast_revenue": so.forecast_revenue_sql(),
+        "tpch_promo_share": so.promo_revenue_share_sql(),
+        "tpch_top_customers": so.top_return_customers_sql(),
+        "tpch_order_counts": so.order_count_distribution_sql(),
+        "tpch_large_orders": so.large_orders_sql(),
+        "tpch_discounted_revenue": so.discounted_revenue_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

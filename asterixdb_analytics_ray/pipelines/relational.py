@@ -573,3 +573,506 @@ def priority_return_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+_Y1996_US = np.int64(int(pd.Timestamp("1996-01-01").value // 1000))
+_Y1997_US = np.int64(int(pd.Timestamp("1997-01-01").value // 1000))
+
+
+def forecast_revenue(
+    lineitem: ray.data.Dataset,
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    disc_lo_c: int = 3,
+    disc_hi_c: int = 5,
+    max_qty: float = 24.0,
+) -> ray.data.Dataset:
+    """TPC-H Q6-style revenue forecast: Σ(extendedprice · discount) over a
+    shipdate year, a discount band, and a quantity cap — the pure
+    map-side filter+fold showcase (ZERO shuffle beyond a constant-key
+    close; only one 2-int row leaves each block).
+
+    → one row (revenue, n_items: int64); revenue folded as exact
+    cents·centi-discount (1e-4) units. Reference cost-shape analog: the
+    scan+select+project single-stage jobs of the MR utility layer."""
+    from ray.data.aggregate import Sum
+
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(date_hi_us if date_hi_us is not None else _Y1997_US)
+    dlo, dhi = np.int64(disc_lo_c), np.int64(disc_hi_c)
+    qcap = float(max_qty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = t["l_quantity"].to_numpy()
+        keep = (
+            (ship >= lo)
+            & (ship < hi)
+            & (dcents >= dlo)
+            & (dcents <= dhi)
+            & (qty < qcap)
+        )
+        cents = np.rint(t["l_extendedprice"].to_numpy()[keep] * 100).astype(
+            np.int64
+        )
+        u = int((cents * dcents[keep]).sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "u": pa.array([u], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "n_items": t["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def promo_revenue_share(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    promo_type: str = "PROMO",
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H Q14-style promotion share: the fraction of total discounted
+    revenue carried by promo-typed parts. lineitem ⨝ part on partkey
+    (both sides data-proportional → distributed hash join), then a
+    constant-key fold of (promo units, total units).
+
+    → one row (promo_revenue, total_revenue, promo_share) with both
+    revenues folded in exact 1e-4 units and the share computed as ONE
+    double division of the two exact ints (oracle mirrors op-for-op)."""
+    from ray.data.aggregate import Sum
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "u": cents * (100 - dcents)}
+        )
+
+    joined = lineitem.map_batches(li_prep, batch_format="pyarrow").join(
+        part.select_columns(["p_partkey", "p_type"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["u"].to_numpy()
+        promo = pc.equal(t["p_type"], promo_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "pu": pa.array([int(u[promo].sum())], pa.int64()),
+                "tu": pa.array([int(u.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("pu", alias_name="pu"), Sum("tu", alias_name="tu"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pu = t["pu"].to_numpy().astype(np.float64)
+        tu = t["tu"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "promo_revenue": pu / 10000.0,
+                "total_revenue": tu / 10000.0,
+                "promo_share": pu / tu,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_return_customers(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    nation_table: pa.Table,
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    k: int = 20,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """TPC-H Q10-style returned-item report: revenue lost to returns per
+    customer over an order-date window, top-k customers.
+
+    → (c_custkey, c_name, c_acctbal, n_name, revenue) ordered (revenue
+    desc, custkey asc) — the sort runs on the exact 1e-4-unit integer so
+    ties are deterministic.
+
+    Plan: lineitem filtered to returnflag='R' map-side (projected to
+    (orderkey, units)), orders filtered to the date window map-side, hash
+    join on orderkey, per-customer exact-unit partial, groupby sum — the
+    aggregate output is customer-bounded, so the final customer join +
+    25-row broadcast nation lookup + sort all run on a small table."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(date_hi_us if date_hi_us is not None else _Y1997_US)
+
+    nmap = {
+        int(nk): nm
+        for nk, nm in zip(
+            nation_table["n_nationkey"].to_pylist(),
+            nation_table["n_name"].to_pylist(),
+        )
+    }
+    nref = ray.put(nmap)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "u": cents * (100 - dcents)}
+        )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        t = t.filter(pa.array((od >= lo) & (od < hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    joined = lineitem.map_batches(li_prep, batch_format="pyarrow").join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": t["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "u": t["u"].to_numpy(),
+            }
+        )
+        g = df.groupby("ck", sort=False).agg(u=("u", "sum")).reset_index()
+        return pa.table(
+            {
+                "c_custkey": g["ck"].to_numpy(np.int64),
+                "u": g["u"].to_numpy(np.int64),
+            }
+        )
+
+    rev = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("u", alias_name="u"))
+    )
+
+    withc = rev.join(
+        customer.select_columns(
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+        ),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 4),
+        on=("c_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].to_numpy().astype(np.int64),
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+                "n_name": pa.array([nm[int(x)] for x in nk]),
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "u": t["u"],
+            }
+        )
+
+    out = (
+        withc.map_batches(finish, batch_format="pyarrow")
+        .sort(["u", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out.select_columns(
+        ["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]
+    )
+
+
+def order_count_distribution(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q13-style customer distribution: how many customers placed
+    exactly c orders, INCLUDING the zero-order customers (the left-outer
+    null branch) → (c_count: int64, custdist: int64).
+
+    Plan: per-batch partial order counts per custkey (combiner prune) →
+    groupby sum → LEFT OUTER join customer → null-marker ⇒ 0 → per-batch
+    partial histogram → counts-bounded groupby sum. Both exchanges carry
+    combiner-pruned rows only."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ck": t["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            }
+        )
+        g = df.groupby("ck", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "o_custkey": g["ck"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    counts = (
+        orders.select_columns(["o_custkey"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    joined = customer.select_columns(["c_custkey"]).join(
+        counts,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n"], 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "c_count": vals.astype(np.int64),
+                "custdist": cnts.astype(np.int64),
+            }
+        )
+
+    return (
+        joined.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_count": t["c_count"].to_numpy().astype(np.int64),
+                    "custdist": t["custdist"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def large_orders(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    qty_threshold: float = 250.0,
+    k: int = 20,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q18-style large-volume orders: orders whose lineitems sum to
+    more than ``qty_threshold`` units, with their customer, top-k by
+    order totalprice.
+
+    → (c_custkey, c_name, o_orderkey, o_totalprice, sum_qty: int64)
+    ordered (totalprice desc as exact cents, orderkey asc).
+
+    Plan: per-batch partial Σqty per orderkey (combiner prune — the
+    GROUP BY ... HAVING runs as sum+filter, never shipping lineitem
+    rows), filter to the rare over-threshold keys (output is tiny), then
+    two inner joins against orders and customer and a bounded sort."""
+    from ray.data.aggregate import Sum
+
+    thr = float(qty_threshold)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ok": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "q": np.rint(t["l_quantity"].to_numpy()).astype(np.int64),
+            }
+        )
+        g = df.groupby("ok", sort=False).agg(q=("q", "sum")).reset_index()
+        return pa.table(
+            {
+                "l_orderkey": g["ok"].to_numpy(np.int64),
+                "q": g["q"].to_numpy(np.int64),
+            }
+        )
+
+    def over_threshold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["sum_qty"], thr))
+
+    big = (
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .map_batches(over_threshold, batch_format="pyarrow")
+    )
+
+    wo = big.join(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_totalprice"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    wc = wo.join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 4),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"].to_numpy().astype(np.int64),
+                "c_name": t["c_name"],
+                "o_orderkey": t["l_orderkey"].to_numpy().astype(np.int64),
+                "o_totalprice": t["o_totalprice"],
+                "sum_qty": t["sum_qty"].to_numpy().astype(np.int64),
+                "cents": cents,
+            }
+        )
+
+    out = (
+        wc.map_batches(finish, batch_format="pyarrow")
+        .sort(["cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out.select_columns(
+        ["c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"]
+    )
+
+
+# Q19-style OR-of-ANDs predicate: (brand, qty_lo, qty_hi, size_lo, size_hi)
+_Q19_SPECS: tuple = (
+    ("Brand#12", 1.0, 30.0, 1, 25),
+    ("Brand#23", 5.0, 35.0, 1, 35),
+    ("Brand#34", 10.0, 40.0, 1, 45),
+)
+
+
+def discounted_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    specs: tuple = _Q19_SPECS,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H Q19-style discounted revenue under an OR-of-ANDs
+    brand/quantity/size predicate — the compound-predicate showcase,
+    evaluated fully vectorized (one boolean lane per disjunct, OR-folded)
+    after the lineitem ⨝ part hash join.
+
+    → one row (revenue, n_items: int64), revenue in exact 1e-4 units."""
+    from ray.data.aggregate import Sum
+
+    specs = tuple(specs)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "q": t["l_quantity"],
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    joined = lineitem.map_batches(li_prep, batch_format="pyarrow").join(
+        part.select_columns(["p_partkey", "p_brand", "p_size"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["q"].to_numpy()
+        keep = np.zeros(len(t), dtype=bool)
+        for b, qlo, qhi, slo, shi in specs:
+            keep |= (
+                (brand == b)
+                & (qty >= qlo)
+                & (qty <= qhi)
+                & (size >= slo)
+                & (size <= shi)
+            )
+        u = int(t["u"].to_numpy()[keep].sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "u": pa.array([u], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "n_items": t["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

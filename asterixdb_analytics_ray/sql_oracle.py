@@ -2767,3 +2767,136 @@ SELECT event_type,
 FROM p WHERE k IS NOT NULL
 GROUP BY event_type
 """
+
+
+def forecast_revenue_sql(
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo_c: int = 3,
+    disc_hi_c: int = 5,
+    max_qty: float = 24.0,
+) -> str:
+    """TPC-H Q6 shape (relational.forecast_revenue): revenue folded as
+    exact cents·centi-discount units, one closing division."""
+    return f"""
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round(l_discount * 100, 0) AS BIGINT) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate < TIMESTAMP '{date_hi}'
+    AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN {disc_lo_c} AND {disc_hi_c}
+    AND l_quantity < {max_qty}
+)
+SELECT CAST(coalesce(sum(u), 0) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li
+"""
+
+
+def promo_revenue_share_sql(promo_type: str = "PROMO") -> str:
+    """TPC-H Q14 shape (relational.promo_revenue_share): both revenues in
+    exact 1e-4 units; share = double(promo)/double(total)."""
+    return f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u,
+         (p.p_type = '{promo_type}') AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT CAST(sum(CASE WHEN promo THEN u ELSE 0 END) AS DOUBLE) / 10000.0
+         AS promo_revenue,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(sum(CASE WHEN promo THEN u ELSE 0 END) AS DOUBLE)
+         / CAST(sum(u) AS DOUBLE) AS promo_share
+FROM j
+"""
+
+
+def top_return_customers_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01", k: int = 20
+) -> str:
+    """TPC-H Q10 shape (relational.top_return_customers): exact-unit
+    revenue, ties broken (u desc, custkey asc)."""
+    return f"""
+WITH rev AS (
+  SELECT o.o_custkey AS c_custkey,
+         sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS u
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+    AND o.o_orderdate < TIMESTAMP '{date_hi}'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(rev.u AS DOUBLE) / 10000.0 AS revenue
+FROM rev
+JOIN customer c ON c.c_custkey = rev.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.u DESC, c.c_custkey ASC
+LIMIT {k}
+"""
+
+
+def order_count_distribution_sql() -> str:
+    """TPC-H Q13 shape (relational.order_count_distribution): zero-order
+    customers included via the left join's null branch."""
+    return """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def large_orders_sql(qty_threshold: float = 250.0, k: int = 20) -> str:
+    """TPC-H Q18 shape (relational.large_orders): HAVING as sum+filter,
+    sort on exact totalprice cents."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > {qty_threshold}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY CAST(round(o.o_totalprice * 100, 0) AS BIGINT) DESC,
+         o.o_orderkey ASC
+LIMIT {k}
+"""
+
+
+def discounted_revenue_sql(specs: tuple | None = None) -> str:
+    """TPC-H Q19 shape (relational.discounted_revenue): the OR-of-ANDs
+    disjuncts rendered literally; revenue in exact 1e-4 units."""
+    if specs is None:
+        specs = (
+            ("Brand#12", 1.0, 30.0, 1, 25),
+            ("Brand#23", 5.0, 35.0, 1, 35),
+            ("Brand#34", 10.0, 40.0, 1, 45),
+        )
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+        f" AND p.p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in specs
+    )
+    return f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE {ors}
+)
+SELECT CAST(coalesce(sum(u), 0) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j
+"""

@@ -129,6 +129,12 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_shipping_priority": so.shipping_priority_sql,
         "tpch_brand_volume": so.brand_volume_sql,
         "tpch_region_revenue": so.region_revenue_sql,
+        "tpch_forecast_revenue": so.forecast_revenue_sql,
+        "tpch_promo_share": so.promo_revenue_share_sql,
+        "tpch_top_customers": so.top_return_customers_sql,
+        "tpch_order_counts": so.order_count_distribution_sql,
+        "tpch_large_orders": so.large_orders_sql,
+        "tpch_discounted_revenue": so.discounted_revenue_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -294,6 +300,12 @@ QUERY_NAMES = [
     "role_stats",
     "tpch_inactive_customers",
     "tpch_priority_returns",
+    "tpch_forecast_revenue",
+    "tpch_promo_share",
+    "tpch_top_customers",
+    "tpch_order_counts",
+    "tpch_large_orders",
+    "tpch_discounted_revenue",
 ]
 
 

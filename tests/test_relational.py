@@ -1,0 +1,248 @@
+"""Unit tests for the TPC-H-flavored relational operators added in round 5
+(Q6 forecast revenue, Q14 promo share, Q10 top return customers, Q13 order
+count distribution, Q18 large orders, Q19 discounted revenue).
+
+Each is verified against an independent brute-force pandas formulation on a
+small randomized synthetic star schema (the DuckDB parity check on the real
+testdata lives in test_oracle_conformance.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _synthetic(seed=7, n_li=4000, n_orders=900, n_cust=120, n_part=60):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("1995-01-01").value // 1000
+    span = pd.Timestamp("2001-01-01").value // 1000 - base
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            # leave some customers order-less for the Q13 zero branch
+            "o_custkey": rng.integers(0, n_cust - 10, n_orders).astype(
+                np.int64
+            ),
+            "o_orderdate": pd.to_datetime(
+                base + rng.integers(0, span, n_orders), unit="us"
+            ).astype("datetime64[us]"),
+            "o_totalprice": np.round(
+                rng.uniform(100, 500_000, n_orders), 2
+            ),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_li).astype(np.int64),
+            "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
+            "l_quantity": np.round(rng.uniform(1, 50, n_li), 0),
+            "l_extendedprice": np.round(rng.uniform(900, 100_000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_returnflag": rng.choice(["R", "N", "A"], n_li),
+            "l_shipdate": pd.to_datetime(
+                base + rng.integers(0, span, n_li), unit="us"
+            ).astype("datetime64[us]"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+            "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int64),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_brand": rng.choice(
+                ["Brand#12", "Brand#23", "Brand#34", "Brand#55"], n_part
+            ),
+            "p_type": rng.choice(
+                ["PROMO", "ECONOMY", "STANDARD"], n_part
+            ),
+            "p_size": rng.integers(1, 51, n_part).astype(np.int64),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+            "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        }
+    )
+    return li, orders, cust, part, nation
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(5)
+
+
+def _cents(x):
+    return np.rint(np.asarray(x) * 100).astype(np.int64)
+
+
+def test_forecast_revenue_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import forecast_revenue
+
+    li, *_ = _synthetic()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+    out = forecast_revenue(
+        _ds(li), date_lo_us=lo, date_hi_us=hi
+    ).to_pandas()
+
+    ship = li["l_shipdate"].astype("int64")  # datetime64[us] → µs
+    dc = _cents(li["l_discount"])
+    keep = (
+        (ship >= lo)
+        & (ship < hi)
+        & (dc >= 3)
+        & (dc <= 5)
+        & (li["l_quantity"] < 24)
+    ).to_numpy()
+    want = float((_cents(li["l_extendedprice"])[keep] * dc[keep]).sum()) / 1e4
+    assert len(out) == 1
+    assert out["n_items"].iloc[0] == int(keep.sum())
+    assert out["revenue"].iloc[0] == pytest.approx(want, abs=1e-9)
+
+
+def test_promo_share_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        promo_revenue_share,
+    )
+
+    li, _, _, part, _ = _synthetic()
+    out = promo_revenue_share(_ds(li), _ds(part)).to_pandas()
+
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    u = _cents(j["l_extendedprice"]) * (100 - _cents(j["l_discount"]))
+    promo = (j["p_type"] == "PROMO").to_numpy()
+    pu, tu = int(u[promo].sum()), int(u.sum())
+    assert len(out) == 1
+    assert out["promo_revenue"].iloc[0] == pytest.approx(pu / 1e4)
+    assert out["total_revenue"].iloc[0] == pytest.approx(tu / 1e4)
+    assert out["promo_share"].iloc[0] == pytest.approx(float(pu) / float(tu))
+
+
+def test_top_return_customers_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        top_return_customers,
+    )
+
+    li, orders, cust, _, nation = _synthetic()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    out = top_return_customers(
+        _ds(li),
+        _ds(orders),
+        _ds(cust),
+        nation,
+        date_lo_us=lo,
+        date_hi_us=hi,
+        k=15,
+        num_partitions=4,
+    ).to_pandas()
+
+    j = li[li["l_returnflag"] == "R"].merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    od = j["o_orderdate"].astype("int64")  # datetime64[us] → µs
+    j = j[(od >= lo) & (od < hi)].copy()
+    j["u"] = _cents(j["l_extendedprice"]) * (100 - _cents(j["l_discount"]))
+    rev = j.groupby("o_custkey")["u"].sum().reset_index()
+    rev = rev.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    rev = rev.sort_values(
+        ["u", "c_custkey"], ascending=[False, True]
+    ).head(15)
+    assert list(out["c_custkey"]) == list(rev["c_custkey"])
+    np.testing.assert_allclose(
+        out["revenue"].to_numpy(), rev["u"].to_numpy() / 1e4
+    )
+    nm = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    assert list(out["n_name"]) == [nm[k] for k in rev["c_nationkey"]]
+
+
+def test_order_count_distribution_includes_zero(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        order_count_distribution,
+    )
+
+    li, orders, cust, _, _ = _synthetic()
+    out = (
+        order_count_distribution(_ds(cust), _ds(orders), num_partitions=4)
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+
+    per = orders.groupby("o_custkey").size()
+    counts = cust["c_custkey"].map(per).fillna(0).astype(np.int64)
+    want = (
+        counts.value_counts()
+        .rename_axis("c_count")
+        .reset_index(name="custdist")
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    assert (counts == 0).sum() > 0, "fixture must exercise the zero branch"
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_large_orders_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import large_orders
+
+    li, orders, cust, _, _ = _synthetic()
+    thr, k = 150.0, 12
+    out = large_orders(
+        _ds(li), _ds(orders), _ds(cust), qty_threshold=thr, k=k,
+        num_partitions=4,
+    ).to_pandas()
+
+    q = (
+        li.assign(q=np.rint(li["l_quantity"]).astype(np.int64))
+        .groupby("l_orderkey")["q"]
+        .sum()
+    )
+    big = q[q > thr].reset_index().rename(columns={"q": "sum_qty"})
+    j = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    j["cents"] = _cents(j["o_totalprice"])
+    j = j.sort_values(
+        ["cents", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    assert list(out["o_orderkey"]) == list(j["o_orderkey"])
+    assert list(out["sum_qty"]) == list(j["sum_qty"])
+    assert list(out["c_custkey"]) == list(j["c_custkey"])
+
+
+def test_discounted_revenue_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        _Q19_SPECS,
+        discounted_revenue,
+    )
+
+    li, _, _, part, _ = _synthetic()
+    out = discounted_revenue(_ds(li), _ds(part)).to_pandas()
+
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    keep = np.zeros(len(j), dtype=bool)
+    for b, qlo, qhi, slo, shi in _Q19_SPECS:
+        keep |= (
+            (j["p_brand"] == b)
+            & (j["l_quantity"] >= qlo)
+            & (j["l_quantity"] <= qhi)
+            & (j["p_size"] >= slo)
+            & (j["p_size"] <= shi)
+        ).to_numpy()
+    u = _cents(j["l_extendedprice"]) * (100 - _cents(j["l_discount"]))
+    assert keep.sum() > 0, "fixture must select some rows"
+    assert len(out) == 1
+    assert out["n_items"].iloc[0] == int(keep.sum())
+    assert out["revenue"].iloc[0] == pytest.approx(
+        float(u[keep].sum()) / 1e4
+    )
