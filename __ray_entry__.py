@@ -176,6 +176,23 @@ def _q_connected_components(sf_dir: str):
     )
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the connected-components partition: the
+    GlobalAggregator close over a full-scan compute (broadcast labels,
+    per-block per-label partials, communities-bounded shuffle)."""
+    import numpy as np
+
+    from asterixdb_analytics_ray.pipelines.components import modularity
+    from asterixdb_analytics_ray.stages.sharded import ShardedMinLabel
+
+    views = _graph(sf_dir)
+    g = views["graph"]
+    res = ShardedMinLabel(n=g.n_nodes, P=_sharded_p(g.n_nodes)).run(
+        _und_partitioned(sf_dir)
+    )
+    return modularity(views["oriented"], res.state["label"])
+
+
 def _q_label_propagation(sf_dir: str):
     """Histogram LP via the sharded scale-path runner (labels identical to
     the dense kernel — tests/test_algorithms.py)."""
@@ -1722,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_top_nodes": _q_pagerank_top_nodes,
         "connected_components": _q_connected_components,
+        "modularity": _q_modularity,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "triangle_total": _q_triangle_total,
@@ -1843,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": so.pagerank_sql(p),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
+        "modularity": so.modularity_sql(p),
         "label_propagation": so.label_propagation_sql(p),
         "triangle_count": so.triangles_sql(p),
         "triangle_total": so.triangle_total_sql(p),

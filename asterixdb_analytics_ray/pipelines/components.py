@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -145,4 +146,102 @@ def connected_components_dataset(
     return state.map_batches(
         lambda t: pa.table({"v": t["v"], "component": t["label"]}),
         batch_format="pyarrow",
+    )
+
+
+def modularity(
+    oriented_edges: ray.data.Dataset,
+    labels: np.ndarray,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Newman modularity of a vertex partition (e.g. the CC or LP labels):
+    Q = Σ_c [ e_c/m − (deg_c / 2m)² ] over communities c, where e_c is the
+    number of within-community undirected edges, deg_c the community's
+    degree sum, and m the total undirected edge count.
+
+    → one row (modularity, n_communities: int64, m_edges: int64).
+
+    Plan: the label array rides the object store once (``ray.put`` — same
+    class as the dense PageRank outdeg vector; the sharded shard-gather
+    relabel in ``stages/sharded.py`` is the 10⁹-vertex alternative), each
+    edge block gathers its endpoints' labels and folds per-label partials
+    (e_c, deg_c) — a communities-bounded shuffle — and the closing Q sum
+    is a second constant-key fold of per-block partial sums, so no task
+    ever sees more than its own block plus the per-label table.
+
+    Reference analog: the GlobalAggregator close over a full-scan compute
+    (``pregelix/.../GlobalAggregator``); modularity itself is public
+    knowledge (Newman & Girvan 2004).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import round_like_sql
+
+    labels = np.asarray(labels, dtype=np.int64)
+    lref = ray.put(labels)
+    m = oriented_edges.count()
+    n_comm = int(np.unique(labels).size)
+    if m == 0:
+        return pa.table(
+            {
+                "modularity": pa.array([0.0], pa.float64()),
+                "n_communities": pa.array([n_comm], pa.int64()),
+                "m_edges": pa.array([0], pa.int64()),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = ray.get(lref)  # zero-copy plasma read, shared per node
+        la = lab[t["src"].to_numpy()]
+        lb = lab[t["dst"].to_numpy()]
+        # degree partial: each oriented edge credits both endpoints' labels
+        dl, dc = np.unique(np.concatenate([la, lb]), return_counts=True)
+        # within-community edge partial
+        same = la == lb
+        el, ec = np.unique(la[same], return_counts=True)
+        deg = pd.DataFrame({"label": dl, "deg": dc.astype(np.int64)})
+        win = pd.DataFrame({"label": el, "ein": ec.astype(np.int64)})
+        g = deg.merge(win, on="label", how="outer").fillna(0)
+        return pa.table(
+            {
+                "label": g["label"].to_numpy(np.int64),
+                "deg": g["deg"].to_numpy(np.int64),
+                "ein": g["ein"].to_numpy(np.int64),
+            }
+        )
+
+    per_label = (
+        oriented_edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("deg", alias_name="deg"), Sum("ein", alias_name="ein"))
+    )
+
+    md = float(m)
+
+    def q_partial(t: pa.Table) -> pa.Table:
+        deg = t["deg"].to_numpy().astype(np.float64)
+        ein = t["ein"].to_numpy().astype(np.float64)
+        q = float(np.sum(ein / md - (deg / (2.0 * md)) ** 2))
+        return pa.table(
+            {"k": pa.array([0], pa.int64()), "q": pa.array([q], pa.float64())}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    total = (
+        per_label.map_batches(q_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_Sum("q", alias_name="q"))
+        .take_all()
+    )
+    q = float(total[0]["q"]) if total else 0.0
+    return pa.table(
+        {
+            "modularity": pa.array(
+                [float(round_like_sql(np.array([q]), round_digits)[0])],
+                pa.float64(),
+            ),
+            "n_communities": pa.array([n_comm], pa.int64()),
+            "m_edges": pa.array([int(m)], pa.int64()),
+        }
     )

@@ -155,6 +155,33 @@ def connected_components_sql(p: str, iters: int = CC_MAX_ITERS) -> str:
     return "".join(parts)
 
 
+def modularity_sql(p: str, iters: int = CC_MAX_ITERS, decimals: int = 6) -> str:
+    """Newman modularity of the CC partition: reuse the unrolled min-label
+    CTEs, then Q = Σ_c [e_c/m − (deg_c/2m)²] over the deduped oriented
+    edge set (each edge credits both endpoints' communities)."""
+    cc = connected_components_sql(p, iters)
+    cc_ctes = cc[: cc.rindex("SELECT v, label AS component")]
+    return (
+        cc_ctes
+        + f""", lab AS MATERIALIZED (SELECT v, label FROM c{iters}),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m, count(*) AS mi FROM ori),
+endp AS (
+  SELECT la.label FROM ori o JOIN lab la ON la.v = o.a
+  UNION ALL
+  SELECT lb.label FROM ori o JOIN lab lb ON lb.v = o.b),
+degc AS (SELECT label, CAST(count(*) AS DOUBLE) AS deg FROM endp GROUP BY label),
+einc AS (
+  SELECT la.label, CAST(count(*) AS DOUBLE) AS ein
+  FROM ori o JOIN lab la ON la.v = o.a JOIN lab lb ON lb.v = o.b
+  WHERE la.label = lb.label GROUP BY la.label)
+SELECT round(sum(coalesce(e.ein, 0) / mm.m - (d.deg / (2 * mm.m)) * (d.deg / (2 * mm.m))),
+             {decimals}) AS modularity,
+       (SELECT count(DISTINCT label) FROM lab) AS n_communities,
+       (SELECT mi FROM mm) AS m_edges
+FROM degc d LEFT JOIN einc e ON e.label = d.label CROSS JOIN mm"""
+    )
+
+
 def label_propagation_sql(p: str, rounds: int = LP_ROUNDS) -> str:
     parts = [prelude(p)]
     parts.append(", l0 AS MATERIALIZED (SELECT v, v AS label FROM verts)\n")

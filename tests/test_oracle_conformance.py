@@ -63,6 +63,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "pagerank": so.pagerank_sql,
         "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
+        "modularity": so.modularity_sql,
         "label_propagation": so.label_propagation_sql,
         "triangle_count": so.triangles_sql,
         "triangle_total": so.triangle_total_sql,
@@ -200,6 +201,7 @@ QUERY_NAMES = [
     "top_degree",
     "pagerank",
     "connected_components",
+    "modularity",
     "label_propagation",
     "triangle_count",
     "triangle_total",

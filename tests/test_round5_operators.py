@@ -930,3 +930,52 @@ def test_conv_stats_two_level_combine(ray_session):
     assert out.loc["x", "n_tool_calls"] == 1
     assert out.loc["x", "duration_us"] == 25_000_000
     assert out.loc["y", "n_turns"] == 1 and out.loc["y", "duration_us"] == 0
+
+
+# ---------------------------------------------------------------- modularity
+
+
+def test_modularity_two_triangles_bridge(ray_session):
+    """Two triangles joined by one bridge edge, labeled by component-of-the-
+    triangle: m=7, each community has e_c=3, deg_c=7 ⇒
+    Q = 2·(3/7 − (7/14)²) = 5/14."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.components import modularity
+
+    src = np.array([0, 1, 2, 3, 4, 5, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 4, 5, 3, 3], dtype=np.int64)
+    a, b = _oriented(src, dst)
+    ds = ray.data.from_arrow(pa.table({"src": a, "dst": b}))
+    labels = np.array([0, 0, 0, 1, 1, 1], dtype=np.int64)
+    out = modularity(ds, labels).to_pandas()
+    assert out["m_edges"][0] == 7
+    assert out["n_communities"][0] == 2
+    assert abs(out["modularity"][0] - 5.0 / 14.0) < 1e-6
+
+
+def test_modularity_single_community_is_zero(ray_session):
+    """All vertices in one community: Q = m/m − (2m/2m)² = 0."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.components import modularity
+
+    src = np.array([0, 1, 2, 0], dtype=np.int64)
+    dst = np.array([1, 2, 3, 2], dtype=np.int64)
+    a, b = _oriented(src, dst)
+    ds = ray.data.from_arrow(pa.table({"src": a, "dst": b}))
+    out = modularity(ds, np.zeros(4, dtype=np.int64)).to_pandas()
+    assert out["modularity"][0] == 0.0
+    assert out["n_communities"][0] == 1
+
+
+def test_modularity_empty_graph(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.components import modularity
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    out = modularity(ds, np.array([0, 1], dtype=np.int64)).to_pandas()
+    assert out["modularity"][0] == 0.0 and out["m_edges"][0] == 0
