@@ -1067,6 +1067,114 @@ def _q_tpch_discounted_revenue(sf_dir: str):
     )
 
 
+def _rd(sf_dir: str, t: str, cols):
+    import os
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols
+    )
+
+
+def _pq(sf_dir: str, t: str, cols):
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+
+
+def _q_tpch_local_supplier_revenue(sf_dir: str):
+    """Q5-style same-nation revenue per nation of one region (three hash
+    joins over map-side-filtered inputs, broadcast nation dictionary)."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        local_supplier_revenue,
+    )
+
+    return local_supplier_revenue(
+        _rd(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _rd(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _rd(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        _pq(sf_dir, "region", ["r_regionkey", "r_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_volume_shipping(sf_dir: str):
+    """Q7-style cross-nation shipped revenue per (supp, cust, year)."""
+    from asterixdb_analytics_ray.pipelines.relational import volume_shipping
+
+    return volume_shipping(
+        _rd(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"]),
+        _rd(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _rd(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_top_supplier(sf_dir: str):
+    """Q15-style top supplier (combiner-pruned per-supplier revenue,
+    constant-key max fold, broadcast-max filter)."""
+    from asterixdb_analytics_ray.pipelines.relational import top_supplier
+
+    return top_supplier(
+        _rd(sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        num_partitions=2,
+    )
+
+
+def _q_tpch_small_qty_revenue(sf_dir: str):
+    """Q17-style below-average-quantity revenue (brand-bounded join reused
+    for both the correlated average and the filter; exact integer
+    cross-multiply)."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        small_quantity_revenue,
+    )
+
+    return small_quantity_revenue(
+        _rd(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_brand"]),
+        num_partitions=2,
+    )
+
+
+def _q_tpch_supplier_part_counts(sf_dir: str):
+    """Q16-style distinct-supplier counts per (brand, type, size) — the
+    distributed COUNT(DISTINCT) via two dedup groupbys."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        supplier_part_counts,
+    )
+
+    return supplier_part_counts(
+        _rd(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_sales_opportunity(sf_dir: str):
+    """Q22-style above-average-balance order-less customers per segment
+    (constant-key average fold + distributed anti join)."""
+    from asterixdb_analytics_ray.pipelines.relational import sales_opportunity
+
+    return sales_opportunity(
+        _rd(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]),
+        _rd(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        num_partitions=4,
+    )
+
+
 def _q_events_props_rollup(sf_dir: str):
     """Semi-structured extraction: the props JSON field k rolled up per
     event type (vectorized regex extraction, integer-exact stats)."""
@@ -1801,6 +1909,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_order_counts": _q_tpch_order_counts,
         "tpch_large_orders": _q_tpch_large_orders,
         "tpch_discounted_revenue": _q_tpch_discounted_revenue,
+        "tpch_local_supplier_revenue": _q_tpch_local_supplier_revenue,
+        "tpch_volume_shipping": _q_tpch_volume_shipping,
+        "tpch_top_supplier": _q_tpch_top_supplier,
+        "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
+        "tpch_supplier_part_counts": _q_tpch_supplier_part_counts,
+        "tpch_sales_opportunity": _q_tpch_sales_opportunity,
         "events_user_profiles": _q_events_user_profiles,
         "doc_source_stats": _q_doc_source_stats,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1915,6 +2029,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_order_counts": so.order_count_distribution_sql(),
         "tpch_large_orders": so.large_orders_sql(),
         "tpch_discounted_revenue": so.discounted_revenue_sql(),
+        "tpch_local_supplier_revenue": so.local_supplier_revenue_sql(),
+        "tpch_volume_shipping": so.volume_shipping_sql(),
+        "tpch_top_supplier": so.top_supplier_sql(),
+        "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
+        "tpch_supplier_part_counts": so.supplier_part_counts_sql(),
+        "tpch_sales_opportunity": so.sales_opportunity_sql(),
         "events_user_profiles": so.user_profiles_sql(),
         "doc_source_stats": so.source_stats_sql(),
         "doc_decontaminate": so.decontaminate_sql(5),

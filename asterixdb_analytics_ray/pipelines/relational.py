@@ -1076,3 +1076,836 @@ def discounted_revenue(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_Y1998_US = np.int64(int(pd.Timestamp("1998-01-01").value // 1000))
+
+
+def local_supplier_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation_table: pa.Table,
+    region_table: pa.Table,
+    region: str = "ASIA",
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q5-style local-supplier revenue: Σ extprice·(1−disc) per
+    customer nation within one region, counting only lineitems whose
+    supplier sits in the SAME nation as the ordering customer.
+
+    → (n_name, revenue, n_items: int64), revenue in exact 1e-4 units.
+
+    Plan: the nation⨝region dictionary (≤25 rows by schema) resolves on
+    the driver and rides along as a broadcast id→name map; customer and
+    orders are filtered MAP-SIDE (region membership / date range) before
+    the three genuinely big exchanges — orders⨝customer on custkey,
+    lineitem⨝that on orderkey, and ⨝supplier on suppkey (supplier scales
+    with SF, so it is hash-joined, never broadcast). The same-nation
+    check is a vectorized mask after the last join, and only per-nation
+    partial sums leave each block. Reference cost-shape analog: the
+    multi-join aggregate jobs of the MR layer."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import materialize_clean
+
+    rk = {
+        int(k): v
+        for k, v in zip(
+            region_table["r_regionkey"].to_pylist(),
+            region_table["r_name"].to_pylist(),
+        )
+    }
+    nmap = {}  # nationkey -> n_name, region nations only
+    for nk, nn, nr in zip(
+        nation_table["n_nationkey"].to_pylist(),
+        nation_table["n_name"].to_pylist(),
+        nation_table["n_regionkey"].to_pylist(),
+    ):
+        if rk.get(int(nr)) == region:
+            nmap[int(nk)] = nn
+    nref = ray.put(nmap)
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(date_hi_us if date_hi_us is not None else _Y1997_US)
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        keep = np.isin(
+            t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.fromiter(ray.get(nref).keys(), dtype=np.int64),
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+                "c_nationkey": t["c_nationkey"].filter(pa.array(keep)),
+            }
+        )
+
+    def orders_in_range(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        m = pa.array((od >= lo) & (od < hi))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(m),
+                "o_custkey": t["o_custkey"].filter(m),
+            }
+        )
+
+    oc = (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_in_range, batch_format="pyarrow")
+        .join(
+            materialize_clean(
+                customer.select_columns(
+                    ["c_custkey", "c_nationkey"]
+                ).map_batches(cust_in_region, batch_format="pyarrow")
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    lio = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .join(
+            oc,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .join(
+            supplier.select_columns(["s_suppkey", "s_nationkey"]),
+            join_type="inner",
+            num_partitions=max(2, num_partitions // 2),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = cn == sn
+        df = pd.DataFrame({"nk": cn[same], "u": t["u"].to_numpy()[same]})
+        g = (
+            df.groupby("nk", sort=False)
+            .agg(u=("u", "sum"), n=("u", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "nk": g["nk"].to_numpy(np.int64),
+                "u": g["u"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        lio.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nm[int(k)] for k in t["nk"].to_pylist()], pa.string()
+                ),
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "n_items": t["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def volume_shipping(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation_table: pa.Table,
+    nation_a: str = "NATION_12",
+    nation_b: str = "NATION_13",
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q7-style volume shipping: revenue shipped BETWEEN two nations
+    (supplier in one, customer in the other), per (supp_nation,
+    cust_nation, ship year).
+
+    → (supp_nation, cust_nation, l_year: int64, revenue, n_items: int64).
+
+    Plan: both dimension filters run map-side against the broadcast
+    two-nation key set before any exchange, so the three hash joins only
+    carry rows that can still qualify; the cross-nation predicate and the
+    year extraction are vectorized after the last join and only
+    ≤ 2·years partial rows leave each block."""
+    from ray.data.aggregate import Sum
+
+    sel = {}
+    for nk, nn in zip(
+        nation_table["n_nationkey"].to_pylist(),
+        nation_table["n_name"].to_pylist(),
+    ):
+        if nn in (nation_a, nation_b):
+            sel[int(nk)] = nn
+    if len(sel) != 2:
+        raise ValueError(f"nations {nation_a!r}/{nation_b!r} not found")
+    nref = ray.put(sel)
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(date_hi_us if date_hi_us is not None else _Y1998_US)
+
+    def keep_nations(col: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            keys = np.fromiter(ray.get(nref).keys(), dtype=np.int64)
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = pa.array(np.isin(v, keys))
+            return pa.table(
+                {c: t[c].filter(m) for c in t.column_names}
+            )
+
+        return f
+
+    from ..stages.blocks import materialize_clean
+
+    # both dimension sides are nation-filtered (2/25 of rows survive), so
+    # most map outputs are 0-row: scrub them — Ray's hash join crashes on a
+    # partition fed only schema-less empties. Bounded data, metadata-only.
+    cust = materialize_clean(
+        customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+            keep_nations("c_nationkey", "c"), batch_format="pyarrow"
+        )
+    )
+    supp = materialize_clean(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+            keep_nations("s_nationkey", "s"), batch_format="pyarrow"
+        )
+    )
+
+    oc = (
+        orders.select_columns(["o_orderkey", "o_custkey"])
+        .join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        mm = pa.array(m)
+        cents = np.rint(
+            t["l_extendedprice"].filter(mm).to_numpy() * 100
+        ).astype(np.int64)
+        dcents = np.rint(t["l_discount"].filter(mm).to_numpy() * 100).astype(
+            np.int64
+        )
+        yr = (
+            t["l_shipdate"]
+            .filter(mm)
+            .cast(pa.timestamp("us"))
+        )
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(mm),
+                "l_suppkey": t["l_suppkey"].filter(mm),
+                "l_year": pc.year(yr).cast(pa.int64()),
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    lio = (
+        lineitem.select_columns(
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ]
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .join(
+            oc,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .join(
+            supp,
+            join_type="inner",
+            num_partitions=max(2, num_partitions // 2),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = cn != sn  # both already ∈ {a, b}
+        df = pd.DataFrame(
+            {
+                "sn": sn[cross],
+                "cn": cn[cross],
+                "yr": t["l_year"].to_numpy()[cross],
+                "u": t["u"].to_numpy()[cross],
+            }
+        )
+        g = (
+            df.groupby(["sn", "cn", "yr"], sort=False)
+            .agg(u=("u", "sum"), n=("u", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nm[int(k)] for k in g["sn"]], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [nm[int(k)] for k in g["cn"]], pa.string()
+                ),
+                "l_year": g["yr"].to_numpy(np.int64),
+                "u": g["u"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        lio.map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": t["supp_nation"],
+                "cust_nation": t["cust_nation"],
+                "l_year": t["l_year"].to_numpy().astype(np.int64),
+                "revenue": t["u"].to_numpy().astype(np.float64) / 10000.0,
+                "n_items": t["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_supplier(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H Q15-style top supplier: the supplier(s) whose discounted
+    revenue over a ship-date quarter equals the global maximum.
+
+    → (s_suppkey, s_name, total_revenue), suppkey-ascending.
+
+    Plan: per-batch partial Σ per suppkey (combiner — lineitem rows never
+    shuffle), one suppliers-bounded groupby, a constant-key max fold over
+    THAT table (two tiny rows per block), then a map-side filter against
+    the broadcast max and one suppliers-bounded join for the name. The
+    revenue view is computed once and reused for both the max and the
+    filter (Q15's CREATE VIEW analog)."""
+    from ray.data.aggregate import Max, Sum
+
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(
+        date_hi_us
+        if date_hi_us is not None
+        else np.int64(int(pd.Timestamp("1996-04-01").value // 1000))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        cents = np.rint(t["l_extendedprice"].to_numpy()[m] * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False)[m].astype(
+                    np.int64
+                ),
+                "u": cents * (100 - dcents),
+            }
+        )
+        g = df.groupby("sk", sort=False).agg(u=("u", "sum")).reset_index()
+        return pa.table(
+            {
+                "l_suppkey": g["sk"].to_numpy(np.int64),
+                "u": g["u"].to_numpy(np.int64),
+            }
+        )
+
+    from ..stages.blocks import materialize_clean
+
+    rev = materialize_clean(  # suppliers-bounded; reused for max AND filter
+        lineitem.select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("u", alias_name="u"))
+    )
+    mx = rev.max("u")
+    mref = ray.put(int(mx))
+
+    def is_top(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["u"], ray.get(mref)))
+
+    # scrub 0-row map outputs: Ray's hash join crashes on a partition fed
+    # only schema-less empties (tiny top set, metadata-only cost)
+    top = materialize_clean(rev.map_batches(is_top, batch_format="pyarrow"))
+    out = top.join(
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=2,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"].to_numpy().astype(np.int64),
+                "s_name": t["s_name"],
+                "total_revenue": t["u"].to_numpy().astype(np.float64)
+                / 10000.0,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("s_suppkey")
+
+
+def small_quantity_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    brand: str = "Brand#13",
+    ratio_num: int = 1,
+    ratio_den: int = 5,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one
+    brand whose quantity is below ``ratio_num/ratio_den`` of that part's
+    average quantity; reports Σ extendedprice / 7 (the "yearly loss if
+    small orders stopped" figure).
+
+    → one row (avg_yearly, n_items: int64), 1e-6-exact (cents / 7 rounded
+    to 6 decimals, mirrored by the oracle).
+
+    Plan: part keys filter map-side to the brand; ONE distributed join
+    ships only that brand's lineitems; the correlated sub-aggregate is a
+    per-part (Σqty, count) combine over the SAME materialized join output
+    — reused, not recomputed — then re-joined part-bounded and compared
+    with the exact integer cross-multiplication qc·den·cnt < num·Σqc
+    (never a float average)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    keys = part.map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t["p_partkey"].filter(pc.equal(t["p_brand"], brand))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qc": np.rint(t["l_quantity"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+                "cents": np.rint(
+                    t["l_extendedprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+
+    lip = (
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"]
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .join(
+            keys,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        .materialize()  # brand-bounded; feeds BOTH the avg pass and the filter
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pk": t["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "qc": t["qc"].to_numpy(),
+            }
+        )
+        g = (
+            df.groupby("pk", sort=False)
+            .agg(sq=("qc", "sum"), cnt=("qc", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pk": g["pk"].to_numpy(np.int64),
+                "sq": g["sq"].to_numpy(np.int64),
+                "cnt": g["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    avg = (
+        lip.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    )
+
+    wavg = lip.join(
+        avg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("pk",),
+    )
+    num, den = np.int64(ratio_num), np.int64(ratio_den)
+
+    def keep_small(t: pa.Table) -> pa.Table:
+        qc = t["qc"].to_numpy()
+        small = qc * den * t["cnt"].to_numpy() < num * t["sq"].to_numpy()
+        u = int(t["cents"].to_numpy()[small].sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "u": pa.array([u], pa.int64()),
+                "n": pa.array([int(small.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        wavg.map_batches(keep_small, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("u", alias_name="u"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..functions.fasthash import round_like_sql
+
+        u = t["u"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "avg_yearly": round_like_sql(u / 100.0 / 7.0, 6),
+                "n_items": t["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def supplier_part_counts(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q16-style supplier counts per part group: how many DISTINCT
+    suppliers ship each (brand, type, size) combination, excluding one
+    brand and restricted to a size list (lineitem is the part↔supplier
+    bridge — this schema carries no partsupp table).
+
+    → (p_brand, p_type, p_size: int64, supplier_cnt: int64).
+
+    Plan: per-batch (partkey, suppkey) dedup (combiner) → one pair-distinct
+    groupby; join the surviving pairs against the map-side-filtered part
+    slice; second dedup at (brand, type, size, suppkey) via groupby; close
+    with a per-batch count partial + 3-key sum. Every exchange carries
+    distinct keys, never lineitem rows; COUNT(DISTINCT) never funnels to
+    one task."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    szs = np.asarray(sizes, dtype=np.int64)
+    sref = ray.put(szs)
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pk": t["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "l_partkey": df["pk"].to_numpy(np.int64),
+                "l_suppkey": df["sk"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = (
+        lineitem.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def part_slice(t: pa.Table) -> pa.Table:
+        sz = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(
+            np.isin(sz, ray.get(sref))
+            & (t["p_brand"].to_numpy(zero_copy_only=False) != exclude_brand)
+        )
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].filter(keep),
+                "p_brand": t["p_brand"].filter(keep),
+                "p_type": t["p_type"].filter(keep),
+                "p_size": t["p_size"].filter(keep),
+            }
+        )
+
+    joined = pairs.join(
+        part.select_columns(
+            ["p_partkey", "p_brand", "p_type", "p_size"]
+        ).map_batches(part_slice, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    distinct = (
+        joined.groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "p_brand": t["p_brand"].to_pylist(),
+                    "p_type": t["p_type"].to_pylist(),
+                    "p_size": t["p_size"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        distinct.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("c", alias_name="supplier_cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "p_size": t["p_size"].to_numpy().astype(np.int64),
+                "supplier_cnt": t["supplier_cnt"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sales_opportunity(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    since_us: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q22-style global sales opportunity: customers with an
+    account balance above the average POSITIVE balance and no order since
+    ``since_us`` (Q22's 7-year dormancy window), rolled up per market
+    segment (this schema carries no phone column, so the segment plays
+    Q22's country-code role).
+
+    → (c_mktsegment, n_custs: int64, total_acctbal).
+
+    Plan: the average is a constant-key (Σcents, count) fold (two ints per
+    block); the above-average test is the exact integer cross-multiply
+    cents·cnt > Σcents (never a float average); the NOT EXISTS is the
+    distributed anti join of ``inactive_customers`` — date filter +
+    per-batch custkey dedup, distinct-close, LEFT OUTER + null filter.
+    Nothing is ever broadcast but two scalars."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    since = np.int64(
+        since_us
+        if since_us is not None
+        else int(pd.Timestamp("1999-01-01").value // 1000)
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    stats = (
+        customer.select_columns(["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()
+    )
+    sum_c = int(stats[0]["s"]) if stats else 0
+    cnt = int(stats[0]["n"]) if stats else 0
+    if cnt == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_custs": pa.array([], pa.int64()),
+                    "total_acctbal": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"o_custkey": pc.unique(t["o_custkey"].filter(pa.array(od >= since)))}
+        )
+
+    okeys = (
+        orders.select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(recent_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "has_order": pa.array(
+                        np.ones(len(t), dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = pa.array(cents * cnt > sum_c)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(keep),
+                "c_mktsegment": t["c_mktsegment"].filter(keep),
+                "cents": pa.array(cents[keep.to_numpy(zero_copy_only=False)]),
+            }
+        )
+
+    joined = (
+        customer.select_columns(["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(rich, batch_format="pyarrow")
+        .join(
+            okeys,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["has_order"]))
+        df = (
+            pd.DataFrame(
+                {
+                    "seg": t["c_mktsegment"].to_pylist(),
+                    "cents": t["cents"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("seg", sort=False)
+            .agg(cents=("cents", "sum"), n=("cents", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(df["seg"], pa.string()),
+                "cents": df["cents"].to_numpy(np.int64),
+                "n": df["n"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_custs": t["n"].to_numpy().astype(np.int64),
+                "total_acctbal": t["cents"].to_numpy().astype(np.float64)
+                / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

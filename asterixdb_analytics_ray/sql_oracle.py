@@ -2927,3 +2927,155 @@ SELECT CAST(coalesce(sum(u), 0) AS DOUBLE) / 10000.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM j
 """
+
+
+def local_supplier_revenue_sql(
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> str:
+    """TPC-H Q5 shape (relational.local_supplier_revenue): same-nation
+    customer/supplier revenue per nation of one region; exact 1e-4 units."""
+    return f"""
+WITH j AS (
+  SELECT n.n_name,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{region}'
+    AND s.s_nationkey = c.c_nationkey
+    AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+    AND o.o_orderdate < TIMESTAMP '{date_hi}'
+)
+SELECT n_name,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j GROUP BY n_name
+"""
+
+
+def volume_shipping_sql(
+    nation_a: str = "NATION_12",
+    nation_b: str = "NATION_13",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> str:
+    """TPC-H Q7 shape (relational.volume_shipping): cross-nation shipped
+    revenue per (supp_nation, cust_nation, ship year); exact 1e-4 units."""
+    return f"""
+WITH j AS (
+  SELECT ns.n_name AS supp_nation,
+         nc.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+      OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
+    AND l.l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l.l_shipdate < TIMESTAMP '{date_hi}'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def top_supplier_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+) -> str:
+    """TPC-H Q15 shape (relational.top_supplier): supplier(s) at the max
+    quarterly discounted revenue; exact 1e-4 units."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate < TIMESTAMP '{date_hi}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(rev.u AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.u = (SELECT max(u) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def small_quantity_revenue_sql(
+    brand: str = "Brand#13", ratio_num: int = 1, ratio_den: int = 5
+) -> str:
+    """TPC-H Q17 shape (relational.small_quantity_revenue): below-average
+    quantity revenue / 7 for one brand; the average test is the exact
+    integer cross-multiply qc·den·cnt < num·Σqc, mirrored from the engine."""
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity * 100, 0) AS BIGINT) AS qc,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{brand}'
+),
+avgq AS (
+  SELECT l_partkey, sum(qc) AS sq, CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(coalesce(sum(li.cents), 0) AS DOUBLE) / 100.0 / 7.0, 6)
+         AS avg_yearly,
+       CAST(count(li.cents) AS BIGINT) AS n_items
+FROM li JOIN avgq a ON a.l_partkey = li.l_partkey
+WHERE li.qc * {ratio_den} * a.cnt < {ratio_num} * a.sq
+"""
+
+
+def supplier_part_counts_sql(
+    exclude_brand: str = "Brand#1",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+) -> str:
+    """TPC-H Q16 shape (relational.supplier_part_counts): distinct
+    suppliers per (brand, type, size) via the lineitem bridge."""
+    szs = ", ".join(str(int(s)) for s in sizes)
+    return f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{exclude_brand}' AND p.p_size IN ({szs})
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def sales_opportunity_sql(since: str = "1999-01-01") -> str:
+    """TPC-H Q22 shape (relational.sales_opportunity): above-average
+    positive-balance customers with no order since ``since``, per market
+    segment (the schema carries no phone column); the average test is the
+    exact integer cross-multiply cents·cnt > Σcents."""
+    return f"""
+WITH bal AS (
+  SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_acctbal
+FROM customer c, bal
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * bal.n > bal.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{since}')
+GROUP BY c.c_mktsegment
+"""

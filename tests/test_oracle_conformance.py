@@ -136,6 +136,12 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_order_counts": so.order_count_distribution_sql,
         "tpch_large_orders": so.large_orders_sql,
         "tpch_discounted_revenue": so.discounted_revenue_sql,
+        "tpch_local_supplier_revenue": so.local_supplier_revenue_sql,
+        "tpch_volume_shipping": so.volume_shipping_sql,
+        "tpch_top_supplier": so.top_supplier_sql,
+        "tpch_small_qty_revenue": so.small_quantity_revenue_sql,
+        "tpch_supplier_part_counts": so.supplier_part_counts_sql,
+        "tpch_sales_opportunity": so.sales_opportunity_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -308,6 +314,12 @@ QUERY_NAMES = [
     "tpch_order_counts",
     "tpch_large_orders",
     "tpch_discounted_revenue",
+    "tpch_local_supplier_revenue",
+    "tpch_volume_shipping",
+    "tpch_top_supplier",
+    "tpch_small_qty_revenue",
+    "tpch_supplier_part_counts",
+    "tpch_sales_opportunity",
 ]
 
 

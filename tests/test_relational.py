@@ -246,3 +246,169 @@ def test_discounted_revenue_brute_force(ray_session):
     assert out["revenue"].iloc[0] == pytest.approx(
         float(u[keep].sum()) / 1e4
     )
+
+
+def _synthetic_q7(seed=11, n_li=3000, n_orders=600, n_cust=90, n_supp=40):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("1995-01-01").value // 1000
+    span = pd.Timestamp("1999-01-01").value // 1000 - base
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.int64),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(900, 90_000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_shipdate": pd.to_datetime(
+                base + rng.integers(0, span, n_li), unit="us"
+            ).astype("datetime64[us]"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 6, n_cust).astype(np.int64),
+        }
+    )
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_nationkey": rng.integers(0, 6, n_supp).astype(np.int64),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(6, dtype=np.int64)),
+            "n_name": pa.array([f"N{i}" for i in range(6)]),
+        }
+    )
+    return li, orders, cust, supp, nation
+
+
+def test_volume_shipping_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import volume_shipping
+
+    li, orders, cust, supp, nation = _synthetic_q7()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    got = (
+        volume_shipping(
+            _ds(li), _ds(orders), _ds(cust), _ds(supp), nation,
+            nation_a="N1", nation_b="N4",
+            date_lo_us=lo, date_hi_us=hi, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    sd = j["l_shipdate"].astype("int64")
+    names = {i: f"N{i}" for i in range(6)}
+    sn = j["s_nationkey"].map(names)
+    cn = j["c_nationkey"].map(names)
+    keep = (
+        (sd >= lo) & (sd < hi)
+        & (((sn == "N1") & (cn == "N4")) | ((sn == "N4") & (cn == "N1")))
+    )
+    jj = j[keep].copy()
+    jj["u"] = _cents(jj["l_extendedprice"]) * (
+        100 - np.rint(jj["l_discount"].to_numpy() * 100).astype(np.int64)
+    )
+    jj["supp_nation"] = sn[keep]
+    jj["cust_nation"] = cn[keep]
+    jj["l_year"] = jj["l_shipdate"].dt.year.astype(np.int64)
+    want = (
+        jj.groupby(["supp_nation", "cust_nation", "l_year"])
+        .agg(u=("u", "sum"), n=("u", "size"))
+        .reset_index()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["n_items"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(
+        got["revenue"].to_numpy(), want["u"].to_numpy() / 10000.0
+    )
+
+
+def test_small_quantity_revenue_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        small_quantity_revenue,
+    )
+
+    li, orders, cust, part, nation = _synthetic()
+    got = small_quantity_revenue(
+        _ds(li), _ds(part), brand="Brand#23", num_partitions=3
+    ).to_pandas()
+
+    sel = part[part["p_brand"] == "Brand#23"]
+    j = li.merge(sel, left_on="l_partkey", right_on="p_partkey")
+    qc = _cents(j["l_quantity"])
+    g = (
+        pd.DataFrame({"pk": j["l_partkey"], "qc": qc})
+        .groupby("pk")
+        .agg(sq=("qc", "sum"), cnt=("qc", "size"))
+    )
+    sq = g.loc[j["l_partkey"], "sq"].to_numpy()
+    cnt = g.loc[j["l_partkey"], "cnt"].to_numpy()
+    small = qc * 5 * cnt < 1 * sq
+    want_u = int(_cents(j["l_extendedprice"])[small].sum())
+    assert int(got["n_items"][0]) == int(small.sum())
+    assert abs(got["avg_yearly"][0] - round(want_u / 100.0 / 7.0, 6)) < 1e-6
+
+
+def test_sales_opportunity_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        sales_opportunity,
+    )
+
+    li, orders, cust, part, nation = _synthetic()
+    cust = cust.copy()
+    cust["c_mktsegment"] = np.where(
+        cust["c_custkey"] % 3 == 0, "BUILDING", "MACHINERY"
+    )
+    since = pd.Timestamp("1999-01-01").value // 1000
+    got = (
+        sales_opportunity(
+            _ds(cust),
+            _ds(orders[["o_custkey", "o_orderdate"]]),
+            since_us=since,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+    cents = _cents(cust["c_acctbal"])
+    pos = cents[cents > 0]
+    recent = set(
+        orders.loc[
+            orders["o_orderdate"].astype("int64") >= since, "o_custkey"
+        ]
+    )
+    keep = (cents * len(pos) > pos.sum()) & ~cust["c_custkey"].isin(recent)
+    kk = cust[keep]
+    want = (
+        pd.DataFrame(
+            {"seg": kk["c_mktsegment"], "cents": cents[keep.to_numpy()]}
+        )
+        .groupby("seg")
+        .agg(cents=("cents", "sum"), n=("cents", "size"))
+        .reset_index()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["n_custs"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(
+        got["total_acctbal"].to_numpy(), want["cents"].to_numpy() / 100.0
+    )
