@@ -1676,6 +1676,24 @@ def _q_emb_knn(sf_dir: str):
     return knn_brute_force(ds, queries, qt["vec_id"].to_numpy(), k=10)
 
 
+def _q_emb_ivf_knn(sf_dir: str):
+    """IVF-flat ANN (the 100-TB scale path for similarity search): coarse
+    k-means quantizer → probe the 3 nearest cells per query → within-cell
+    cosine top-k. Deterministic quantization ⇒ exact oracle parity."""
+    import numpy as np
+
+    from asterixdb_analytics_ray.pipelines.embeddings import knn_ivf
+
+    ds = _emb_ds(sf_dir)
+    qt = ds.filter(
+        expr=f"vec_id in {list(_KNN_QUERY_IDS)}"
+    ).to_pandas().sort_values("vec_id")
+    queries = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    return knn_ivf(
+        ds, queries, qt["vec_id"].to_numpy(), k=10, n_clusters=8, nprobe=3
+    )
+
+
 def _q_emb_centroid_exemplars(sf_dir: str):
     """Top-5 embeddings nearest each label's centroid (prototype mining):
     sufficient-stat centroid pass + broadcast brute-force kNN."""
@@ -1934,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
+        "emb_ivf_knn": _q_emb_ivf_knn,
         "emb_centroid_exemplars": _q_emb_centroid_exemplars,
         "emb_centroid_separation": _q_emb_centroid_separation,
         "emb_cluster_cohesion": _q_emb_cluster_cohesion,
@@ -2068,6 +2087,10 @@ def oracle_sql() -> dict[str, str]:
         "max_clique": so.max_clique_sql(p),
         "emb_kmeans_cells": so.kmeans_cells_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet")
+        ),
+        "emb_ivf_knn": so.ivf_knn_sql(
+            os.path.join(_SF_ORACLE, "embeddings.parquet"),
+            query_ids=_KNN_QUERY_IDS,
         ),
         "hits": so.hits_sql(p),
         "katz": so.katz_sql(p),

@@ -520,15 +520,21 @@ def knn_ivf(
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
         ids, m = _batch_matrix(t)
-        if len(ids) == 0:
-            return pa.table({"vec_id": ids, "cell": ids})
-        cell = np.argmax(_normalize(m) @ c.T, axis=1).astype(np.int64)
-        return t.append_column("cell", pa.array(cell))
+        cell = (
+            np.argmax(_normalize(m) @ c.T, axis=1).astype(np.int64)
+            if len(ids)
+            else np.array([], dtype=np.int64)
+        )
+        # keep the block schema identical for empty inputs
+        return t.append_column("cell", pa.array(cell, pa.int64()))
 
     bucketed = embeddings.map_batches(assign, batch_format="pyarrow").materialize()
 
     qn = _normalize(queries.astype(np.float64))
-    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # stable sort ⇒ deterministic lowest-cell tie-break (oracle parity)
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[
+        :, :nprobe
+    ]  # (nq, nprobe)
     wanted = np.unique(probe_cells)
 
     import pyarrow.compute as pc

@@ -3079,3 +3079,66 @@ WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * bal.n > bal.s
                   AND o.o_orderdate >= TIMESTAMP '{since}')
 GROUP BY c.c_mktsegment
 """
+
+
+def ivf_knn_sql(
+    emb_path: str,
+    query_ids: tuple = (0, 1, 2),
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    iters: int = 10,
+    seed: int = 3,
+) -> str:
+    """IVF-flat ANN search (embeddings.knn_ivf): reuse the unrolled Lloyd's
+    CTEs of ``kmeans_cells_sql`` verbatim for the coarse quantizer, assign
+    every corpus vector to its cell, pick each query's ``nprobe`` nearest
+    cells (sim DESC, cell ASC — the engine's stable-argsort tie-break),
+    and take the within-probed-cells cosine top-k (sim DESC, vec_id ASC).
+    Approximate ANN with an EXACT oracle: both sides compute the identical
+    deterministic quantization, so the row set matches bit-for-bit."""
+    base = kmeans_cells_sql(emb_path, n_clusters, iters, seed)
+    marker = "SELECT vec_id, CAST(cpos AS BIGINT) AS cell FROM ("
+    ctes = base[: base.index(marker)]
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        ctes
+        + f""", cells AS MATERIALIZED (
+  SELECT vec_id, cpos AS cell FROM (
+    SELECT vec_id, cpos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cpos ASC) AS rn
+    FROM sims) WHERE rn = 1),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({ids})),
+qel AS MATERIALIZED (
+  SELECT query_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS x FROM q),
+qnrm AS MATERIALIZED (
+  SELECT query_id,
+         CASE WHEN sqrt(sum(x * x)) > 0 THEN sqrt(sum(x * x)) ELSE 1 END AS nrm
+  FROM qel GROUP BY query_id),
+qsims AS MATERIALIZED (
+  SELECT qel.query_id, cn.cpos, sum((qel.x / qnrm.nrm) * cn.v) AS s
+  FROM qel JOIN qnrm USING (query_id) JOIN cn USING (i)
+  GROUP BY qel.query_id, cn.cpos),
+probe AS MATERIALIZED (
+  SELECT query_id, cpos AS cell FROM (
+    SELECT query_id, cpos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, cpos ASC) AS rn
+    FROM qsims) WHERE rn <= {nprobe}),
+csims AS MATERIALIZED (
+  SELECT p.query_id, c.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS s
+  FROM probe p
+  JOIN cells c ON c.cell = p.cell
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = p.query_id)
+SELECT query_id, vec_id, round(s, 6) AS sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, vec_id ASC) AS rn
+      FROM csims)
+WHERE rn <= {k}
+"""
+    )

@@ -178,6 +178,10 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_kmeans_cells": lambda: so.kmeans_cells_sql(
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
+        "emb_ivf_knn": lambda: so.ivf_knn_sql(
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
+        ),
         "doc_bigram_pmi": lambda: so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql,
         "doc_scrub_terms": so.scrub_terms_sql,
@@ -248,6 +252,7 @@ QUERY_NAMES = [
     "graph_sample",
     "media_features",
     "emb_kmeans_cells",
+    "emb_ivf_knn",
     "hits",
     "pagerank_personalized",
     "kcore",
