@@ -383,6 +383,46 @@ def _q_harmonic_centrality(sf_dir: str):
     )
 
 
+def _q_closeness_centrality(sf_dir: str):
+    """Closeness centrality of the BFS seeds: n_reached / Σdist (directed
+    distances; shares the cached multi-job BFS runs — zero extra
+    supersteps)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from asterixdb_analytics_ray.functions.fasthash import round_like_sql
+
+    rows_s, rows_c, rows_t, rows_n = [], [], [], []
+    for s, dist in _bfs_dists(sf_dir).items():
+        m = np.isfinite(dist) & (dist > 0)
+        tot = int(dist[m].sum())
+        rows_s.append(s)
+        rows_c.append(
+            float(round_like_sql(np.array([m.sum() / tot]), 9)[0])
+            if tot
+            else 0.0
+        )
+        rows_t.append(tot)
+        rows_n.append(int(m.sum()))
+    return pa.table(
+        {
+            "source": np.array(rows_s, dtype=np.int64),
+            "closeness": np.array(rows_c, dtype=np.float64),
+            "total_dist": np.array(rows_t, dtype=np.int64),
+            "n_reached": np.array(rows_n, dtype=np.int64),
+        }
+    )
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficient over degree thresholds (plasma degree shards +
+    one edge pass; thresholds-bounded shuffle)."""
+    from asterixdb_analytics_ray.pipelines.degrees import rich_club
+
+    views = _graph(sf_dir)
+    return rich_club(views["oriented"], views["graph"].n_nodes)
+
+
 def _q_graph_eccentricity(sf_dir: str):
     """Seed eccentricities (max finite BFS distance) + reach counts —
     closes over the SAME cached multi-job BFS runs as harmonic centrality
@@ -1878,6 +1918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": _q_sssp_weighted,
         "bfs_multi_source": _q_bfs_multi_source,
         "harmonic_centrality": _q_harmonic_centrality,
+        "closeness_centrality": _q_closeness_centrality,
+        "rich_club": _q_rich_club,
         "graph_eccentricity": _q_graph_eccentricity,
         "emb_random_projection": _q_emb_random_projection,
         "reachability": _q_reachability,
@@ -2007,6 +2049,8 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": so.sssp_weighted_sql(p),
         "bfs_multi_source": so.bfs_multi_sql(p),
         "harmonic_centrality": so.bfs_harmonic_sql(p),
+        "closeness_centrality": so.bfs_closeness_sql(p),
+        "rich_club": so.rich_club_sql(p),
         "graph_eccentricity": so.bfs_eccentricity_sql(p),
         "emb_random_projection": so.random_projection_sql(8, 64),
         "reachability": so.reachability_sql(p),

@@ -200,3 +200,78 @@ def degree_assortativity(und_edges: ray.data.Dataset, n: int) -> "pa.Table":
         np.sqrt(m * sxx - sx * sx) * np.sqrt(m * syy - sy * sy)
     )
     return pa.table({"assortativity": round_like_sql(np.array([r]), 9)})
+
+
+def rich_club(
+    oriented_edges: ray.data.Dataset,
+    n: int,
+    thresholds: tuple = (2, 4, 8, 16),
+    num_partitions: int = 32,
+) -> pa.Table:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree
+    threshold k: how densely the over-k-degree "rich" vertices connect to
+    EACH OTHER (Zhou & Mondragón 2004; Colizza et al. 2006, uncorrected φ).
+
+    → (k: int64, n_nodes: int64, n_edges: int64, phi) — phi rounded to 9
+    decimals, 0.0 when N_k < 2.
+
+    Plan: simple undirected degrees land in P plasma-resident dense shards
+    (worker-built — the ``triangles._degree_shards`` layout, zero O(n)
+    driver allocations); one edge pass gathers both endpoints' degrees
+    from the shards and folds per-threshold edge counts (|thresholds|
+    ints per block); node counts per threshold fold the same way over the
+    sparse degree partials. Reference cost-shape analog: the FilterCount
+    MR utility over a computed vertex property."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import round_like_sql
+    from ..stages.blocks import partitions_for
+    from .triangles import _degree_shards, _shard_lookup
+
+    ks = np.asarray(sorted(thresholds), dtype=np.int64)
+    kref = ray.put(ks)
+    P = partitions_for(oriented_edges.count(), num_partitions)
+    deg_refs = _degree_shards(oriented_edges, n, P)
+
+    # N_k per threshold: fold over the sparse per-shard degree vectors
+    @ray.remote
+    def shard_counts(shard: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        return (shard[None, :] > ks[:, None]).sum(axis=1).astype(np.int64)
+
+    n_nodes = np.sum(
+        ray.get([shard_counts.remote(r, kref) for r in deg_refs]), axis=0
+    )
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        shards = [ray.get(r) for r in deg_refs]  # zero-copy plasma reads
+        da = _shard_lookup(t["src"].to_numpy(), shards, len(shards))
+        db = _shard_lookup(t["dst"].to_numpy(), shards, len(shards))
+        cnt = ((da[None, :] > ks[:, None]) & (db[None, :] > ks[:, None])).sum(
+            axis=1
+        )
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "e": pa.array(cnt, pa.int64())}
+        )
+
+    agg = (
+        oriented_edges.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("e", alias_name="e"))
+        .to_pandas()
+        .set_index("k")
+    )
+    e_k = agg["e"].reindex(ks, fill_value=0).to_numpy()
+    nn = n_nodes.astype(np.float64)
+    phi = np.where(n_nodes > 1, 2.0 * e_k / np.maximum(nn * (nn - 1.0), 1.0), 0.0)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_nodes": pa.array(n_nodes, pa.int64()),
+            "n_edges": pa.array(e_k, pa.int64()),
+            "phi": pa.array(round_like_sql(phi, 9), pa.float64()),
+        }
+    )

@@ -3142,3 +3142,44 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= {k}
 """
     )
+
+
+def rich_club_sql(p: str, thresholds: tuple = (2, 4, 8, 16)) -> str:
+    """Rich-club coefficient per degree threshold (degrees.rich_club):
+    simple undirected degrees from the deduped oriented edge set."""
+    vals = ", ".join(f"({int(k)})" for k in sorted(thresholds))
+    return (
+        prelude(p)
+        + f""", degt AS MATERIALIZED (
+  SELECT v, count(*) AS deg
+  FROM (SELECT a AS v FROM ori UNION ALL SELECT b FROM ori)
+  GROUP BY v),
+ks(k) AS (VALUES {vals}),
+stats AS (
+  SELECT ks.k,
+         (SELECT CAST(count(*) AS BIGINT) FROM degt WHERE deg > ks.k)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM ori e JOIN degt da ON da.v = e.a JOIN degt db ON db.v = e.b
+          WHERE da.deg > ks.k AND db.deg > ks.k) AS n_edges
+  FROM ks)
+SELECT k, n_nodes, n_edges,
+       round(CASE WHEN n_nodes > 1
+                  THEN 2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+                  ELSE 0.0 END, 9) AS phi
+FROM stats
+"""
+    )
+
+
+def bfs_closeness_sql(p: str, sources: tuple = (0, 1, 2, 3)) -> str:
+    """Closeness centrality of the BFS seeds (n_reached / Σdist over
+    reached vertices) — closes over the bfs_multi_sql union."""
+    return f"""
+SELECT source,
+       round(CAST(count(*) AS DOUBLE) / sum(dist), 9) AS closeness,
+       CAST(sum(dist) AS BIGINT) AS total_dist,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM ({bfs_multi_sql(p, sources)})
+WHERE dist > 0 GROUP BY source
+"""

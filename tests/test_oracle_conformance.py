@@ -70,6 +70,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "sssp": so.sssp_sql,
         "bfs_multi_source": so.bfs_multi_sql,
         "harmonic_centrality": so.bfs_harmonic_sql,
+        "closeness_centrality": so.bfs_closeness_sql,
+        "rich_club": so.rich_club_sql,
         "graph_eccentricity": so.bfs_eccentricity_sql,
         "sssp_weighted": so.sssp_weighted_sql,
         "reachability": so.reachability_sql,
@@ -285,6 +287,8 @@ QUERY_NAMES = [
     "doc_source_stats",
     "betweenness",
     "harmonic_centrality",
+    "closeness_centrality",
+    "rich_club",
     "emb_random_projection",
     "events_anomalies",
     "events_gap_stats",

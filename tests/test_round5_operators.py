@@ -979,3 +979,48 @@ def test_modularity_empty_graph(ray_session):
     )
     out = modularity(ds, np.array([0, 1], dtype=np.int64)).to_pandas()
     assert out["modularity"][0] == 0.0 and out["m_edges"][0] == 0
+
+
+# ---------------------------------------------------------------- rich club
+
+
+def test_rich_club_brute_force(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.degrees import rich_club
+
+    rng = np.random.default_rng(5)
+    n = 120
+    src = rng.integers(0, n, 900).astype(np.int64)
+    dst = rng.integers(0, n, 900).astype(np.int64)
+    a, b = _oriented(src, dst)
+    ds = ray.data.from_arrow(pa.table({"src": a, "dst": b})).repartition(5)
+    ks = (2, 4, 8)
+    got = rich_club(ds, n, thresholds=ks).to_pandas().set_index("k")
+
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, a, 1)
+    np.add.at(deg, b, 1)
+    for k in ks:
+        rich = deg > k
+        nk = int(rich.sum())
+        ek = int((rich[a] & rich[b]).sum())
+        assert got.loc[k, "n_nodes"] == nk
+        assert got.loc[k, "n_edges"] == ek
+        want = 2.0 * ek / (nk * (nk - 1.0)) if nk > 1 else 0.0
+        assert abs(got.loc[k, "phi"] - round(want, 9)) < 1e-9
+
+
+def test_rich_club_clique_is_one(ray_session):
+    """A 6-clique: every vertex has degree 5, so φ(4) must be exactly 1."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.degrees import rich_club
+
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": a, "dst": b}))
+    got = rich_club(ds, 6, thresholds=(4,)).to_pandas()
+    assert got["n_nodes"][0] == 6 and got["n_edges"][0] == 15
+    assert got["phi"][0] == 1.0
