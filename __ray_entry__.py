@@ -1584,6 +1584,14 @@ def _q_doc_top_tokens(sf_dir: str):
     return top_tokens(_docs_ds(sf_dir), k=20)
 
 
+def _q_doc_zipf_slope(sf_dir: str):
+    """Zipf OLS fit over the top-200 vocabulary (corpus-health statistic;
+    two-level token-count combine, regression on the tiny ranked table)."""
+    from asterixdb_analytics_ray.pipelines.corpus import zipf_slope
+
+    return zipf_slope(_docs_ds(sf_dir), top_n=200)
+
+
 def _q_doc_tfidf_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF terms (df via distributed token join; selection
     ranked by integer keys so float ulps can't change the row set)."""
@@ -1732,6 +1740,14 @@ def _q_emb_ivf_knn(sf_dir: str):
     return knn_ivf(
         ds, queries, qt["vec_id"].to_numpy(), k=10, n_clusters=8, nprobe=3
     )
+
+
+def _q_emb_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=2 subspaces × 8 codes): independent
+    IMRU k-means per subspace over ONE cached bulk load, one encode pass."""
+    from asterixdb_analytics_ray.pipelines.embeddings import pq_codes
+
+    return pq_codes(_emb_ds(sf_dir), m=2, n_clusters=8)
 
 
 def _q_emb_centroid_exemplars(sf_dir: str):
@@ -1981,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_best_per_source": _q_doc_best_per_source,
         "doc_cms_registers": _q_doc_cms_registers,
         "doc_top_tokens": _q_doc_top_tokens,
+        "doc_zipf_slope": _q_doc_zipf_slope,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_hash_sample": _q_doc_hash_sample,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1995,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_dups": _q_emb_lsh_dups,
         "emb_kmeans_cells": _q_emb_kmeans_cells,
         "emb_ivf_knn": _q_emb_ivf_knn,
+        "emb_pq_codes": _q_emb_pq_codes,
         "emb_centroid_exemplars": _q_emb_centroid_exemplars,
         "emb_centroid_separation": _q_emb_centroid_separation,
         "emb_cluster_cohesion": _q_emb_cluster_cohesion,
@@ -2104,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_best_per_source": so.best_per_source_sql(),
         "doc_cms_registers": so.cms_registers_sql(),
         "doc_top_tokens": so.top_tokens_sql(20),
+        "doc_zipf_slope": so.zipf_slope_sql(200),
         "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
         "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),
         "doc_length_quantiles": so.length_quantiles_sql(),
@@ -2135,6 +2154,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_knn": so.ivf_knn_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet"),
             query_ids=_KNN_QUERY_IDS,
+        ),
+        "emb_pq_codes": so.pq_codes_sql(
+            os.path.join(_SF_ORACLE, "embeddings.parquet"), m=2, n_clusters=8
         ),
         "hits": so.hits_sql(p),
         "katz": so.katz_sql(p),

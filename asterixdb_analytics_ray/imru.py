@@ -125,9 +125,15 @@ class KMeansJob:
 
     column: str = "embedding"
     tol: float = 1e-6
+    # optional contiguous dim slice — lets product-quantization train one
+    # sub-quantizer per subspace over the same cached dataset
+    dim_lo: int | None = None
+    dim_hi: int | None = None
 
     def map(self, df: pd.DataFrame, model: np.ndarray):
         pts = np.stack(df[self.column].to_numpy()).astype(np.float64)
+        if self.dim_lo is not None:
+            pts = pts[:, self.dim_lo : self.dim_hi]
         d2 = ((pts[:, None, :] - model[None, :, :]) ** 2).sum(axis=2)
         assign = np.argmin(d2, axis=1)
         k, dim = model.shape

@@ -965,3 +965,48 @@ def vocab_stats(docs: ray.data.Dataset) -> pd.DataFrame:
             "ttr": round_like_sql(np.array([distinct / float(total)]), 9),
         }
     )
+
+
+def zipf_slope(docs: ray.data.Dataset, top_n: int = 200) -> pa.Table:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(frequency) against ln(rank) for the ``top_n`` most frequent tokens
+    (ranks assigned count DESC, token ASC — deterministic ties both sides).
+    Natural-language corpora sit near slope ≈ −1; the statistic is a cheap
+    corpus-health / domain-shift indicator for training-data pipelines.
+
+    → one row (slope, intercept, n_ranks: int64), 6-decimal rounded.
+
+    Plan: reuses the two-level token-count combine of ``top_tokens`` (the
+    shuffle carries ≤ distinct-tokens-per-block partials); the regression
+    runs on the ``top_n``-row table only. The OLS is the population
+    covar/var ratio — the exact formula DuckDB's ``regr_slope`` computes,
+    so the oracle matches to FP noise below the 6-dp rounding."""
+    from ..functions.fasthash import round_like_sql
+
+    top = top_tokens(docs, k=top_n).to_pandas()
+    n = len(top)
+    if n < 2:
+        return pa.table(
+            {
+                "slope": pa.array([0.0], pa.float64()),
+                "intercept": pa.array([0.0], pa.float64()),
+                "n_ranks": pa.array([n], pa.int64()),
+            }
+        )
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = float(np.sum((x - mx) * (y - my)) / np.sum((x - mx) ** 2))
+    intercept = float(my - slope * mx)
+    return pa.table(
+        {
+            "slope": pa.array(
+                [float(round_like_sql(np.array([slope]), 6)[0])], pa.float64()
+            ),
+            "intercept": pa.array(
+                [float(round_like_sql(np.array([intercept]), 6)[0])],
+                pa.float64(),
+            ),
+            "n_ranks": pa.array([n], pa.int64()),
+        }
+    )

@@ -1141,3 +1141,76 @@ def top_direction(emb: ray.data.Dataset, iters: int = 30) -> pa.Table:
             "eigenvalue": np.full(d, round(lam, 6)),
         }
     )
+
+
+def pq_codes(
+    embeddings: ray.data.Dataset,
+    m: int = 2,
+    n_clusters: int = 8,
+    iters: int = 10,
+    seed: int = 3,
+) -> ray.data.Dataset:
+    """Product quantization (Jégou et al. 2011): split the d dims into
+    ``m`` contiguous subspaces, train an independent k-means codebook per
+    subspace (the IMRU loop — map=assign+partials, tree reduce, update),
+    and encode every vector as its per-subspace EUCLIDEAN-nearest code.
+    The embedding-compression scale path: d floats become m bytes,
+    asymmetric distances come from m tiny lookup tables.
+
+    → (vec_id, sub: int64, code: int64) long-format code table.
+
+    Plan: the dataset is materialized ONCE and the m training loops reuse
+    the cached blocks (multi-job chaining over a shared bulk load); the
+    final encode is one map pass against the broadcast (m, k, d/m)
+    codebook tensor. Ties break to the lowest code index on both sides
+    (np.argmin / SQL rn=1 ORDER BY d2, cpos)."""
+    from ..imru import KMeansJob, run_imru
+
+    pool = embeddings.limit(max(n_clusters * 8, 64)).to_pandas()
+    M = np.stack(pool["embedding"].to_numpy()).astype(np.float64)
+    d = M.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    cached = embeddings.materialize()
+    books = []
+    for s in range(m):
+        rng = np.random.default_rng(seed + s)
+        init = M[
+            rng.choice(len(M), size=n_clusters, replace=False),
+            s * sub : (s + 1) * sub,
+        ]
+        job = KMeansJob(
+            column="embedding", tol=1e-6, dim_lo=s * sub, dim_hi=(s + 1) * sub
+        )
+        books.append(run_imru(job, cached, init, max_iters=iters))
+    bref = ray.put(np.stack(books))  # (m, k, sub)
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = ray.get(bref)
+        ids, mat = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sub": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        outs_v, outs_s, outs_c = [], [], []
+        for s in range(B.shape[0]):
+            seg = mat[:, s * sub : (s + 1) * sub]
+            d2 = ((seg[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            outs_v.append(ids)
+            outs_s.append(np.full(len(ids), s, dtype=np.int64))
+            outs_c.append(np.argmin(d2, axis=1).astype(np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(outs_v)),
+                "sub": pa.array(np.concatenate(outs_s)),
+                "code": pa.array(np.concatenate(outs_c)),
+            }
+        )
+
+    return cached.map_batches(encode, batch_format="pyarrow")

@@ -3183,3 +3183,131 @@ SELECT source,
 FROM ({bfs_multi_sql(p, sources)})
 WHERE dist > 0 GROUP BY source
 """
+
+
+def zipf_slope_sql(top_n: int = 200) -> str:
+    """Zipf OLS fit (corpus.zipf_slope): ln(count) ~ ln(rank) over the
+    top-N tokens; the covar/var ratio written out explicitly so both sides
+    compute the identical formula."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(ws) AS token FROM toks),
+topk AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY token
+  ORDER BY n DESC, token ASC
+  LIMIT {top_n}),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM topk),
+m AS (SELECT avg(x) AS mx, avg(y) AS my, count(*) AS nn FROM ranked),
+s AS (
+  SELECT sum((r.x - m.mx) * (r.y - m.my))
+           / sum((r.x - m.mx) * (r.x - m.mx)) AS sl,
+         any_value(m.my) AS my, any_value(m.mx) AS mx,
+         any_value(m.nn) AS nn
+  FROM ranked r, m)
+SELECT round(sl, 6) AS slope,
+       round(my - sl * mx, 6) AS intercept,
+       CAST(nn AS BIGINT) AS n_ranks
+FROM s
+"""
+
+
+def pq_codes_sql(
+    emb_path: str,
+    m: int = 2,
+    n_clusters: int = 8,
+    iters: int = 10,
+    seed: int = 3,
+    tol: float = 1e-6,
+) -> str:
+    """Product-quantization codes (embeddings.pq_codes): one unrolled
+    Lloyd's chain PER SUBSPACE over the subspace's coordinate slice (same
+    sticky-converged pattern as ``kmeans_cells_sql``), closed by the
+    euclidean rn=1 assignment; subspace code tables UNION ALL'd. As with
+    kmeans_cells, only the seed-derived init row ids come from the
+    engine's formulation — every distance/mean/assignment is DuckDB's own
+    arithmetic, so (vec_id, sub, code) compares integer-exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    first = tbl["vec_id"].to_numpy()
+    d = len(tbl["embedding"][0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    pool = first[: max(n_clusters * 8, 64)]
+
+    parts = [
+        """
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM emb
+)"""
+    ]
+    finals = []
+    for s in range(m):
+        rng = np.random.default_rng(seed + s)
+        init_ids = pool[rng.choice(len(pool), size=n_clusters, replace=False)]
+        init_vals = ", ".join(
+            f"({cpos}, {int(vid)})" for cpos, vid in enumerate(init_ids)
+        )
+        lo, hi = s * sub + 1, (s + 1) * sub  # 1-based inclusive range
+        P = f"p{s}_"
+        parts.append(
+            f""", {P}el AS MATERIALIZED (
+  SELECT vec_id, i, x FROM el WHERE i BETWEEN {lo} AND {hi}),
+{P}initmap(cpos, vid) AS (VALUES {init_vals}),
+{P}c0 AS MATERIALIZED (
+  SELECT mm.cpos, e2.i, e2.x AS v
+  FROM {P}initmap mm JOIN {P}el e2 ON e2.vec_id = mm.vid),
+{P}s0 AS MATERIALIZED (SELECT FALSE AS stopped)"""
+        )
+        for t in range(1, iters + 1):
+            p, c = t - 1, t
+            parts.append(
+                f""", {P}d{c} AS MATERIALIZED (
+  SELECT e2.vec_id, cc.cpos, sum((e2.x - cc.v) * (e2.x - cc.v)) AS d2
+  FROM {P}el e2 JOIN {P}c{p} cc USING (i) GROUP BY e2.vec_id, cc.cpos),
+{P}a{c} AS MATERIALIZED (
+  SELECT vec_id, cpos FROM (
+    SELECT vec_id, cpos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cpos ASC) AS rn
+    FROM {P}d{c}) WHERE rn = 1),
+{P}n{c} AS MATERIALIZED (
+  SELECT cc.cpos, cc.i, coalesce(mm.v, cc.v) AS v
+  FROM {P}c{p} cc LEFT JOIN (
+    SELECT a.cpos, e2.i, avg(e2.x) AS v
+    FROM {P}a{c} a JOIN {P}el e2 USING (vec_id) GROUP BY a.cpos, e2.i
+  ) mm ON mm.cpos = cc.cpos AND mm.i = cc.i),
+{P}s{c} AS MATERIALIZED (
+  SELECT (SELECT stopped FROM {P}s{p}) OR
+         (SELECT max(abs(n.v - o.v)) FROM {P}n{c} n
+          JOIN {P}c{p} o ON o.cpos = n.cpos AND o.i = n.i) < {tol} AS stopped),
+{P}c{c} AS MATERIALIZED (
+  SELECT o.cpos, o.i,
+         CASE WHEN (SELECT stopped FROM {P}s{p}) THEN o.v ELSE n.v END AS v
+  FROM {P}c{p} o JOIN {P}n{c} n ON n.cpos = o.cpos AND n.i = o.i)"""
+            )
+        parts.append(
+            f""", {P}fd AS MATERIALIZED (
+  SELECT e2.vec_id, cc.cpos, sum((e2.x - cc.v) * (e2.x - cc.v)) AS d2
+  FROM {P}el e2 JOIN {P}c{iters} cc USING (i) GROUP BY e2.vec_id, cc.cpos),
+{P}fin AS MATERIALIZED (
+  SELECT vec_id, CAST({s} AS BIGINT) AS sub, CAST(cpos AS BIGINT) AS code
+  FROM (
+    SELECT vec_id, cpos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cpos ASC) AS rn
+    FROM {P}fd) WHERE rn = 1)"""
+        )
+        finals.append(f"SELECT vec_id, sub, code FROM {P}fin")
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)

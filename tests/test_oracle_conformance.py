@@ -151,6 +151,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_best_per_source": so.best_per_source_sql,
         "doc_cms_registers": so.cms_registers_sql,
         "doc_top_tokens": lambda: so.top_tokens_sql(20),
+        "doc_zipf_slope": lambda: so.zipf_slope_sql(200),
         "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
         "doc_hash_sample": lambda: so.hash_sample_sql(
             0.2, __import__("__ray_entry__")._SAMPLE_RATES
@@ -183,6 +184,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_ivf_knn": lambda: so.ivf_knn_sql(
             os.path.join(SF_DIR, "embeddings.parquet"),
             query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
+        ),
+        "emb_pq_codes": lambda: so.pq_codes_sql(
+            os.path.join(SF_DIR, "embeddings.parquet"), m=2, n_clusters=8
         ),
         "doc_bigram_pmi": lambda: so.bigram_pmi_sql(k=50, min_count=5),
         "emb_quantize": so.quantize_int8_sql,
@@ -241,6 +245,7 @@ QUERY_NAMES = [
     "doc_best_per_source",
     "doc_cms_registers",
     "doc_top_tokens",
+    "doc_zipf_slope",
     "doc_tfidf_terms",
     "doc_hash_sample",
     "doc_length_quantiles",
@@ -255,6 +260,7 @@ QUERY_NAMES = [
     "media_features",
     "emb_kmeans_cells",
     "emb_ivf_knn",
+    "emb_pq_codes",
     "hits",
     "pagerank_personalized",
     "kcore",

@@ -1024,3 +1024,76 @@ def test_rich_club_clique_is_one(ray_session):
     got = rich_club(ds, 6, thresholds=(4,)).to_pandas()
     assert got["n_nodes"][0] == 6 and got["n_edges"][0] == 15
     assert got["phi"][0] == 1.0
+
+
+# ------------------------------------------------------------ PQ / zipf
+
+
+def test_pq_codes_are_subspace_argmin(ray_session):
+    """Every emitted code must be the euclidean argmin of its subspace
+    against an independently recomputed codebook (reuses the engine's
+    training but re-derives assignments brute-force)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.imru import KMeansJob, run_imru
+    from asterixdb_analytics_ray.pipelines.embeddings import pq_codes
+
+    rng = np.random.default_rng(0)
+    n, d = 300, 8
+    M = rng.normal(size=(n, d))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(M.astype(np.float64))),
+            }
+        )
+    ).repartition(4)
+    got = (
+        pq_codes(ds, m=2, n_clusters=4, iters=10, seed=3)
+        .to_pandas()
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2 * n
+    assert set(got["sub"]) == {0, 1}
+    assert got["code"].between(0, 3).all()
+
+    pool = M[: max(4 * 8, 64)]
+    for s in range(2):
+        r2 = np.random.default_rng(3 + s)
+        init = pool[r2.choice(len(pool), size=4, replace=False), s * 4:(s + 1) * 4]
+        book = run_imru(
+            KMeansJob(column="embedding", tol=1e-6, dim_lo=s * 4, dim_hi=(s + 1) * 4),
+            ds, init, max_iters=10,
+        )
+        seg = M[:, s * 4:(s + 1) * 4]
+        d2 = ((seg[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        want = np.argmin(d2, axis=1)
+        codes = got[got["sub"] == s].sort_values("vec_id")["code"].to_numpy()
+        assert (codes == want).all()
+
+
+def test_zipf_slope_synthetic_power_law(ray_session):
+    """A corpus engineered as freq(rank r) = round(1000/r) must fit slope
+    ≈ −1 (the exact Zipf exponent)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import zipf_slope
+
+    toks = []
+    for r in range(1, 41):
+        toks.extend([f"w{r:03d}"] * round(1000 / r))
+    rng = np.random.default_rng(1)
+    rng.shuffle(toks)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [" ".join(toks[i::20]) for i in range(20)],
+        }
+    )
+    out = zipf_slope(
+        ray.data.from_pandas(docs).repartition(4), top_n=40
+    ).to_pandas()
+    assert out["n_ranks"][0] == 40
+    assert abs(out["slope"][0] + 1.0) < 0.02
