@@ -1584,6 +1584,14 @@ def _q_doc_top_tokens(sf_dir: str):
     return top_tokens(_docs_ds(sf_dir), k=20)
 
 
+def _q_doc_containment_dups(sf_dir: str):
+    """Asymmetric subset-duplicate pairs (overlap coefficient >= 0.8) —
+    the containment dedup pass Jaccard misses."""
+    from asterixdb_analytics_ray.pipelines.textops import containment_pairs
+
+    return containment_pairs(_docs_ds(sf_dir), threshold=0.8)
+
+
 def _q_doc_zipf_slope(sf_dir: str):
     """Zipf OLS fit over the top-200 vocabulary (corpus-health statistic;
     two-level token-count combine, regression on the tiny ranked table)."""
@@ -1998,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cms_registers": _q_doc_cms_registers,
         "doc_top_tokens": _q_doc_top_tokens,
         "doc_zipf_slope": _q_doc_zipf_slope,
+        "doc_containment_dups": _q_doc_containment_dups,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_hash_sample": _q_doc_hash_sample,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -2123,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cms_registers": so.cms_registers_sql(),
         "doc_top_tokens": so.top_tokens_sql(20),
         "doc_zipf_slope": so.zipf_slope_sql(200),
+        "doc_containment_dups": so.containment_sql(0.8),
         "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
         "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),
         "doc_length_quantiles": so.length_quantiles_sql(),

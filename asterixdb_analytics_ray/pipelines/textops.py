@@ -500,6 +500,7 @@ def _verify_pairs_distributed(
     shingles: ray.data.Dataset,
     threshold: float,
     n_hint: int | None = None,
+    measure: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of (doc_a, doc_b) candidates, fully
     distributed: two int64-keyed hash joins pull each side's shingle set to
@@ -519,7 +520,7 @@ def _verify_pairs_distributed(
                 {
                     "doc_a": pa.array([], pa.int64()),
                     "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
+                    measure: pa.array([], pa.float64()),
                 }
             )
         )
@@ -548,8 +549,11 @@ def _verify_pairs_distributed(
             sa = np.frombuffer(sa_col[i], dtype=np.uint64)
             sb = np.frombuffer(sb_col[i], dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 0.0
+            if measure == "containment":
+                den = min(len(sa), len(sb))
+            else:
+                den = len(sa) + len(sb) - inter
+            jac[i] = inter / den if den else 0.0
         # threshold the UNROUNDED value (matching the SQL oracle's WHERE
         # clause exactly — both sides compute the identical IEEE division);
         # round only the projected column
@@ -557,7 +561,7 @@ def _verify_pairs_distributed(
             {
                 "doc_a": t["doc_a"],
                 "doc_b": t["doc_b"],
-                "jaccard": np.round(jac, 6),
+                measure: np.round(jac, 6),
             }
         )
         return out.filter(pa.array(jac >= threshold))
@@ -999,6 +1003,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_df: int | None = 100_000,
+    measure: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact all-pairs word-k-gram Jaccard ≥ threshold — distributed.
 
@@ -1124,7 +1129,11 @@ def ngram_jaccard_pairs(
         # from their full shingle sets instead of the join counts
         cand = inter.select_columns(["doc_a", "doc_b"])
         return _verify_pairs_distributed(
-            cand, shingle_sets(docs, shingle_k), threshold, n_hint=ex.count()
+            cand,
+            shingle_sets(docs, shingle_k),
+            threshold,
+            n_hint=ex.count(),
+            measure=measure,
         )
 
     sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
@@ -1146,21 +1155,50 @@ def ngram_jaccard_pairs(
 
     def finish(t: pa.Table) -> pa.Table:
         inter_c = t["inter"].to_numpy().astype(np.float64)
-        union = (
-            t["n_a"].to_numpy() + t["n_b"].to_numpy()
-        ).astype(np.float64) - inter_c
+        if measure == "containment":
+            den = np.minimum(t["n_a"].to_numpy(), t["n_b"].to_numpy()).astype(
+                np.float64
+            )
+        else:
+            den = (
+                t["n_a"].to_numpy() + t["n_b"].to_numpy()
+            ).astype(np.float64) - inter_c
         # unrounded threshold, rounded projection (mirrors the SQL oracle)
-        jac = np.where(union > 0, inter_c / union, 0.0)
+        jac = np.where(den > 0, inter_c / den, 0.0)
         out = pa.table(
             {
                 "doc_a": t["doc_a"],
                 "doc_b": t["doc_b"],
-                "jaccard": np.round(jac, 6),
+                measure: np.round(jac, 6),
             }
         )
         return out.filter(pa.array(jac >= threshold))
 
     return withsizes.map_batches(finish, batch_format="pyarrow")
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_df: int | None = 100_000,
+) -> ray.data.Dataset:
+    """Asymmetric-duplicate detection via the overlap coefficient
+    |A∩B| / min(|A|, |B|) over word-k-gram shingle sets: a document fully
+    CONTAINED in a longer one scores 1.0 even when its Jaccard is tiny —
+    the subset-dup case (quoted posts, boilerplate-wrapped articles,
+    partial crawls) that Jaccard dedup misses in training corpora.
+
+    → (doc_a < doc_b, containment) rows ≥ threshold; identical
+    inverted-index + hot-shingle-salting plan as ``ngram_jaccard_pairs``
+    (only the closing denominator differs)."""
+    return ngram_jaccard_pairs(
+        docs,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        max_df=max_df,
+        measure="containment",
+    )
 
 
 def hll_registers(

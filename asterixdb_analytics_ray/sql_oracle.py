@@ -3311,3 +3311,36 @@ el AS MATERIALIZED (
         finals.append(f"SELECT vec_id, sub, code FROM {P}fin")
     parts.append("\n" + "\nUNION ALL\n".join(finals))
     return "".join(parts)
+
+
+def containment_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Overlap-coefficient pairs (textops.containment_pairs): the
+    ngram_jaccard formulation with least(|A|, |B|) as the denominator."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists)
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {threshold}
+"""

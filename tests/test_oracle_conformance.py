@@ -152,6 +152,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_cms_registers": so.cms_registers_sql,
         "doc_top_tokens": lambda: so.top_tokens_sql(20),
         "doc_zipf_slope": lambda: so.zipf_slope_sql(200),
+        "doc_containment_dups": lambda: so.containment_sql(0.8),
         "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
         "doc_hash_sample": lambda: so.hash_sample_sql(
             0.2, __import__("__ray_entry__")._SAMPLE_RATES
@@ -246,6 +247,7 @@ QUERY_NAMES = [
     "doc_cms_registers",
     "doc_top_tokens",
     "doc_zipf_slope",
+    "doc_containment_dups",
     "doc_tfidf_terms",
     "doc_hash_sample",
     "doc_length_quantiles",

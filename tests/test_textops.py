@@ -311,3 +311,69 @@ def test_dup_clusters_canonicalization(ray_session):
     assert set(df.index) == {0, 1, 2, 3, 4}
     assert list(df["cluster_id"]) == [0, 0, 0, 3, 3]
     assert list(df["keep"]) == [1, 0, 0, 1, 0]
+
+
+def test_containment_catches_subset_dup(ray_session):
+    """A short doc fully contained in a long one: containment = 1.0 even
+    though jaccard is far below threshold."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i}" for i in range(200))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [short, short + " " + filler, filler.upper()],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    got = containment_pairs(ds, threshold=0.9).to_pandas()
+    assert len(got) == 1
+    assert (got["doc_a"][0], got["doc_b"][0]) == (1, 2)
+    assert got["containment"][0] == 1.0
+    jac = ngram_jaccard_pairs(ds, threshold=0.9).to_pandas()
+    assert len(jac) == 0  # jaccard misses the subset dup
+
+
+def test_containment_salted_path_matches_unsalted(ray_session):
+    """Force the hot-shingle salting path (max_df=2) and check the verified
+    survivors equal the lossless run."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import containment_pairs
+
+    base = ["common boiler plate three", "x y z w"]
+    texts = []
+    for i in range(12):
+        extra = " ".join(f"t{i}_{j}" for j in range(3))  # fixed-size docs:
+        texts.append(base[i % 2] + " " + extra)  # containment is 2/5 = 0.4
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(12, dtype=np.int64), "text": texts}
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        salted = (
+            containment_pairs(ds, threshold=0.3, max_df=2)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+    plain = (
+        containment_pairs(ds, threshold=0.3, max_df=None)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # salting may drop cross-salt candidates; every SURVIVOR must be exact
+    assert len(plain) > 0 and len(salted) > 0
+    merged = salted.merge(plain, on=["doc_a", "doc_b"], suffixes=("_s", "_p"))
+    assert len(merged) == len(salted)
+    assert np.allclose(merged["containment_s"], merged["containment_p"])
