@@ -1584,6 +1584,14 @@ def _q_doc_top_tokens(sf_dir: str):
     return top_tokens(_docs_ds(sf_dir), k=20)
 
 
+def _q_corpus_split_leakage(sf_dir: str):
+    """Near-dup pairs straddling the deterministic train/val hash split
+    (the post-split leakage QA gate)."""
+    from asterixdb_analytics_ray.pipelines.corpus import split_leakage
+
+    return split_leakage(_docs_ds(sf_dir), threshold=0.4, val_rate=0.2)
+
+
 def _q_doc_containment_dups(sf_dir: str):
     """Asymmetric subset-duplicate pairs (overlap coefficient >= 0.8) —
     the containment dedup pass Jaccard misses."""
@@ -2007,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": _q_doc_top_tokens,
         "doc_zipf_slope": _q_doc_zipf_slope,
         "doc_containment_dups": _q_doc_containment_dups,
+        "corpus_split_leakage": _q_corpus_split_leakage,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_hash_sample": _q_doc_hash_sample,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -2133,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_tokens": so.top_tokens_sql(20),
         "doc_zipf_slope": so.zipf_slope_sql(200),
         "doc_containment_dups": so.containment_sql(0.8),
+        "corpus_split_leakage": so.split_leakage_sql(0.4, 0.2),
         "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
         "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),
         "doc_length_quantiles": so.length_quantiles_sql(),

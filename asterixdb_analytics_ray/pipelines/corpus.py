@@ -1010,3 +1010,36 @@ def zipf_slope(docs: ray.data.Dataset, top_n: int = 200) -> pa.Table:
             "n_ranks": pa.array([n], pa.int64()),
         }
     )
+
+
+def split_leakage(
+    docs: ray.data.Dataset,
+    threshold: float = 0.4,
+    val_rate: float = 0.2,
+) -> ray.data.Dataset:
+    """Train/val LEAKAGE AUDIT: near-duplicate pairs that straddle a
+    deterministic hash split — the QA gate a training-data pipeline runs
+    after splitting, since a val doc with a train near-dup inflates eval.
+
+    → (doc_a < doc_b, jaccard) rows where exactly one side lands in the
+    ``val_rate`` hash-split (hash64(doc_id) < rate·2^64 — the same
+    deterministic md5-prefix split as ``hash_sample``, so the audited
+    split IS the one `hash_sample` would produce).
+
+    Plan: the near-dup candidates come from the full MinHash-LSH pipeline
+    (`textops.minhash_lsh_pairs` — banded signatures, bounded+salted
+    buckets, distributed exact verification); split membership is
+    recomputed map-side per pair row from doc_id alone (no join, no
+    broadcast — the split function is pure)."""
+    from .textops import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    W = float(1 << 64)
+    thr = val_rate * W
+
+    def crossing(df: pd.DataFrame) -> pd.DataFrame:
+        va = _hash64(df["doc_a"].to_numpy()).astype(np.float64) < thr
+        vb = _hash64(df["doc_b"].to_numpy()).astype(np.float64) < thr
+        return df[va != vb]
+
+    return pairs.map_batches(crossing, batch_format="pandas")

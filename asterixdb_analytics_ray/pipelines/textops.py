@@ -644,12 +644,16 @@ def minhash_lsh_pairs(
         fh = np.zeros(n, dtype=np.uint64)
         for r in range(num_perm):
             fh = fh * np.uint64(1099511628211) + sig[:, r]
+        # int64 VIEWS: Ray's sort/aggregate block machinery falls back to
+        # pickled-object blocks on uint64 values ≥ 2^63 (observed at sf0.01:
+        # 16 ArrowConversionError retries per run) — hash keys are opaque,
+        # so reinterpret the bits (same idiom as the jaccard `sh` column)
         return pa.table(
             {
                 "band_id": band_ids,
-                "band_hash": hashes,
+                "band_hash": hashes.view(np.int64),
                 "doc_id": doc_rep,
-                "sig_hash": np.tile(fh, bands),
+                "sig_hash": np.tile(fh, bands).view(np.int64),
             }
         )
 
@@ -725,7 +729,7 @@ def minhash_lsh_pairs(
                         np.ceil(m["c"].to_numpy(np.float64)[hot] / max_bucket),
                     ).astype(np.uint64)
                     salt[hot] = (
-                        df["sig_hash"].to_numpy()[hot] % k
+                        df["sig_hash"].to_numpy().view(np.uint64)[hot] % k
                     ).astype(np.int64)
                 if hs_ref is not None:
                     hs = ray.get(hs_ref)
@@ -746,7 +750,7 @@ def minhash_lsh_pairs(
                             * KNUTH
                         ) % k2
                         cls = (
-                            df["sig_hash"].to_numpy()[shot]
+                            df["sig_hash"].to_numpy().view(np.uint64)[shot]
                             % np.uint64(65536)
                         ).astype(np.int64)
                         # negative namespace keeps mass-identical classes
@@ -771,7 +775,7 @@ def minhash_lsh_pairs(
         per-group Python call here is fine — the vectorized emitter below
         routes only size>max_bucket groups through this."""
         k = len(ids)
-        order = np.lexsort((ids, sig))
+        order = np.lexsort((ids, sig.view(np.uint64) if sig.dtype == np.int64 else sig))
         ids = ids[order]
         dropped = k * (k - 1) // 2
         pa_, pb_ = [], []
@@ -813,7 +817,7 @@ def minhash_lsh_pairs(
     has_salt = "salt" in group_keys
 
     def add_bk(t: pa.Table) -> pa.Table:
-        h = t["band_hash"].to_numpy().astype(np.uint64) * KNUTH64
+        h = t["band_hash"].to_numpy().view(np.uint64) * KNUTH64
         h = h + t["band_id"].to_numpy().astype(np.uint64)
         if has_salt:
             h = h + t["salt"].to_numpy().astype(np.int64).astype(np.uint64) * FNV

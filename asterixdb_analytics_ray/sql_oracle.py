@@ -3344,3 +3344,18 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {threshold}
 """
+
+
+def split_leakage_sql(threshold: float = 0.4, val_rate: float = 0.2) -> str:
+    """Train/val leakage pairs (corpus.split_leakage): the full MinHash
+    pipeline SQL filtered to pairs straddling the md5-prefix hash split."""
+    W = float(1 << 64)
+    h = (
+        "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 16))::UBIGINT"
+        " AS DOUBLE)"
+    )
+    return f"""
+SELECT doc_a, doc_b, jaccard FROM ({minhash_lsh_sql(threshold)})
+WHERE ({h.format(c='doc_a')} < {val_rate * W!r})
+   <> ({h.format(c='doc_b')} < {val_rate * W!r})
+"""

@@ -153,6 +153,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_top_tokens": lambda: so.top_tokens_sql(20),
         "doc_zipf_slope": lambda: so.zipf_slope_sql(200),
         "doc_containment_dups": lambda: so.containment_sql(0.8),
+        "corpus_split_leakage": lambda: so.split_leakage_sql(0.4, 0.2),
         "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
         "doc_hash_sample": lambda: so.hash_sample_sql(
             0.2, __import__("__ray_entry__")._SAMPLE_RATES
@@ -248,6 +249,7 @@ QUERY_NAMES = [
     "doc_top_tokens",
     "doc_zipf_slope",
     "doc_containment_dups",
+    "corpus_split_leakage",
     "doc_tfidf_terms",
     "doc_hash_sample",
     "doc_length_quantiles",
