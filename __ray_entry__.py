@@ -1144,6 +1144,25 @@ def _q_tpch_local_supplier_revenue(sf_dir: str):
     )
 
 
+def _q_tpch_market_share(sf_dir: str):
+    """Q8-style national market share per order year (four distributed
+    hash joins over map-side-filtered inputs; exact-unit share fold)."""
+    from asterixdb_analytics_ray.pipelines.relational import market_share
+
+    return market_share(
+        _rd(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"]),
+        _rd(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _rd(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_type"]),
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        _pq(sf_dir, "region", ["r_regionkey", "r_name"]),
+        num_partitions=4,
+    )
+
+
 def _q_tpch_volume_shipping(sf_dir: str):
     """Q7-style cross-nation shipped revenue per (supp, cust, year)."""
     from asterixdb_analytics_ray.pipelines.relational import volume_shipping
@@ -1600,6 +1619,14 @@ def _q_doc_containment_dups(sf_dir: str):
     return containment_pairs(_docs_ds(sf_dir), threshold=0.8)
 
 
+def _q_doc_dup_shingles(sf_dir: str):
+    """Corpus-wide duplicated-shingle fraction per doc (RefinedWeb-style
+    duplicated n-gram quality signal; broadcast dup-set flagging)."""
+    from asterixdb_analytics_ray.pipelines.textops import dup_shingle_stats
+
+    return dup_shingle_stats(_docs_ds(sf_dir))
+
+
 def _q_doc_zipf_slope(sf_dir: str):
     """Zipf OLS fit over the top-200 vocabulary (corpus-health statistic;
     two-level token-count combine, regression on the tiny ranked table)."""
@@ -2002,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_large_orders": _q_tpch_large_orders,
         "tpch_discounted_revenue": _q_tpch_discounted_revenue,
         "tpch_local_supplier_revenue": _q_tpch_local_supplier_revenue,
+        "tpch_market_share": _q_tpch_market_share,
         "tpch_volume_shipping": _q_tpch_volume_shipping,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
@@ -2015,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": _q_doc_top_tokens,
         "doc_zipf_slope": _q_doc_zipf_slope,
         "doc_containment_dups": _q_doc_containment_dups,
+        "doc_dup_shingles": _q_doc_dup_shingles,
         "corpus_split_leakage": _q_corpus_split_leakage,
         "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_hash_sample": _q_doc_hash_sample,
@@ -2129,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_large_orders": so.large_orders_sql(),
         "tpch_discounted_revenue": so.discounted_revenue_sql(),
         "tpch_local_supplier_revenue": so.local_supplier_revenue_sql(),
+        "tpch_market_share": so.market_share_sql(),
         "tpch_volume_shipping": so.volume_shipping_sql(),
         "tpch_top_supplier": so.top_supplier_sql(),
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
@@ -2142,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_tokens": so.top_tokens_sql(20),
         "doc_zipf_slope": so.zipf_slope_sql(200),
         "doc_containment_dups": so.containment_sql(0.8),
+        "doc_dup_shingles": so.dup_shingle_stats_sql(),
         "corpus_split_leakage": so.split_leakage_sql(0.4, 0.2),
         "doc_tfidf_terms": so.tfidf_top_terms_sql(3),
         "doc_hash_sample": so.hash_sample_sql(0.2, _SAMPLE_RATES),

@@ -1909,3 +1909,209 @@ def sales_opportunity(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def market_share(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    part: ray.data.Dataset,
+    nation_table: pa.Table,
+    region_table: pa.Table,
+    nation: str = "NATION_2",
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    date_lo_us: int | None = None,
+    date_hi_us: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q8-style national market share: within one region's customer
+    orders of one part type, the per-year fraction of discounted revenue
+    supplied by ``nation``.
+
+    → (o_year, nation_revenue, total_revenue, mkt_share), revenues in
+    exact 1e-4 units / 10000, share = one double division of the two
+    exact int folds.
+
+    Plan — the deepest join chain in the suite (4 distributed hash
+    joins), every input scrubbed MAP-SIDE first so the exchanges carry
+    survivors only:
+
+      part    --p_type filter-->  (p_partkey)                 ⨝ lineitem
+      orders  --date window  -->  (o_orderkey, year)
+      customer--region filter-->  (c_custkey)  [25-row broadcast dict]
+      oc   = orders ⨝ customer        on custkey
+      lp   = lineitem(prep u) ⨝ part  on partkey
+      lpo  = lp ⨝ oc                  on orderkey
+      full = lpo ⨝ supplier           on suppkey   (data-proportional)
+      per-(year) partial (nation units, total units) → 2-row groupby.
+
+    The supplier side is never broadcast (it scales with SF); only the
+    ≤25-row nation/region dictionary rides along by value. Reference
+    cost-shape analog: the MR layer's chained equijoin aggregate jobs."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import materialize_clean
+
+    rk = {
+        int(k): v
+        for k, v in zip(
+            region_table["r_regionkey"].to_pylist(),
+            region_table["r_name"].to_pylist(),
+        )
+    }
+    region_nks = []
+    target_nk = -1
+    for nk, nn, nr in zip(
+        nation_table["n_nationkey"].to_pylist(),
+        nation_table["n_name"].to_pylist(),
+        nation_table["n_regionkey"].to_pylist(),
+    ):
+        if rk.get(int(nr)) == region:
+            region_nks.append(int(nk))
+        if nn == nation:
+            target_nk = int(nk)
+    region_nks_arr = np.asarray(sorted(region_nks), dtype=np.int64)
+    lo = np.int64(date_lo_us if date_lo_us is not None else _Y1996_US)
+    hi = np.int64(date_hi_us if date_hi_us is not None else _Y1998_US)
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        keep = np.isin(
+            t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            region_nks_arr,
+        )
+        return pa.table({"c_custkey": t["c_custkey"].filter(pa.array(keep))})
+
+    def orders_in_range(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        m = pa.array((od >= lo) & (od < hi))
+        kept = t.filter(m)
+        # calendar year from the µs timestamp, vectorized (both sides use
+        # the proleptic-Gregorian calendar)
+        yr = pd.to_datetime(kept["o_orderdate"].to_pandas()).dt.year.to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"],
+                "o_custkey": kept["o_custkey"],
+                "o_year": yr.astype(np.int64),
+            }
+        )
+
+    oc = (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_in_range, batch_format="pyarrow")
+        .join(
+            materialize_clean(
+                customer.select_columns(
+                    ["c_custkey", "c_nationkey"]
+                ).map_batches(cust_in_region, batch_format="pyarrow")
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        .select_columns(["o_orderkey", "o_year"])
+    )
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t["p_type"], p_type)
+        return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    lp = (
+        lineitem.select_columns(
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ]
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .join(
+            materialize_clean(
+                part.select_columns(["p_partkey", "p_type"]).map_batches(
+                    part_filter, batch_format="pyarrow"
+                )
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        .select_columns(["l_orderkey", "l_suppkey", "u"])
+    )
+
+    full = lp.join(
+        oc,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["u"].to_numpy()
+        # pandas int64 groupby keeps the fold exact (bincount weights
+        # would round through float64)
+        g = (
+            pd.DataFrame(
+                {"yr": yr, "nu": np.where(sn == target_nk, u, 0), "tu": u}
+            )
+            .groupby("yr", sort=False)
+            .agg(nu=("nu", "sum"), tu=("tu", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_year": g["yr"].to_numpy(np.int64),
+                "nu": g["nu"].to_numpy(np.int64),
+                "tu": g["tu"].to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        full.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nu", alias_name="nu"), Sum("tu", alias_name="tu"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nu = t["nu"].to_numpy().astype(np.float64)
+        tu = t["tu"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "o_year": t["o_year"].cast(pa.int64()),
+                "nation_revenue": nu / 10000.0,
+                "total_revenue": tu / 10000.0,
+                "mkt_share": nu / tu,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

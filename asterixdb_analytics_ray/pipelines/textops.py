@@ -1205,6 +1205,144 @@ def containment_pairs(
     )
 
 
+def dup_shingle_stats(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    max_broadcast: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Corpus-wide duplicated-shingle fraction per document — the
+    RefinedWeb/Gopher-style "duplicated n-gram" quality signal: for each
+    doc, the fraction of its DISTINCT word-k-gram shingles that also
+    appear in at least one OTHER document (boilerplate, syndication,
+    template text). Distinct from ``repetition_scores`` (within-doc
+    duplication) and from pairwise dedup (this is a per-doc scalar, not a
+    pair list).
+
+    Plan (two bounded exchanges, no self-join):
+
+      docs → (doc_id, sh) distinct-per-doc explode        (streaming)
+           → per-batch partial (sh, c) counts → groupby(sh).sum = df
+           → dup set = {sh : df ≥ 2}
+           → |dup| ≤ ``max_broadcast``: broadcast the sorted uint64 array
+             once (``ray.put``) and flag each doc's shingles map-side via
+             ``searchsorted`` — per-doc partials → tiny groupby(doc_id)
+             close (a doc's shingles can span split blocks);
+             else: distributed hash join (sh → is_dup) + the same close.
+
+    Docs with zero shingles (empty text) are absent, matching the SQL
+    oracle's empty-unnest semantics. The engine counts 64-bit md5 shingle
+    HASHES while the oracle counts the shingle STRINGS — hash-independent
+    multiset identity, same methodology as ``ngram_jaccard_pairs``.
+    Reference analog: the reference's df-count MR utility
+    (FilterCount shape); scale note: both exchanges carry ≤ distinct
+    shingles (pass 1) / ≤ docs (pass 2) rows, never the corpus text."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import partitions_for, safe_join
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        flat, counts = fasthash.shingle_hashes_batch(df["text"], shingle_k)
+        ids = df["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": np.repeat(ids, counts), "sh": flat.view(np.int64)}
+        )
+
+    ex = docs.map_batches(explode, batch_format="pandas").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sh"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["sh", "c"])
+
+    dfc = (
+        ex.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c >= 2")
+        .select_columns(["sh"])
+        .materialize()
+    )
+    n_dup = dfc.count()
+
+    def close(partials: ray.data.Dataset) -> ray.data.Dataset:
+        agg = partials.groupby("doc_id").aggregate(
+            Sum("n", alias_name="n_shingles"), Sum("nd", alias_name="n_dup")
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t["n_shingles"].to_numpy().astype(np.float64)
+            nd = t["n_dup"].to_numpy().astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_shingles": t["n_shingles"].cast(pa.int64()),
+                    "n_dup": t["n_dup"].cast(pa.int64()),
+                    "dup_frac": np.round(nd / n, 6),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    if n_dup <= max_broadcast:
+        dup_sorted = np.sort(
+            dfc.to_pandas()["sh"].to_numpy().astype(np.int64)
+        )
+        dup_ref = ray.put(dup_sorted)
+
+        def flag_partial(t: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            ids = t["doc_id"].to_numpy()
+            sh = t["sh"].to_numpy()
+            pos = np.searchsorted(dup, sh)
+            is_dup = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == sh)
+            uids, inv = np.unique(ids, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uids))
+            nd = np.bincount(inv, weights=is_dup, minlength=len(uids))
+            return pa.table(
+                {
+                    "doc_id": uids,
+                    "n": n.astype(np.int64),
+                    "nd": nd.astype(np.int64),
+                }
+            )
+
+        return close(ex.map_batches(flag_partial, batch_format="pyarrow"))
+
+    # huge-dup-set path: distributed LEFT join (sh → marker), then the
+    # identical per-batch partial + close
+    P = partitions_for(ex.count())
+    marked = safe_join(
+        ex,
+        dfc.map_batches(
+            lambda t: pa.table(
+                {"sh": t["sh"], "isd": np.ones(len(t), np.int64)}
+            ),
+            batch_format="pyarrow",
+        ),
+        "left_outer",
+        P,
+        on=("sh",),
+    )
+
+    def join_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        isd = t["isd"].to_numpy(zero_copy_only=False)
+        is_dup = ~np.isnan(isd.astype(np.float64)) if isd.dtype.kind == "f" else (
+            isd != 0
+        )
+        uids, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uids))
+        nd = np.bincount(inv, weights=is_dup, minlength=len(uids))
+        return pa.table(
+            {
+                "doc_id": uids,
+                "n": n.astype(np.int64),
+                "nd": nd.astype(np.int64),
+            }
+        )
+
+    return close(marked.map_batches(join_partial, batch_format="pyarrow"))
+
+
 def hll_registers(
     docs: ray.data.Dataset, b: int = 10, shingle_k: int = 3
 ) -> ray.data.Dataset:

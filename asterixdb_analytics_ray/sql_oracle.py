@@ -2959,6 +2959,45 @@ FROM j GROUP BY n_name
 """
 
 
+def market_share_sql(
+    nation: str = "NATION_2",
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> str:
+    """TPC-H Q8 shape (relational.market_share): per-year fraction of one
+    region's part-type revenue supplied by one nation; both folds in
+    exact 1e-4 units, share = one double division."""
+    return f"""
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS u,
+         (ns.n_name = '{nation}') AS is_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{region}'
+    AND p.p_type = '{p_type}'
+    AND o.o_orderdate >= TIMESTAMP '{date_lo}'
+    AND o.o_orderdate < TIMESTAMP '{date_hi}'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN is_nation THEN u ELSE 0 END) AS DOUBLE) / 10000.0
+         AS nation_revenue,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(sum(CASE WHEN is_nation THEN u ELSE 0 END) AS DOUBLE)
+         / CAST(sum(u) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
 def volume_shipping_sql(
     nation_a: str = "NATION_12",
     nation_b: str = "NATION_13",
@@ -3343,6 +3382,41 @@ FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / least(na.n, nb.n) >= {threshold}
+"""
+
+
+def dup_shingle_stats_sql(k: int = 3) -> str:
+    """Corpus-wide duplicated-shingle fraction per doc
+    (textops.dup_shingle_stats): a shingle is duplicated iff it occurs in
+    ≥ 2 distinct documents. The engine counts 64-bit md5 shingle hashes,
+    the oracle counts the shingle strings — hash-independent set
+    identity, same methodology as ngram_jaccard_sql."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists)
+),
+dfc AS MATERIALIZED (
+  SELECT s, count(*) AS ndocs FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       round(CAST(sum(CASE WHEN dfc.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM sh JOIN dfc ON dfc.s = sh.s
+GROUP BY sh.doc_id
 """
 
 

@@ -153,6 +153,8 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_top_tokens": lambda: so.top_tokens_sql(20),
         "doc_zipf_slope": lambda: so.zipf_slope_sql(200),
         "doc_containment_dups": lambda: so.containment_sql(0.8),
+        "doc_dup_shingles": so.dup_shingle_stats_sql,
+        "tpch_market_share": so.market_share_sql,
         "corpus_split_leakage": lambda: so.split_leakage_sql(0.4, 0.2),
         "doc_tfidf_terms": lambda: so.tfidf_top_terms_sql(3),
         "doc_hash_sample": lambda: so.hash_sample_sql(
@@ -249,6 +251,7 @@ QUERY_NAMES = [
     "doc_top_tokens",
     "doc_zipf_slope",
     "doc_containment_dups",
+    "doc_dup_shingles",
     "corpus_split_leakage",
     "doc_tfidf_terms",
     "doc_hash_sample",
@@ -339,6 +342,7 @@ QUERY_NAMES = [
     "tpch_small_qty_revenue",
     "tpch_supplier_part_counts",
     "tpch_sales_opportunity",
+    "tpch_market_share",
 ]
 
 

@@ -412,3 +412,124 @@ def test_sales_opportunity_brute_force(ray_session):
     assert np.allclose(
         got["total_acctbal"].to_numpy(), want["cents"].to_numpy() / 100.0
     )
+
+
+def test_market_share_brute_force(ray_session):
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import market_share
+
+    rng = np.random.default_rng(11)
+    n_li, n_orders, n_cust, n_supp, n_part = 5000, 1000, 150, 40, 80
+    base = pd.Timestamp("1995-06-01").value // 1000
+    span = pd.Timestamp("1999-01-01").value // 1000 - base
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_li).astype(np.int64),
+            "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(900, 90_000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.int64),
+            "o_orderdate": pd.to_datetime(
+                base + rng.integers(0, span, n_orders), unit="us"
+            ).astype("datetime64[us]"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 6, n_cust).astype(np.int64),
+        }
+    )
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_nationkey": rng.integers(0, 6, n_supp).astype(np.int64),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_type": rng.choice(["ECONOMY", "PROMO", "LARGE"], n_part),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(6, dtype=np.int64)),
+            "n_name": pa.array([f"N{i}" for i in range(6)]),
+            "n_regionkey": pa.array(
+                np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+            ),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(3, dtype=np.int64)),
+            "r_name": pa.array(["ASIA", "EUROPE", "AFRICA"]),
+        }
+    )
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+
+    got = (
+        market_share(
+            ray.data.from_pandas(li),
+            ray.data.from_pandas(orders),
+            ray.data.from_pandas(cust),
+            ray.data.from_pandas(supp),
+            ray.data.from_pandas(part),
+            nation,
+            region,
+            nation="N1",
+            region="ASIA",
+            p_type="ECONOMY",
+            date_lo_us=lo,
+            date_hi_us=hi,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+    # independent brute force: one big pandas merge chain
+    j = (
+        li.merge(part[part.p_type == "ECONOMY"], left_on="l_partkey",
+                 right_on="p_partkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[
+        (j.o_orderdate.astype("int64") >= lo)
+        & (j.o_orderdate.astype("int64") < hi)
+        & (j.c_nationkey.isin([0, 1, 2]))  # ASIA nations
+    ]
+    u = (
+        np.rint(j.l_extendedprice.to_numpy() * 100).astype(np.int64)
+        * (100 - np.rint(j.l_discount.to_numpy() * 100).astype(np.int64))
+    )
+    yr = j.o_orderdate.dt.year.to_numpy()
+    isn = (j.s_nationkey == 1).to_numpy()
+    want = (
+        pd.DataFrame({"o_year": yr, "nu": np.where(isn, u, 0), "tu": u})
+        .groupby("o_year")
+        .sum()
+        .reset_index()
+    )
+    assert list(got.o_year) == list(want.o_year)
+    np.testing.assert_allclose(
+        got.nation_revenue, want.nu / 10000.0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got.total_revenue, want.tu / 10000.0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got.mkt_share, want.nu / want.tu, atol=1e-12
+    )

@@ -377,3 +377,39 @@ def test_containment_salted_path_matches_unsalted(ray_session):
     merged = salted.merge(plain, on=["doc_a", "doc_b"], suffixes=("_s", "_p"))
     assert len(merged) == len(salted)
     assert np.allclose(merged["containment_s"], merged["containment_p"])
+
+
+def test_dup_shingle_stats_known_counts(ray_session):
+    # doc 0 and 1 share ALL their shingles (exact dup); doc 2 is unique
+    rows = [
+        (0, "a b c d"),  # shingles: "a b c", "b c d"
+        (1, "a b c d"),
+        (2, "x y z w"),  # shingles: "x y z", "y z w" — unique
+        (3, "a b c"),  # one shingle "a b c" — duplicated (in 0, 1)
+        (4, ""),  # empty: absent from the output
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = T.dup_shingle_stats(ds).to_pandas().set_index("doc_id")
+    assert 4 not in got.index
+    assert got.loc[0, "n_shingles"] == 2 and got.loc[0, "n_dup"] == 2
+    assert got.loc[0, "dup_frac"] == 1.0
+    assert got.loc[2, "n_dup"] == 0 and got.loc[2, "dup_frac"] == 0.0
+    assert got.loc[3, "n_shingles"] == 1 and got.loc[3, "dup_frac"] == 1.0
+
+
+def test_dup_shingle_stats_join_path_matches_broadcast(docs):
+    a = (
+        T.dup_shingle_stats(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        T.dup_shingle_stats(docs, max_broadcast=0)  # force the join path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
