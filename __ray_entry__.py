@@ -1234,6 +1234,95 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_tpch_best_supplier(sf_dir: str):
+    """Q2-style best supplier per part (lineitem-derived supply relation,
+    two-level combined-key argmax, equality join back, broadcast nation)."""
+    from asterixdb_analytics_ray.pipelines.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _rd(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        _rd(sf_dir, "supplier",
+            ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_product_profit(sf_dir: str):
+    """Q9-style revenue per (supplier nation, order year) for name-filtered
+    parts (three distributed hash joins + broadcast nation)."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        product_type_profit,
+    )
+
+    return product_type_profit(
+        _rd(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"]),
+        _rd(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_name"]),
+        _pq(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_important_parts(sf_dir: str):
+    """Q11-style HAVING-vs-global-scalar: parts above 5/4 of the mean
+    per-part value (per-part sums reused for both scalars and filter)."""
+    from asterixdb_analytics_ray.pipelines.relational import important_parts
+
+    return important_parts(
+        _rd(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"])
+    )
+
+
+def _q_tpch_late_shipments(sf_dir: str):
+    """Q12-style dual conditional counts of late shipments per returnflag
+    (one hash join + map-side CASE-WHEN partials)."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        late_shipment_counts,
+    )
+
+    return late_shipment_counts(
+        _rd(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]),
+        _rd(sf_dir, "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_part_promotion(sf_dir: str):
+    """Q20-style nested semi-join: suppliers shipping >1/5 of some
+    name-filtered part's total quantity."""
+    from asterixdb_analytics_ray.pipelines.relational import (
+        part_promotion_suppliers,
+    )
+
+    return part_promotion_suppliers(
+        _rd(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        _rd(sf_dir, "part", ["p_partkey", "p_name"]),
+        num_partitions=4,
+    )
+
+
+def _q_tpch_waiting_suppliers(sf_dir: str):
+    """Q21-style EXISTS/NOT-EXISTS pair as bounded groupbys: suppliers who
+    were the only late shipper of finalized multi-supplier orders."""
+    from asterixdb_analytics_ray.pipelines.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        _rd(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        _rd(sf_dir, "orders",
+            ["o_orderkey", "o_orderdate", "o_orderstatus"]),
+        _rd(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        num_partitions=4,
+    )
+
+
 def _q_events_props_rollup(sf_dir: str):
     """Semi-structured extraction: the props JSON field k rolled up per
     event type (vectorized regex extraction, integer-exact stats)."""
@@ -2033,6 +2122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_volume_shipping": _q_tpch_volume_shipping,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
+        "tpch_best_supplier": _q_tpch_best_supplier,
+        "tpch_product_profit": _q_tpch_product_profit,
+        "tpch_important_parts": _q_tpch_important_parts,
+        "tpch_late_shipments": _q_tpch_late_shipments,
+        "tpch_part_promotion": _q_tpch_part_promotion,
+        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_supplier_part_counts": _q_tpch_supplier_part_counts,
         "tpch_sales_opportunity": _q_tpch_sales_opportunity,
         "events_user_profiles": _q_events_user_profiles,
@@ -2162,6 +2257,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_volume_shipping": so.volume_shipping_sql(),
         "tpch_top_supplier": so.top_supplier_sql(),
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
+        "tpch_best_supplier": so.min_cost_supplier_sql(),
+        "tpch_product_profit": so.product_type_profit_sql(),
+        "tpch_important_parts": so.important_parts_sql(),
+        "tpch_late_shipments": so.late_shipment_counts_sql(),
+        "tpch_part_promotion": so.part_promotion_suppliers_sql(),
+        "tpch_waiting_suppliers": so.waiting_suppliers_sql(),
         "tpch_supplier_part_counts": so.supplier_part_counts_sql(),
         "tpch_sales_opportunity": so.sales_opportunity_sql(),
         "events_user_profiles": so.user_profiles_sql(),

@@ -2115,3 +2115,761 @@ def market_share(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def min_cost_supplier(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    part: ray.data.Dataset,
+    nation_table: pa.Table,
+    p_type: str = "ECONOMY",
+    max_size: int = 15,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q2-style best-supplier-per-part: for every part of one type
+    under a size cap, the supplier with the HIGHEST account balance among
+    the suppliers that actually ship it (ties broken by lowest suppkey).
+
+    → (p_partkey, p_brand, p_type, s_name, s_acctbal, n_name).
+
+    The supply relation (partsupp analog) is derived from lineitem as the
+    distinct (l_partkey, l_suppkey) pairs — per-batch dedup (combiner
+    prune) then one groupby close, so the exchange carries distinct pairs
+    per block, never lineitem rows. The correlated argmax is a single
+    int64 combined key ``cents·2^24 − suppkey`` (monotone in acctbal,
+    anti-monotone in suppkey; valid while suppkey < 2^24 — documented
+    bound, suppkeys are dense from 0) folded max per part in two levels,
+    then an equality join back to the candidate rows recovers the winning
+    supplier's payload exactly. No side is broadcast except the ≤25-row
+    nation dictionary. Reference cost-shape analog: the MR layer's
+    correlated-min equijoin jobs (jobgen/JobGen.java group-join chains)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from ..stages.blocks import materialize_clean
+
+    nmap = {
+        int(k): v
+        for k, v in zip(
+            nation_table["n_nationkey"].to_pylist(),
+            nation_table["n_name"].to_pylist(),
+        )
+    }
+    nref = ray.put(nmap)
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "l_suppkey": t["l_suppkey"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    supply = (
+        lineitem.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .select_columns(["l_partkey", "l_suppkey"])
+    )
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": sk,
+                "s_name": t["s_name"],
+                "s_acctbal": t["s_acctbal"],
+                "s_nationkey": t["s_nationkey"],
+                "ck": cents * np.int64(1 << 24) - sk,
+            }
+        )
+
+    cand = supply.join(
+        supplier.select_columns(
+            ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+        ).map_batches(supp_prep, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "ck": t["ck"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("l_partkey", sort=False)["ck"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    best = (
+        cand.select_columns(["l_partkey", "ck"])
+        .map_batches(best_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Max("ck", alias_name="best_ck"))
+    )
+
+    winners = cand.join(
+        materialize_clean(best),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("l_partkey",),
+    ).filter(expr="ck == best_ck")
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["p_type"], p_type),
+            pc.less_equal(t["p_size"], max_size),
+        )
+        kept = t.filter(m)
+        return pa.table(
+            {
+                "p_partkey": kept["p_partkey"],
+                "p_brand": kept["p_brand"],
+                "p_type": kept["p_type"],
+            }
+        )
+
+    full = winners.join(
+        materialize_clean(
+            part.select_columns(
+                ["p_partkey", "p_brand", "p_type", "p_size"]
+            ).map_batches(part_filter, batch_format="pyarrow")
+        ),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array([nm.get(int(k), "") for k in nk], dtype=object)
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"].cast(pa.int64()),
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "s_name": t["s_name"],
+                "s_acctbal": t["s_acctbal"],
+                "n_name": pa.array(names.tolist(), pa.string()),
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pyarrow")
+
+
+def product_type_profit(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    part: ray.data.Dataset,
+    nation_table: pa.Table,
+    name_substr: str = "widget",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q9-style product-type profit: discounted revenue per
+    (supplier nation, order year) over lineitems whose part NAME contains
+    ``name_substr`` (the generator has no partsupp/supplycost, so profit
+    is the revenue term of Q9's expression — the join/rollup shape is
+    Q9's: part name filter ⨝ lineitem ⨝ orders ⨝ supplier + broadcast
+    nation, grouped by nation × year).
+
+    → (n_name, o_year, sum_profit) with the fold in exact 1e-4 units."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import materialize_clean
+
+    nmap = {
+        int(k): v
+        for k, v in zip(
+            nation_table["n_nationkey"].to_pylist(),
+            nation_table["n_name"].to_pylist(),
+        )
+    }
+    nref = ray.put(nmap)
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], name_substr)
+        return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "u": cents * (100 - dcents),
+            }
+        )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        yr = pd.to_datetime(t["o_orderdate"].to_pandas()).dt.year.to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": yr.astype(np.int64),
+            }
+        )
+
+    lp = lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow").join(
+        materialize_clean(
+            part.select_columns(["p_partkey", "p_name"]).map_batches(
+                part_filter, batch_format="pyarrow"
+            )
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    ).select_columns(["l_orderkey", "l_suppkey", "u"])
+
+    full = lp.join(
+        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+            orders_prep, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array([nm.get(int(k), "") for k in nk], dtype=object)
+        g = (
+            pd.DataFrame(
+                {"n_name": names, "o_year": yr, "u": t["u"].to_numpy()}
+            )
+            .groupby(["n_name", "o_year"], sort=False)["u"]
+            .sum()
+            .reset_index()
+        )
+        g["u"] = g["u"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        full.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("u", alias_name="u"))
+    )
+
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "o_year": t["o_year"].cast(pa.int64()),
+                "sum_profit": t["u"].to_numpy().astype(np.float64) / 10000.0,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def important_parts(
+    lineitem: ray.data.Dataset,
+    num: int = 5,
+    den: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H Q11-style important stock: parts whose total discounted
+    lineitem value exceeds ``num/den`` of the MEAN per-part value (the
+    generator has no partsupp, so part value is the revenue folded over
+    lineitem; Q11's literal FRACTION·total threshold is 0.0001/SF —
+    scale-dependent by spec — so the scale-free mean-relative form keeps
+    the same per-key-sums / global-scalar / HAVING shape without the
+    selectivity collapsing to 0 or 100% as SF moves).
+
+    → (l_partkey, value) for qualifying parts, value in dollars.
+
+    Plan: per-batch partial (partkey, units) sums → one parts-bounded
+    groupby → the per-part table is materialized ONCE and reused for both
+    the global scalars (total + part count, constant-key folds over the
+    already-tiny per-part aggregate, never a second pass over lineitem)
+    and the threshold filter. Exactness: the HAVING test multiplies
+    through by the exact integer total (u·nparts·den > num·total) — no
+    float threshold."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        dcents = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": t["l_partkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "u": cents * (100 - dcents),
+                }
+            )
+            .groupby("l_partkey", sort=False)["u"]
+            .sum()
+            .reset_index()
+        )
+        g["u"] = g["u"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("u", alias_name="u"))
+        .materialize()
+    )
+
+    total = int(per_part.sum("u"))
+    nparts = int(per_part.count())
+    # exact integer HAVING: u·den·nparts > num·total  ⇔  u > ⌊num·total /
+    # (den·nparts)⌋ (true for both the divisible and indivisible case), so
+    # the test is ONE exact Python-int division on the driver and a
+    # vectorized int64 compare per batch — no overflow at any scale
+    thr = (num * total) // (den * nparts) if nparts else 0
+
+    def close(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        keep = u > thr
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": kept["l_partkey"].cast(pa.int64()),
+                "value": kept["u"].to_numpy().astype(np.float64) / 10000.0,
+            }
+        )
+
+    return per_part.map_batches(close, batch_format="pyarrow")
+
+
+def late_shipment_counts(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    late_days: int = 90,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q12-style two-bucket late-shipment counts: among lineitems
+    shipped more than ``late_days`` after their order date (the generator
+    has no shipmode/commit/receipt dates, so "late" is shipdate −
+    orderdate and the mode column is l_returnflag), count critical
+    (1-URGENT / 2-HIGH) vs non-critical order priorities per flag.
+
+    → (l_returnflag, high_line_count, low_line_count).
+
+    One distributed hash join (lineitem ⨝ orders on orderkey), then a
+    map-side dual conditional count partial → 3-group shuffle — Q12's
+    exact CASE-WHEN rollup shape."""
+    from ray.data.aggregate import Sum
+
+    lateness_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    joined = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).join(
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        late = ship > od + lateness_us
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        crit = (pr == "1-URGENT") | (pr == "2-HIGH")
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": t["l_returnflag"].to_numpy(
+                        zero_copy_only=False
+                    )[late],
+                    "hi": crit[late].astype(np.int64),
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .agg(hi=("hi", "sum"), n=("hi", "size"))
+            .reset_index()
+        )
+        g["hi"] = g["hi"].astype(np.int64)
+        g["lo"] = (g["n"] - g["hi"]).astype(np.int64)
+        return pa.Table.from_pandas(
+            g[["l_returnflag", "hi", "lo"]], preserve_index=False
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("hi", alias_name="high_line_count"),
+            Sum("lo", alias_name="low_line_count"),
+        )
+    )
+
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_line_count": t["high_line_count"]
+                .to_numpy()
+                .astype(np.int64),
+                "low_line_count": t["low_line_count"]
+                .to_numpy()
+                .astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def part_promotion_suppliers(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    part: ray.data.Dataset,
+    name_substr: str = "bolt",
+    num: int = 1,
+    den: int = 5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q20-style promotion candidates: suppliers that DOMINATE the
+    supply of some name-filtered part — their shipped quantity of the part
+    exceeds ``num/den`` of its total shipped quantity (the partsupp
+    availqty test re-expressed over the lineitem-derived supply relation;
+    the nested-semi-join shape is Q20's).
+
+    → (s_suppkey, s_name), distinct.
+
+    Plan: per-batch partial (partkey, suppkey, qty) sums ⨝ name-filtered
+    part keys → pair totals (one groupby) → per-part totals (second,
+    parts-bounded groupby) → equijoin pairs⨝totals with the exact integer
+    threshold ``qty·den > num·total`` → distinct suppkeys (combiner-pruned)
+    ⨝ supplier. No broadcast of any scaling side."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import materialize_clean
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], name_substr)
+        return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": t["l_partkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "l_suppkey": t["l_suppkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "qc": np.rint(t["l_quantity"].to_numpy() * 100).astype(
+                        np.int64
+                    ),
+                }
+            )
+            .groupby(["l_partkey", "l_suppkey"], sort=False)["qc"]
+            .sum()
+            .reset_index()
+        )
+        g["qc"] = g["qc"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        lineitem.select_columns(["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .join(
+            materialize_clean(
+                part.select_columns(["p_partkey", "p_name"]).map_batches(
+                    part_filter, batch_format="pyarrow"
+                )
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("qc", alias_name="qc"))
+        .materialize()
+    )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_partkey": t["l_partkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "tq": t["qc"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                }
+            )
+            .groupby("l_partkey", sort=False)["tq"]
+            .sum()
+            .reset_index()
+        )
+        g["tq"] = g["tq"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        pairs.select_columns(["l_partkey", "qc"])
+        .map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("tq", alias_name="tq"))
+    )
+
+    dominant = pairs.join(
+        materialize_clean(totals),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def supp_keys(t: pa.Table) -> pa.Table:
+        qc = t["qc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tq = t["tq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = qc * den > num * tq
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            keep
+        ]
+        return pa.table({"l_suppkey": np.unique(sk)})
+
+    sks = materialize_clean(
+        dominant.map_batches(supp_keys, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .count()
+        .select_columns(["l_suppkey"])
+    )
+    # degenerate threshold → zero candidates: short-circuit with a typed
+    # empty table (an all-empty join side would reach Acero schema-less)
+    if sks.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    out = sks.join(
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=2,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def waiting_suppliers(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    late_days: int = 60,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H Q21-style waiting-supplier counts: per supplier, the number
+    of finalized ('F') multi-supplier orders where THAT supplier shipped
+    late and NO other supplier did (the generator has no commit/receipt
+    dates, so late = shipdate > orderdate + ``late_days``; the
+    EXISTS other-supplier / NOT-EXISTS other-late-supplier pair is Q21's).
+
+    → (s_name, numwait), suppliers with ≥1 qualifying order.
+
+    Plan: orders filtered map-side to status F ⨝ lineitem (one hash
+    join) → per-batch distinct (orderkey, suppkey, late) partials →
+    groupby (orderkey, suppkey) Max(late) closes the per-pair late flag →
+    per-order counts (n_supp, n_late) via a second, orders-bounded
+    groupby → equijoin back to the pairs picks the qualifying
+    (late ∧ n_supp>1 ∧ n_late==1) rows exactly → per-supplier counts ⨝
+    supplier names. Both exists-tests become bounded groupbys; nothing is
+    broadcast."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.blocks import materialize_clean
+
+    lateness_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"],
+                "o_orderdate": kept["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    joined = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).join(
+        materialize_clean(
+            orders.select_columns(
+                ["o_orderkey", "o_orderdate", "o_orderstatus"]
+            ).map_batches(orders_f, batch_format="pyarrow")
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": t["l_orderkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "l_suppkey": t["l_suppkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "late": (ship > od + lateness_us).astype(np.int64),
+                }
+            )
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        g["late"] = g["late"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+        .materialize()
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": t["l_orderkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "late": t["late"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby("l_orderkey", sort=False)
+            .agg(n_supp=("late", "size"), n_late=("late", "sum"))
+            .reset_index()
+        )
+        for c in ("n_supp", "n_late"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        pairs.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("n_supp", alias_name="n_supp"),
+            Sum("n_late", alias_name="n_late"),
+        )
+    )
+
+    qual = pairs.join(
+        materialize_clean(per_order),
+        join_type="inner",
+        num_partitions=max(2, num_partitions // 2),
+        on=("l_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def wait_partial(t: pa.Table) -> pa.Table:
+        late = t["late"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["n_supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = t["n_late"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (late == 1) & (ns > 1) & (nl == 1)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": t["l_suppkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]
+                }
+            )
+            .groupby("l_suppkey", sort=False)
+            .size()
+            .reset_index(name="numwait")
+        )
+        g["numwait"] = g["numwait"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    waits = (
+        qual.map_batches(wait_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+
+    out = waits.join(
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        join_type="inner",
+        num_partitions=2,
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "s_name": t["s_name"],
+                "numwait": t["numwait"].to_numpy().astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -3433,3 +3433,134 @@ SELECT doc_a, doc_b, jaccard FROM ({minhash_lsh_sql(threshold)})
 WHERE ({h.format(c='doc_a')} < {val_rate * W!r})
    <> ({h.format(c='doc_b')} < {val_rate * W!r})
 """
+
+
+def min_cost_supplier_sql(
+    p_type: str = "ECONOMY", max_size: int = 15
+) -> str:
+    """TPC-H Q2 shape (relational.min_cost_supplier): best supplier per
+    name-filtered part — the correlated argmax mirrored as the engine's
+    exact combined key ``cents·2^24 − suppkey``."""
+    return f"""
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT supply.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+         s.s_nationkey,
+         CAST(round(s.s_acctbal*100, 0) AS BIGINT)*16777216 - s.s_suppkey
+           AS ck
+  FROM supply JOIN supplier s ON s.s_suppkey = supply.l_suppkey
+),
+best AS (SELECT l_partkey, max(ck) AS best_ck FROM cand GROUP BY l_partkey)
+SELECT CAST(c.l_partkey AS BIGINT) AS p_partkey, p.p_brand, p.p_type,
+       c.s_name, c.s_acctbal, n.n_name
+FROM cand c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.ck = b.best_ck
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN nation n ON n.n_nationkey = c.s_nationkey
+WHERE p.p_type = '{p_type}' AND p.p_size <= {int(max_size)}
+"""
+
+
+def product_type_profit_sql(name_substr: str = "widget") -> str:
+    """TPC-H Q9 shape (relational.product_type_profit): revenue per
+    (supplier nation, order year) for name-filtered parts, folded in
+    exact 1e-4 units."""
+    return f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice*100, 0) AS BIGINT)
+            * (100 - CAST(round(l.l_discount*100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{name_substr}%'
+GROUP BY n.n_name, o_year
+"""
+
+
+def important_parts_sql(num: int = 5, den: int = 4) -> str:
+    """TPC-H Q11 shape (relational.important_parts): parts above
+    ``num/den`` of the mean per-part value — the HAVING-vs-global-scalar
+    test as the exact integer cross-multiply."""
+    return f"""
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS u
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(u) AS t, count(*) AS np FROM pv)
+SELECT CAST(pv.l_partkey AS BIGINT) AS l_partkey,
+       CAST(pv.u AS DOUBLE) / 10000.0 AS value
+FROM pv, tot WHERE pv.u * {int(den)} * tot.np > {int(num)} * tot.t
+"""
+
+
+def late_shipment_counts_sql(late_days: int = 90) -> str:
+    """TPC-H Q12 shape (relational.late_shipment_counts): critical vs
+    non-critical order priorities among late-shipped lineitems, per
+    returnflag."""
+    return f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE epoch_us(l.l_shipdate)
+      > epoch_us(o.o_orderdate) + {int(late_days)} * 86400000000
+GROUP BY l.l_returnflag
+"""
+
+
+def part_promotion_suppliers_sql(
+    name_substr: str = "bolt", num: int = 1, den: int = 5
+) -> str:
+    """TPC-H Q20 shape (relational.part_promotion_suppliers): suppliers
+    shipping more than ``num/den`` of some name-filtered part's total
+    quantity."""
+    return f"""
+WITH pq AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(round(l.l_quantity*100, 0) AS BIGINT)) AS qc
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%{name_substr}%'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (SELECT l_partkey, sum(qc) AS tq FROM pq GROUP BY l_partkey)
+SELECT DISTINCT CAST(pq.l_suppkey AS BIGINT) AS s_suppkey, s.s_name
+FROM pq
+JOIN tot ON tot.l_partkey = pq.l_partkey
+JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+WHERE pq.qc * {int(den)} > {int(num)} * tot.tq
+"""
+
+
+def waiting_suppliers_sql(late_days: int = 60) -> str:
+    """TPC-H Q21 shape (relational.waiting_suppliers): per supplier, the
+    finalized multi-supplier orders where only that supplier shipped
+    late — the EXISTS / NOT-EXISTS pair as per-order distinct counts."""
+    return f"""
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN epoch_us(l.l_shipdate)
+                  > epoch_us(o.o_orderdate) + {int(late_days)} * 86400000000
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+         sum(late) AS n_late
+  FROM pairs GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pairs p
+JOIN per_order po ON po.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_name
+"""

@@ -144,6 +144,12 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql,
         "tpch_supplier_part_counts": so.supplier_part_counts_sql,
         "tpch_sales_opportunity": so.sales_opportunity_sql,
+        "tpch_best_supplier": so.min_cost_supplier_sql,
+        "tpch_product_profit": so.product_type_profit_sql,
+        "tpch_important_parts": so.important_parts_sql,
+        "tpch_late_shipments": so.late_shipment_counts_sql,
+        "tpch_part_promotion": so.part_promotion_suppliers_sql,
+        "tpch_waiting_suppliers": so.waiting_suppliers_sql,
         "events_rolling_wau": lambda: so.rolling_active_users_sql(7),
         "events_user_profiles": so.user_profiles_sql,
         "doc_source_stats": so.source_stats_sql,
@@ -330,6 +336,12 @@ QUERY_NAMES = [
     "role_stats",
     "tpch_inactive_customers",
     "tpch_priority_returns",
+    "tpch_best_supplier",
+    "tpch_product_profit",
+    "tpch_important_parts",
+    "tpch_late_shipments",
+    "tpch_part_promotion",
+    "tpch_waiting_suppliers",
     "tpch_forecast_revenue",
     "tpch_promo_share",
     "tpch_top_customers",

@@ -533,3 +533,254 @@ def test_market_share_brute_force(ray_session):
     np.testing.assert_allclose(
         got.mkt_share, want.nu / want.tu, atol=1e-12
     )
+
+
+def _synthetic6(seed=11, n_li=5000, n_orders=800, n_part=80, n_supp=12):
+    """Star schema for the Q2/Q9/Q11/Q12/Q20/Q21 shapes: adds suppkey,
+    supplier, order priority/status, and part names; includes acctbal TIES
+    (two suppliers share a balance) to exercise the Q2 tie-break."""
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("1995-01-01").value // 1000
+    span = pd.Timestamp("2001-01-01").value // 1000 - base
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, n_li).astype(np.int64),
+            "l_partkey": rng.integers(0, n_part, n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+            "l_quantity": np.round(rng.uniform(1, 50, n_li), 0),
+            "l_extendedprice": np.round(rng.uniform(900, 100_000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_returnflag": rng.choice(["R", "N", "A"], n_li),
+            "l_shipdate": pd.to_datetime(
+                base + rng.integers(0, span, n_li), unit="us"
+            ).astype("datetime64[us]"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_orderdate": pd.to_datetime(
+                base + rng.integers(0, span // 2, n_orders), unit="us"
+            ).astype("datetime64[us]"),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"], n_orders
+            ),
+            "o_orderstatus": rng.choice(["F", "O", "P"], n_orders),
+        }
+    )
+    bal = np.round(rng.uniform(-999, 9999, n_supp), 2)
+    bal[3] = bal[7]  # forced tie → Q2 must pick min(suppkey)=3 of the pair
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_acctbal": bal,
+            "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int64),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": rng.choice(
+                ["red bolt", "blue bolt", "green widget", "small rod"],
+                n_part,
+            ),
+            "p_brand": rng.choice(["Brand#12", "Brand#23"], n_part),
+            "p_type": rng.choice(["PROMO", "ECONOMY", "STANDARD"], n_part),
+            "p_size": rng.integers(1, 51, n_part).astype(np.int64),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+            "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        }
+    )
+    return li, orders, supplier, part, nation
+
+
+def test_min_cost_supplier_brute_force_with_ties(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import min_cost_supplier
+
+    li, orders, supplier, part, nation = _synthetic6()
+    out = (
+        min_cost_supplier(
+            _ds(li[["l_partkey", "l_suppkey"]]),
+            _ds(supplier),
+            _ds(part),
+            nation,
+            p_type="ECONOMY",
+            max_size=40,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+    supply = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    cand = supply.merge(
+        supplier, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    cand["ck"] = _cents(cand["s_acctbal"]) * (1 << 24) - cand["s_suppkey"]
+    best = cand.loc[cand.groupby("l_partkey")["ck"].idxmax()]
+    keep_parts = part[(part.p_type == "ECONOMY") & (part.p_size <= 40)]
+    want = best.merge(
+        keep_parts, left_on="l_partkey", right_on="p_partkey"
+    ).sort_values("p_partkey")
+    assert len(out) == len(want)
+    assert (out["p_partkey"].to_numpy() == want["p_partkey"].to_numpy()).all()
+    assert (out["s_name"].to_numpy() == want["s_name"].to_numpy()).all()
+    # the forced acctbal tie resolved to the smaller suppkey wherever the
+    # tied pair were both candidates for a part
+    tied = cand[cand.s_suppkey.isin([3, 7])]
+    both = tied.groupby("l_partkey")["s_suppkey"].nunique()
+    for pk in both[both == 2].index:
+        row = out[out.p_partkey == pk]
+        if len(row) and row["s_acctbal"].iloc[0] == supplier.s_acctbal[3]:
+            assert row["s_name"].iloc[0] == "Supplier#000000003"
+
+
+def test_product_type_profit_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        product_type_profit,
+    )
+
+    li, orders, supplier, part, nation = _synthetic6()
+    out = product_type_profit(
+        _ds(li), _ds(orders[["o_orderkey", "o_orderdate"]]),
+        _ds(supplier[["s_suppkey", "s_nationkey"]]),
+        _ds(part[["p_partkey", "p_name"]]), nation,
+        name_substr="bolt", num_partitions=3,
+    ).to_pandas()
+
+    j = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(supplier, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.p_name.str.contains("bolt")]
+    j["u"] = _cents(j.l_extendedprice) * (100 - _cents(j.l_discount))
+    j["o_year"] = j.o_orderdate.dt.year.astype(np.int64)
+    j["n_name"] = j.s_nationkey.map(lambda k: f"NATION_{k:02d}")
+    want = (
+        j.groupby(["n_name", "o_year"])["u"].sum().reset_index()
+    )
+    merged = out.merge(want, on=["n_name", "o_year"], how="outer")
+    assert len(merged) == len(want) == len(out)
+    assert np.allclose(
+        merged["sum_profit"], merged["u"].astype(np.float64) / 1e4
+    )
+
+
+def test_important_parts_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import important_parts
+
+    li, *_ = _synthetic6()
+    out = important_parts(_ds(li), num=5, den=4).to_pandas()
+
+    u = pd.DataFrame(
+        {
+            "pk": li.l_partkey,
+            "u": _cents(li.l_extendedprice) * (100 - _cents(li.l_discount)),
+        }
+    ).groupby("pk")["u"].sum()
+    thr = (5 * int(u.sum())) // (4 * len(u))
+    want = u[u > thr]
+    assert sorted(out["l_partkey"]) == sorted(want.index)
+    got = out.set_index("l_partkey")["value"].sort_index()
+    assert np.allclose(got.to_numpy(), (want.sort_index() / 1e4).to_numpy())
+
+
+def test_late_shipment_counts_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        late_shipment_counts,
+    )
+
+    li, orders, *_ = _synthetic6()
+    out = late_shipment_counts(
+        _ds(li[["l_orderkey", "l_returnflag", "l_shipdate"]]),
+        _ds(orders[["o_orderkey", "o_orderdate", "o_orderpriority"]]),
+        late_days=90, num_partitions=3,
+    ).to_pandas().set_index("l_returnflag").sort_index()
+
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    late = j[
+        j.l_shipdate.astype("int64")
+        > j.o_orderdate.astype("int64") + 90 * 86_400_000_000
+    ]
+    crit = late.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    want_hi = late[crit].groupby("l_returnflag").size()
+    want_lo = late[~crit].groupby("l_returnflag").size()
+    for f in out.index:
+        assert out.loc[f, "high_line_count"] == want_hi.get(f, 0)
+        assert out.loc[f, "low_line_count"] == want_lo.get(f, 0)
+
+
+def test_part_promotion_brute_force_and_empty(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import (
+        part_promotion_suppliers,
+    )
+
+    li, orders, supplier, part, nation = _synthetic6()
+    out = part_promotion_suppliers(
+        _ds(li[["l_partkey", "l_suppkey", "l_quantity"]]),
+        _ds(supplier[["s_suppkey", "s_name"]]),
+        _ds(part[["p_partkey", "p_name"]]),
+        name_substr="bolt", num=1, den=5, num_partitions=3,
+    ).to_pandas()
+
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j = j[j.p_name.str.contains("bolt")]
+    j["qc"] = _cents(j.l_quantity)
+    pq_ = j.groupby(["l_partkey", "l_suppkey"])["qc"].sum().reset_index()
+    tot = pq_.groupby("l_partkey")["qc"].sum().rename("tq").reset_index()
+    m = pq_.merge(tot, on="l_partkey")
+    want = sorted(m[m.qc * 5 > m.tq].l_suppkey.unique())
+    assert sorted(out["s_suppkey"]) == want
+
+    # degenerate threshold (no supplier exceeds 100%) → typed empty result
+    empty = part_promotion_suppliers(
+        _ds(li[["l_partkey", "l_suppkey", "l_quantity"]]),
+        _ds(supplier[["s_suppkey", "s_name"]]),
+        _ds(part[["p_partkey", "p_name"]]),
+        name_substr="bolt", num=1, den=1, num_partitions=3,
+    )
+    assert empty.count() == 0
+    # the short-circuit keeps a TYPED schema (Ray's to_pandas drops
+    # columns on empty datasets, so assert on the dataset schema)
+    assert empty.schema().names == ["s_suppkey", "s_name"]
+
+
+def test_waiting_suppliers_brute_force(ray_session):
+    from asterixdb_analytics_ray.pipelines.relational import waiting_suppliers
+
+    li, orders, supplier, part, nation = _synthetic6()
+    out = waiting_suppliers(
+        _ds(li[["l_orderkey", "l_suppkey", "l_shipdate"]]),
+        _ds(orders[["o_orderkey", "o_orderdate", "o_orderstatus"]]),
+        _ds(supplier[["s_suppkey", "s_name"]]),
+        late_days=60, num_partitions=3,
+    ).to_pandas()
+
+    j = li.merge(
+        orders[orders.o_orderstatus == "F"],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    j["late"] = (
+        j.l_shipdate.astype("int64")
+        > j.o_orderdate.astype("int64") + 60 * 86_400_000_000
+    ).astype(int)
+    pairs = (
+        j.groupby(["l_orderkey", "l_suppkey"])["late"].max().reset_index()
+    )
+    po = pairs.groupby("l_orderkey").agg(
+        n_supp=("late", "size"), n_late=("late", "sum")
+    )
+    q = pairs.merge(po, on="l_orderkey")
+    q = q[(q.late == 1) & (q.n_supp > 1) & (q.n_late == 1)]
+    want = q.groupby("l_suppkey").size()
+    got = out.set_index("s_name")["numwait"]
+    assert len(got) == len(want)
+    for sk, n in want.items():
+        assert got[f"Supplier#{sk:09d}"] == n
