@@ -1234,6 +1234,24 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_doc_segment_dedup(sf_dir: str):
+    """Paragraph/segment-level exact dedup (C4/RefinedWeb line-dedup pass):
+    first-occurrence-wins over 10-token windows, survivors reassembled per
+    doc; digest-only shuffle + unique-int64 join-back (never h-keyed)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import segment_dedup
+
+    return segment_dedup(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    )
+
+
 def _q_tpch_best_supplier(sf_dir: str):
     """Q2-style best supplier per part (lineitem-derived supply relation,
     two-level combined-key argmax, equality join back, broadcast nation)."""
@@ -2122,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_volume_shipping": _q_tpch_volume_shipping,
         "tpch_top_supplier": _q_tpch_top_supplier,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
+        "doc_segment_dedup": _q_doc_segment_dedup,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2257,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_volume_shipping": so.volume_shipping_sql(),
         "tpch_top_supplier": so.top_supplier_sql(),
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
+        "doc_segment_dedup": so.segment_dedup_sql(),
         "tpch_best_supplier": so.min_cost_supplier_sql(),
         "tpch_product_profit": so.product_type_profit_sql(),
         "tpch_important_parts": so.important_parts_sql(),

@@ -1653,3 +1653,159 @@ def scrub_terms(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup (the C4/RefinedWeb line/paragraph-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    docs: ray.data.Dataset,
+    seg_words: int = 10,
+    seg_cap_bits: int = 20,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Paragraph-level exact dedup, the C4/RefinedWeb line-dedup pass: split
+    each document into consecutive ``seg_words``-token segments (this
+    corpus is single-line, so the paragraph boundary is a fixed token
+    window; on real data the same plan applies with a delimiter split),
+    drop every segment whose exact text already occurred EARLIER in the
+    corpus, and reassemble the survivors per document in original order.
+
+    "Earlier" = the occurrence with minimum ``doc_id·2^seg_cap_bits +
+    seg_idx`` (documents bounded at 2^(63-seg_cap_bits) ids and
+    2^seg_cap_bits segments each — documented bound, same class as the
+    Q2 combined key). Documents whose every segment is a duplicate
+    disappear from the output (fully-duplicated docs dedup to nothing).
+
+    → (doc_id, text_dedup, n_kept: int64, n_total: int64)
+
+    Scale plan (three exchanges, text never rides a groupby key):
+
+    1. digest pass — per batch: tokenize (``str.split`` ==
+       DuckDB ``string_split_regex(trim, '\\s+')``), build segments, emit
+       ONLY ``(h = sha256(seg), combined)`` (~72 B/row); ``groupby(h)``
+       ``Min(combined)`` picks each distinct segment's first occurrence.
+       Identical boilerplate segments collapse INTO the combine, so a
+       million-copy segment costs one row per block after the partial.
+    2. join-back — a second explode emits the full payload ``(combined,
+       doc_id, seg_idx, seg, n_total)`` and inner-joins the winner set on
+       ``combined`` — a UNIQUE int64 key, so the join is perfectly
+       balanced no matter how hot a segment is (the h-keyed join would
+       funnel a boilerplate segment's postings into one partition).
+    3. reassembly — survivors bucket by ``doc_id % num_buckets`` and one
+       vectorized pandas pass per BUCKET (not per doc) rebuilds
+       ``text_dedup`` in segment order.
+
+    The explode runs twice (digest + payload passes) — deliberate: pass 1
+    ships only hashes, and re-running the cheap tokenize beats
+    materializing an exploded copy of the whole corpus between passes.
+    Reference cost-shape analog: the MR dedup groupbys
+    (`pregelix/pregelix-core` shuffle jobs) with the combiner prune.
+    """
+    from ray.data.aggregate import Min
+
+    from ..stages.blocks import partitions_for, safe_join
+
+    cap = np.int64(1 << seg_cap_bits)
+
+    def _segments(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy().astype(np.int64), n)
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        if not len(flat):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "seg_idx": pd.Series([], dtype=np.int64),
+                    "seg": pd.Series([], dtype=object),
+                    "n_total": pd.Series([], dtype=np.int64),
+                }
+            )
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n)
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": doc,
+                    "seg_idx": pos // seg_words,
+                    "tok": flat,
+                }
+            )
+            .groupby(["doc_id", "seg_idx"], sort=False)["tok"]
+            .agg(" ".join)
+            .reset_index(name="seg")
+        )
+        tot = g.groupby("doc_id")["seg_idx"].size()
+        g["n_total"] = g["doc_id"].map(tot).astype(np.int64)
+        return g
+
+    def digest(t: pa.Table) -> pa.Table:
+        g = _segments(t.to_pandas())
+        comb = g["doc_id"].to_numpy(np.int64) * cap + g["seg_idx"].to_numpy(
+            np.int64
+        )
+        return pa.table(
+            {
+                "h": fasthash.sha256_hex(g["seg"])
+                if len(g)
+                else pa.array([], pa.string()),
+                "combined": comb,
+            }
+        )
+
+    winners = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("combined", alias_name="combined"))
+        .select_columns(["combined"])
+    )
+
+    def payload(t: pa.Table) -> pa.Table:
+        g = _segments(t.to_pandas())
+        comb = g["doc_id"].to_numpy(np.int64) * cap + g["seg_idx"].to_numpy(
+            np.int64
+        )
+        return pa.table(
+            {
+                "combined": comb,
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "seg_idx": g["seg_idx"].to_numpy(np.int64),
+                "seg": pa.array(g["seg"].tolist(), pa.string()),
+                "n_total": g["n_total"].to_numpy(np.int64),
+            }
+        )
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        payload, batch_format="pyarrow"
+    )
+    kept = safe_join(
+        exploded,
+        winners,
+        "inner",
+        partitions_for(docs.count()),
+        on=("combined",),
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(b % num_buckets, pa.int64())
+        )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "seg_idx"])
+        g = df.groupby("doc_id", sort=False)
+        out = g["seg"].agg(" ".join).reset_index(name="text_dedup")
+        out["n_kept"] = g.size().to_numpy().astype(np.int64)
+        out["n_total"] = g["n_total"].first().to_numpy().astype(np.int64)
+        return out
+
+    return (
+        kept.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )

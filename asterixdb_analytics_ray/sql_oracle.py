@@ -3564,3 +3564,36 @@ JOIN supplier s ON s.s_suppkey = p.l_suppkey
 WHERE p.late = 1 AND po.n_supp > 1 AND po.n_late = 1
 GROUP BY s.s_name
 """
+
+
+def segment_dedup_sql(seg_words: int = 10, seg_cap_bits: int = 20) -> str:
+    """Segment-level exact dedup (``textops.segment_dedup``): fixed
+    ``seg_words``-token windows, first occurrence by min combined key,
+    survivors reassembled per doc in order. Tokenization matches the
+    engine's ``str.split()`` via ``string_split_regex(trim, '\\s+')``."""
+    cap = 1 << seg_cap_bits
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS ord
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents WHERE trim(text) <> '')
+),
+segs AS (
+  SELECT doc_id, CAST(ord // {int(seg_words)} AS BIGINT) AS seg_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS seg
+  FROM toks GROUP BY doc_id, CAST(ord // {int(seg_words)} AS BIGINT)
+),
+firsts AS (
+  SELECT min(doc_id * {cap} + seg_idx) AS combined FROM segs GROUP BY seg
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg
+  FROM segs s JOIN firsts f ON s.doc_id * {cap} + s.seg_idx = f.combined
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM segs
+        GROUP BY doc_id)
+SELECT k.doc_id, string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_kept, any_value(t.n_total) AS n_total
+FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+GROUP BY k.doc_id
+"""

@@ -144,6 +144,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql,
         "tpch_supplier_part_counts": so.supplier_part_counts_sql,
         "tpch_sales_opportunity": so.sales_opportunity_sql,
+        "doc_segment_dedup": so.segment_dedup_sql,
         "tpch_best_supplier": so.min_cost_supplier_sql,
         "tpch_product_profit": so.product_type_profit_sql,
         "tpch_important_parts": so.important_parts_sql,
@@ -336,6 +337,7 @@ QUERY_NAMES = [
     "role_stats",
     "tpch_inactive_customers",
     "tpch_priority_returns",
+    "doc_segment_dedup",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -413,3 +413,67 @@ def test_dup_shingle_stats_join_path_matches_broadcast(docs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_segment_dedup_brute_force(ray_session):
+    """First-occurrence-wins over 10-token windows, incl. a fully-duplicated
+    doc (dedups to nothing) and an intra-doc repeated segment."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import segment_dedup
+
+    w = lambda i: f"w{i}"
+    seg_a = " ".join(w(i) for i in range(10))          # shared boilerplate
+    seg_b = " ".join(w(100 + i) for i in range(10))
+    seg_c = " ".join(w(200 + i) for i in range(10))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                f"{seg_a} {seg_b}",          # doc 0: both first → kept whole
+                f"{seg_a} {seg_c}",          # doc 1: seg_a dup → only seg_c
+                f"{seg_a} {seg_b}",          # doc 2: full dup → dropped
+                f"{seg_c} {seg_c}",          # doc 3: intra-doc dup → dropped
+                "tail words only",           # doc 4: short tail segment, new
+            ],
+        }
+    )
+    out = (
+        segment_dedup(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(out.index) == [0, 1, 4]
+    assert out.loc[0, "text_dedup"] == f"{seg_a} {seg_b}"
+    assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_total"] == 2
+    assert out.loc[1, "text_dedup"] == seg_c
+    assert out.loc[1, "n_kept"] == 1 and out.loc[1, "n_total"] == 2
+    assert out.loc[4, "text_dedup"] == "tail words only"
+    assert out.loc[4, "n_kept"] == 1
+
+
+def test_segment_dedup_order_preserved(ray_session):
+    """Surviving segments reassemble in original order even when seg_idx
+    survivors are non-contiguous."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import segment_dedup
+
+    segs = [" ".join(f"s{j}_{i}" for i in range(10)) for j in range(4)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [
+                segs[1],                                  # claims segs[1]
+                " ".join([segs[0], segs[1], segs[2], segs[3]]),
+            ],
+        }
+    )
+    out = (
+        segment_dedup(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text_dedup"] == " ".join([segs[0], segs[2], segs[3]])
+    assert out.loc[1, "n_kept"] == 3 and out.loc[1, "n_total"] == 4
