@@ -1234,6 +1234,16 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_emb_stratified_sample(sf_dir: str):
+    """Deterministic IVF-cell-stratified diversity sample (md5-ranked
+    top-10 per k-means cell; two-level selection, cells-bounded close)."""
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        stratified_cell_sample,
+    )
+
+    return stratified_cell_sample(_emb_ds(sf_dir))
+
+
 def _q_doc_segment_dedup(sf_dir: str):
     """Paragraph/segment-level exact dedup (C4/RefinedWeb line-dedup pass):
     first-occurrence-wins over 10-token windows, survivors reassembled per
@@ -2141,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_supplier": _q_tpch_top_supplier,
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
         "doc_segment_dedup": _q_doc_segment_dedup,
+        "emb_stratified_sample": _q_emb_stratified_sample,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2321,6 +2332,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_sample": so.graph_sample_sql(p),
         "max_clique": so.max_clique_sql(p),
         "emb_kmeans_cells": so.kmeans_cells_sql(
+            os.path.join(_SF_ORACLE, "embeddings.parquet")
+        ),
+        "emb_stratified_sample": so.stratified_sample_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet")
         ),
         "emb_ivf_knn": so.ivf_knn_sql(

@@ -16,6 +16,7 @@ oracle (``list_cosine_similarity`` on DOUBLE[]) hashes identically.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -1214,3 +1215,79 @@ def pq_codes(
         )
 
     return cached.map_batches(encode, batch_format="pyarrow")
+
+
+def stratified_cell_sample(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    per_cell: int = 10,
+    iters: int = 10,
+    seed: int = 3,
+) -> ray.data.Dataset:
+    """Diversity (coverage) sampling for training-data curation: assign
+    every vector to its IVF k-means cell, then take a DETERMINISTIC
+    ``per_cell``-vector sample from each cell — md5-ranked by vec_id, so
+    the sample is a pure function of the data (restartable, no RNG
+    state), spread across embedding space instead of oversampling the
+    dense modes the way a uniform sample does.
+
+    → (vec_id, cell), ≤ per_cell rows per cell.
+
+    Plan: the IMRU k-means quantizer trains once (driver holds only the
+    (k, d) centroid matrix, broadcast via ``ray.put``); assignment is one
+    matmul pass; per-cell top-n is a TWO-LEVEL selection — each batch
+    keeps its local md5-top-``per_cell`` per cell (the combiner prune:
+    the shuffle then carries ≤ k·per_cell rows per block, never the
+    corpus), closed by one cells-bounded ``map_groups``. Ranking ties
+    break on vec_id; the md5 key matches DuckDB's ``md5(CAST(vec_id AS
+    VARCHAR))`` so the oracle reproduces the exact sample."""
+    from ..functions import fasthash
+
+    cents = _normalize(
+        train_kmeans_centroids(
+            embeddings, n_clusters=n_clusters, iters=iters, seed=seed
+        )
+    )
+    cref = ray.put(cents)
+
+    def assign_rank(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, m = _batch_matrix(t)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.string()),
+                }
+            )
+        cell = np.argmax(_normalize(m) @ c.T, axis=1).astype(np.int64)
+        rk = (
+            fasthash.md5_hex(pd.Series(ids.astype(np.int64)).astype(str))
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        df = pd.DataFrame(
+            {"vec_id": ids.astype(np.int64), "cell": cell, "rk": rk}
+        )
+        # local combiner prune: md5-top-per_cell within the batch
+        df = (
+            df.sort_values(["cell", "rk", "vec_id"])
+            .groupby("cell", sort=False)
+            .head(per_cell)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["cell", "rk", "vec_id"])
+            .groupby("cell", sort=False)
+            .head(per_cell)
+        )
+        return out[["vec_id", "cell"]].reset_index(drop=True)
+
+    return (
+        embeddings.map_batches(assign_rank, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(close, batch_format="pandas")
+    )

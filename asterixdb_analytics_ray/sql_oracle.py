@@ -3597,3 +3597,29 @@ SELECT k.doc_id, string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS text_dedup,
 FROM kept k JOIN tot t ON t.doc_id = k.doc_id
 GROUP BY k.doc_id
 """
+
+
+def stratified_sample_sql(
+    emb_path: str,
+    n_clusters: int = 8,
+    per_cell: int = 10,
+    iters: int = 10,
+    seed: int = 3,
+) -> str:
+    """Deterministic IVF-cell-stratified sample
+    (``embeddings.stratified_cell_sample``): the full unrolled-Lloyd's
+    quantizer from ``kmeans_cells_sql`` as a subquery, then md5-ranked
+    top-``per_cell`` per cell — DuckDB's own ``md5(CAST(vec_id AS
+    VARCHAR))`` reproduces the engine's ranking key exactly."""
+    inner = kmeans_cells_sql(
+        emb_path, n_clusters=n_clusters, iters=iters, seed=seed
+    )
+    return f"""
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM ({inner}) q
+) WHERE rn <= {int(per_cell)}
+"""

@@ -340,3 +340,67 @@ def test_salt_mod_u64_power_of_two_split():
     assert len(np.unique(bad)) == 1  # documents exactly what the bug did
     # k<=1 rows salt to 0
     assert (E._salt_mod_u64(sig, np.zeros(1000, dtype=np.int64)) == 0).all()
+
+
+def test_stratified_cell_sample_deterministic_and_bounded(ray_session):
+    """Per-cell cap holds, every non-empty cell is represented, and the
+    sample is a pure function of the data (identical across runs and
+    partitionings)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        stratified_cell_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, k, per = 400, 8, 4, 7
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.standard_normal((n, d))),
+        }
+    )
+    a = (
+        stratified_cell_sample(
+            ray.data.from_pandas(emb).repartition(4),
+            n_clusters=k, per_cell=per,
+        )
+        .to_pandas()
+        .sort_values(["cell", "vec_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        stratified_cell_sample(
+            ray.data.from_pandas(emb).repartition(9),
+            n_clusters=k, per_cell=per,
+        )
+        .to_pandas()
+        .sort_values(["cell", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # partitioning-independent
+    sizes = a.groupby("cell").size()
+    assert (sizes <= per).all() and len(sizes) >= 1
+    # ranking matches the oracle's md5(CAST(vec_id AS VARCHAR)) rule:
+    # recompute the expected winners for one cell brute-force
+    from asterixdb_analytics_ray.pipelines.embeddings import (
+        _normalize, train_kmeans_centroids,
+    )
+
+    cents = _normalize(
+        train_kmeans_centroids(
+            ray.data.from_pandas(emb).repartition(4), n_clusters=k, iters=10
+        )
+    )
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cell = np.argmax(_normalize(m) @ cents.T, axis=1)
+    for c in sizes.index:
+        ids = emb["vec_id"].to_numpy()[cell == c]
+        want = sorted(
+            ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+        )[:per]
+        assert sorted(a[a.cell == c]["vec_id"]) == sorted(want)

@@ -192,6 +192,9 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_kmeans_cells": lambda: so.kmeans_cells_sql(
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
+        "emb_stratified_sample": lambda: so.stratified_sample_sql(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ),
         "emb_ivf_knn": lambda: so.ivf_knn_sql(
             os.path.join(SF_DIR, "embeddings.parquet"),
             query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
@@ -338,6 +341,7 @@ QUERY_NAMES = [
     "tpch_inactive_customers",
     "tpch_priority_returns",
     "doc_segment_dedup",
+    "emb_stratified_sample",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
