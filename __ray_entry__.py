@@ -1234,6 +1234,23 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_doc_source_overlap(sf_dir: str):
+    """Cross-source shingle-overlap matrix (contamination forensics):
+    bitmask-Sum source sets per shingle, ≤S²-row close."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import source_overlap
+
+    return source_overlap(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        )
+    )
+
+
 def _q_emb_stratified_sample(sf_dir: str):
     """Deterministic IVF-cell-stratified diversity sample (md5-ranked
     top-10 per k-means cell; two-level selection, cells-bounded close)."""
@@ -2152,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_small_qty_revenue": _q_tpch_small_qty_revenue,
         "doc_segment_dedup": _q_doc_segment_dedup,
         "emb_stratified_sample": _q_emb_stratified_sample,
+        "doc_source_overlap": _q_doc_source_overlap,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2288,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_supplier": so.top_supplier_sql(),
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
         "doc_segment_dedup": so.segment_dedup_sql(),
+        "doc_source_overlap": so.source_overlap_sql(),
         "tpch_best_supplier": so.min_cost_supplier_sql(),
         "tpch_product_profit": so.product_type_profit_sql(),
         "tpch_important_parts": so.important_parts_sql(),

@@ -1809,3 +1809,155 @@ def segment_dedup(
         .groupby("bucket")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source shingle-overlap matrix (corpus contamination forensics)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    max_sources: int = 62,
+) -> ray.data.Dataset:
+    """Pairwise shingle overlap between corpus SOURCES — which dumps/crawls
+    share content (mirror sites, re-crawls, dataset contamination between
+    providers): for every source pair, the number of distinct word-k-gram
+    shingles both contain, plus the Jaccard of their shingle sets.
+
+    → (src_a, src_b, shared: int64, jaccard) for src_a < src_b
+    (lexicographic), one row per co-occurring pair.
+
+    Scale plan — sources are BOUNDED (≤ ``max_sources``, asserted; 62 so
+    the bitmask Sum below stays in int64), so the matrix is tiny even
+    when the corpus is not:
+
+    1. distinct (shingle-hash, source) pairs: per-batch dedup (combiner)
+       → one composite-key groupby — the exchange carries distinct pairs
+       per block, never the exploded shingle stream.
+    2. per-shingle source BITMASK: each now-unique pair maps to
+       ``1 << src_idx`` and ``groupby(h).Sum`` — Sum over unique powers
+       of two IS bitwise-OR, so the stock Sum aggregate computes the
+       exact source set with no custom combiner.
+    3. pair counting: per batch, ``np.unique`` collapses identical masks
+       (boilerplate shared by the same source set collapses to ONE
+       row + count), then a loop over DISTINCT masks only (≤ min(2^S,
+       rows/block)) scatters each mask's bit-pairs; (a,a) diagonal rows
+       carry per-source set sizes. Partials close in a ≤ S²-row groupby.
+    4. the ≤ S²-row result is finished driver-side (names + Jaccard =
+       shared/(n_a + n_b − shared)) — a constant-bounded table by the
+       max_sources contract.
+
+    Hash-vs-string set identity: the engine counts 64-bit md5 shingle
+    hashes, the oracle counts shingle strings (same methodology as
+    ``ngram_jaccard_pairs``)."""
+    from ray.data.aggregate import Sum
+
+    # bounded source dictionary (one tiny distinct pass)
+    src_names = sorted(
+        r["source"]
+        for r in docs.select_columns(["source"])
+        .map_batches(
+            lambda t: pa.table({"source": t["source"].unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .count()
+        .select_columns(["source"])
+        .take_all()
+    )
+    if len(src_names) > max_sources:
+        raise ValueError(
+            f"{len(src_names)} sources > max_sources={max_sources}; "
+            "the int64 bitmask plan needs a bounded source dictionary — "
+            "bucket sources first or raise max_sources (≤ 62)."
+        )
+    sidx = {s: i for i, s in enumerate(src_names)}
+    sref = ray.put(sidx)
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        idx = ray.get(sref)
+        texts = t["text"].to_pandas()
+        hashes, lens = fasthash.shingle_hashes_batch(texts, k=k, unique=True)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        si = np.fromiter(
+            (idx[s] for s in src), dtype=np.int64, count=len(src)
+        )
+        h = hashes.astype(np.int64)  # reinterpret for arrow transport
+        rows = pd.DataFrame(
+            {"h": h, "sidx": np.repeat(si, lens)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(rows, preserve_index=False)
+
+    distinct = (
+        docs.select_columns(["source", "text"])
+        .map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["h", "sidx"])
+        .count()
+    )
+
+    masks = (
+        distinct.map_batches(
+            lambda t: pa.table(
+                {
+                    "h": t["h"],
+                    "m": np.int64(1)
+                    << t["sidx"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .aggregate(Sum("m", alias_name="mask"))
+    )
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(m, return_counts=True)
+        a_out, b_out, c_out = [], [], []
+        for v, c in zip(vals, cnts):
+            bits = [i for i in range(len(src_names)) if v >> i & 1]
+            for x in range(len(bits)):
+                for y in range(x, len(bits)):
+                    a_out.append(bits[x])
+                    b_out.append(bits[y])
+                    c_out.append(int(c))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "c": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    agg = (
+        masks.map_batches(count_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="shared"))
+        .to_pandas()
+    )  # ≤ S² rows by the max_sources contract — driver close is bounded
+
+    diag = {
+        int(r.a): int(r.shared) for r in agg.itertuples() if r.a == r.b
+    }
+    off = agg[agg.a < agg.b]
+    na = off["a"].map(diag).to_numpy(np.int64)
+    nb = off["b"].map(diag).to_numpy(np.int64)
+    shared = off["shared"].to_numpy(np.int64)
+    out = pa.table(
+        {
+            "src_a": pa.array(
+                [src_names[int(i)] for i in off["a"]], pa.string()
+            ),
+            "src_b": pa.array(
+                [src_names[int(i)] for i in off["b"]], pa.string()
+            ),
+            "shared": shared,
+            "jaccard": shared.astype(np.float64)
+            / (na + nb - shared).astype(np.float64),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -3623,3 +3623,39 @@ SELECT vec_id, cell FROM (
   FROM ({inner}) q
 ) WHERE rn <= {int(per_cell)}
 """
+
+
+def source_overlap_sql(k: int = 3) -> str:
+    """Cross-source shingle overlap (``textops.source_overlap``): distinct
+    word-k-gram shingles shared per source pair + Jaccard. The engine
+    counts 64-bit md5 shingle hashes, the oracle counts the shingle
+    strings — hash-independent set identity, same methodology as
+    ``ngram_jaccard_sql``."""
+    return f"""
+WITH {_TOKS_CTE},
+sh_lists AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k} THEN
+                list_transform(range(1, len(ws) - {k - 2}),
+                               i -> array_to_string(ws[i:i+{k - 1}], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT d.source, u.s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh_lists) u
+  JOIN documents d USING (doc_id)
+),
+sizes AS MATERIALIZED (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS MATERIALIZED (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.shared,
+       CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
+FROM inter i
+JOIN sizes na ON na.source = i.src_a
+JOIN sizes nb ON nb.source = i.src_b
+"""

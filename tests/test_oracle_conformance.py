@@ -145,6 +145,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_supplier_part_counts": so.supplier_part_counts_sql,
         "tpch_sales_opportunity": so.sales_opportunity_sql,
         "doc_segment_dedup": so.segment_dedup_sql,
+        "doc_source_overlap": so.source_overlap_sql,
         "tpch_best_supplier": so.min_cost_supplier_sql,
         "tpch_product_profit": so.product_type_profit_sql,
         "tpch_important_parts": so.important_parts_sql,
@@ -342,6 +343,7 @@ QUERY_NAMES = [
     "tpch_priority_returns",
     "doc_segment_dedup",
     "emb_stratified_sample",
+    "doc_source_overlap",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

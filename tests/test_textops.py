@@ -477,3 +477,68 @@ def test_segment_dedup_order_preserved(ray_session):
     )
     assert out.loc[1, "text_dedup"] == " ".join([segs[0], segs[2], segs[3]])
     assert out.loc[1, "n_kept"] == 3 and out.loc[1, "n_total"] == 4
+
+
+def test_source_overlap_brute_force(ray_session):
+    """Bitmask plan vs a direct set computation, incl. a disjoint source
+    (absent from the pair rows) and the >max_sources guard."""
+    import itertools
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import source_overlap
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["s1", "s1", "s2", "s2", "s3", "s4"],
+            "text": [
+                "a b c d e",          # s1: shingles abc bcd cde
+                "x y z",              # s1: xyz
+                "a b c d",            # s2: abc bcd  (shares with s1)
+                "p q r s",            # s2: pqr qrs
+                "a b c",              # s3: abc      (shares with s1, s2)
+                "u v w",              # s4: uvw      (disjoint)
+            ],
+        }
+    )
+    out = (
+        source_overlap(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+        .sort_index()
+    )
+
+    def shingles(ts):
+        out = set()
+        for t in ts:
+            w = t.split()
+            out |= (
+                {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+                if len(w) >= 3
+                else {" ".join(w)}
+            )
+        return out
+
+    sets = {
+        s: shingles(docs[docs.source == s]["text"]) for s in docs.source.unique()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i:
+            want[(a, b)] = (i, i / len(sets[a] | sets[b]))
+    assert set(out.index) == set(want)
+    for key, (i, j) in want.items():
+        assert out.loc[key, "shared"] == i
+        assert out.loc[key, "jaccard"] == pytest.approx(j, abs=1e-12)
+
+    many = pd.DataFrame(
+        {
+            "doc_id": np.arange(70, dtype=np.int64),
+            "source": [f"s{i}" for i in range(70)],
+            "text": ["a b c"] * 70,
+        }
+    )
+    with pytest.raises(ValueError, match="max_sources"):
+        source_overlap(ray.data.from_pandas(many))
