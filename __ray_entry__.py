@@ -1234,6 +1234,22 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_events_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (> N/200 of events) via the two-pass candidate
+    scheme — the shuffle never carries the full distinct-key set."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import heavy_hitters
+
+    return heavy_hitters(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+    )
+
+
 def _q_doc_source_overlap(sf_dir: str):
     """Cross-source shingle-overlap matrix (contamination forensics):
     bitmask-Sum source sets per shingle, ≤S²-row close."""
@@ -2170,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_dedup": _q_doc_segment_dedup,
         "emb_stratified_sample": _q_emb_stratified_sample,
         "doc_source_overlap": _q_doc_source_overlap,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2307,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql(),
         "doc_segment_dedup": so.segment_dedup_sql(),
         "doc_source_overlap": so.source_overlap_sql(),
+        "events_heavy_hitters": so.heavy_hitters_sql(),
         "tpch_best_supplier": so.min_cost_supplier_sql(),
         "tpch_product_profit": so.product_type_profit_sql(),
         "tpch_important_parts": so.important_parts_sql(),

@@ -1033,3 +1033,80 @@ def props_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def heavy_hitters(
+    events: ray.data.Dataset,
+    col: str = "user_id",
+    k: int = 200,
+) -> ray.data.Dataset:
+    """EXACT φ-heavy hitters: the keys whose frequency strictly exceeds
+    N/k, with their exact counts — found WITHOUT a full-corpus groupby via
+    the classic two-pass candidate scheme (Misra–Gries / SpaceSaving
+    family; the candidate rule below is its block-local specialization).
+
+    → (``col``, n: int64), the true heavy hitters only.
+
+    1. candidate pass — each block emits the keys whose LOCAL count
+       exceeds n_block/k (< k keys per block). Superset guarantee is the
+       pigeonhole argument: c(x) > N/k with c_b(x) ≤ N_b/k for every
+       block would sum to c(x) ≤ N/k — so every global heavy hitter is a
+       local one somewhere. Candidates are ≤ k·n_blocks total (vs the
+       corpus's unbounded distinct keys), collected and broadcast once.
+    2. exact pass — per-batch counts restricted to the broadcast
+       candidate set (an ``isin`` mask, never a full value_counts) →
+       candidates-bounded groupby → strict ``n·k > N`` filter drops the
+       false positives.
+
+    The full-groupby alternative ships every distinct key through the
+    shuffle; here the exchange carries ≤ candidates per block. Ties at
+    exactly N/k are excluded (strict >), mirroring the SQL HAVING."""
+    from ray.data.aggregate import Sum
+
+    total = int(events.count())
+
+    def local_hh(t: pa.Table) -> pa.Table:
+        v = t[col].to_pandas()
+        vc = v.value_counts()
+        keep = vc[vc * k > len(v)]
+        return pa.table({col: pa.array(keep.index.to_numpy())})
+
+    cand = (
+        events.select_columns([col])
+        .map_batches(local_hh, batch_format="pyarrow")
+        .groupby(col)
+        .count()
+        .select_columns([col])
+        .take_all()
+    )
+    cand_arr = np.sort(np.array([r[col] for r in cand]))
+    cref = ray.put(cand_arr)
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        v = t[col].to_numpy(zero_copy_only=False)
+        m = np.isin(v, cs)
+        vc = pd.Series(v[m]).value_counts()
+        return pa.table(
+            {
+                col: pa.array(vc.index.to_numpy()),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    agg = (
+        events.select_columns([col])
+        .map_batches(count_cands, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def close(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        keep = pa.array(n * k > total)
+        kept = t.filter(keep)
+        return pa.table(
+            {col: kept[col], "n": kept["n"].to_numpy().astype(np.int64)}
+        )
+
+    return agg.map_batches(close, batch_format="pyarrow")

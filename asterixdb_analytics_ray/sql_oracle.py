@@ -3659,3 +3659,14 @@ FROM inter i
 JOIN sizes na ON na.source = i.src_a
 JOIN sizes nb ON nb.source = i.src_b
 """
+
+
+def heavy_hitters_sql(col: str = "user_id", k: int = 200) -> str:
+    """Exact φ-heavy hitters (``events.heavy_hitters``): frequency
+    strictly above N/k — the two-pass candidate scheme's result equals
+    the plain HAVING, which is the oracle."""
+    return f"""
+SELECT {col}, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY {col}
+HAVING count(*) * {int(k)} > (SELECT count(*) FROM events)
+"""

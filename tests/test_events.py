@@ -354,3 +354,35 @@ def test_window_anomalies_constant_series_drops_type(ray_session):
     out = window_anomalies(ray.data.from_pandas(df)).to_pandas()
     assert set(out["event_type"]) == {"spiky"}
     assert (out["n"] == 20).any()
+
+
+def test_heavy_hitters_exact_and_superset(ray_session):
+    """Skewed stream: the two-pass result equals the exact HAVING even
+    when a hitter is locally light in most blocks, and false-positive
+    candidates are dropped."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.events import heavy_hitters
+
+    rng = np.random.default_rng(13)
+    # 3000 background events over 500 users + two true heavy hitters
+    users = np.concatenate(
+        [
+            rng.integers(1000, 1500, 3000),
+            np.full(60, 7),          # 60/3105 > 3105/200
+            np.full(45, 9),          # 45/3105 > 3105/200
+        ]
+    ).astype(np.int64)
+    rng.shuffle(users)
+    ds = ray.data.from_pandas(pd.DataFrame({"user_id": users})).repartition(8)
+    out = (
+        heavy_hitters(ds, col="user_id", k=200)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    vc = pd.Series(users).value_counts()
+    want = vc[vc * 200 > len(users)]
+    assert sorted(out.index) == sorted(want.index)
+    for u, n in want.items():
+        assert out.loc[u, "n"] == n

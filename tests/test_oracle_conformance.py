@@ -146,6 +146,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_sales_opportunity": so.sales_opportunity_sql,
         "doc_segment_dedup": so.segment_dedup_sql,
         "doc_source_overlap": so.source_overlap_sql,
+        "events_heavy_hitters": so.heavy_hitters_sql,
         "tpch_best_supplier": so.min_cost_supplier_sql,
         "tpch_product_profit": so.product_type_profit_sql,
         "tpch_important_parts": so.important_parts_sql,
@@ -344,6 +345,7 @@ QUERY_NAMES = [
     "doc_segment_dedup",
     "emb_stratified_sample",
     "doc_source_overlap",
+    "events_heavy_hitters",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
