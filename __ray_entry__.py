@@ -1234,6 +1234,23 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_doc_oov_rate(sf_dir: str):
+    """Vocabulary coverage per source: OOV share vs the broadcast top-20
+    corpus vocabulary (integer-exact folds, one closing division)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import oov_rate
+
+    return oov_rate(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        )
+    )
+
+
 def _q_events_heavy_hitters(sf_dir: str):
     """Exact heavy hitters (> N/200 of events) via the two-pass candidate
     scheme — the shuffle never carries the full distinct-key set."""
@@ -2187,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_stratified_sample": _q_emb_stratified_sample,
         "doc_source_overlap": _q_doc_source_overlap,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "doc_oov_rate": _q_doc_oov_rate,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2325,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_segment_dedup": so.segment_dedup_sql(),
         "doc_source_overlap": so.source_overlap_sql(),
         "events_heavy_hitters": so.heavy_hitters_sql(),
+        "doc_oov_rate": so.oov_rate_sql(),
         "tpch_best_supplier": so.min_cost_supplier_sql(),
         "tpch_product_profit": so.product_type_profit_sql(),
         "tpch_important_parts": so.important_parts_sql(),

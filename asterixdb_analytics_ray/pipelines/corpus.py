@@ -1043,3 +1043,79 @@ def split_leakage(
         return df[va != vb]
 
     return pairs.map_batches(crossing, batch_format="pandas")
+
+
+def oov_rate(
+    docs: ray.data.Dataset, vocab_size: int = 20
+) -> ray.data.Dataset:
+    """Tokenizer/vocabulary coverage per source: build the corpus's
+    top-``vocab_size`` token vocabulary, then measure each source's
+    out-of-vocabulary token share — the pre-training health check for "is
+    this source's text covered by the tokenizer we plan to train/use".
+
+    → (source, n_docs: int64, oov_tokens: int64, total_tokens: int64,
+    oov_share) — integer-exact folds, ONE closing division.
+
+    Plan: the vocabulary is the existing ``top_tokens`` two-level combine
+    (count-desc / token-asc tie-break at the boundary, SQL-reproducible)
+    materialized at ≤ vocab_size rows and broadcast via ``ray.put``; the
+    measurement pass is one ``map_batches`` over docs (exploded tokens ×
+    one ``np.isin`` against the sorted vocab) emitting per-source partial
+    (n_docs, oov, total) rows → a sources-bounded groupby. Docs with zero
+    tokens count toward n_docs but contribute 0/0 tokens."""
+    from ray.data.aggregate import Sum
+
+    vocab = np.sort(
+        np.array(
+            [r["token"] for r in top_tokens(docs, k=vocab_size).take_all()],
+            dtype=object,
+        )
+    )
+    vref = ray.put(vocab)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        toks = df["text"].str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        oov_flat = ~np.isin(flat, v)
+        src = np.repeat(df["source"].to_numpy(), n)
+        g = (
+            pd.DataFrame(
+                {"source": src, "oov": oov_flat.astype(np.int64)}
+            )
+            .groupby("source", sort=False)
+            .agg(oov=("oov", "sum"), total=("oov", "size"))
+        )
+        nd = df.groupby("source", sort=False).size().rename("n_docs")
+        out = pd.concat([nd, g], axis=1).fillna(0).reset_index()
+        for c in ("n_docs", "oov", "total"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    agg = (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("oov", alias_name="oov_tokens"),
+            Sum("total", alias_name="total_tokens"),
+        )
+    )
+
+    def close(t: pa.Table) -> pa.Table:
+        o = t["oov_tokens"].to_numpy().astype(np.int64)
+        n = t["total_tokens"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"].to_numpy().astype(np.int64),
+                "oov_tokens": o,
+                "total_tokens": n,
+                "oov_share": o.astype(np.float64)
+                / np.maximum(n, 1).astype(np.float64),
+            }
+        )
+
+    return agg.map_batches(close, batch_format="pyarrow")

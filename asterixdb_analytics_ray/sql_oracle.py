@@ -3670,3 +3670,38 @@ SELECT {col}, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY {col}
 HAVING count(*) * {int(k)} > (SELECT count(*) FROM events)
 """
+
+
+def oov_rate_sql(vocab_size: int = 20) -> str:
+    """Per-source OOV share vs the top-``vocab_size`` corpus vocabulary
+    (``corpus.oov_rate``): same tokenization, same count-desc/token-asc
+    boundary tie-break, integer-exact folds, one closing division."""
+    return f"""
+WITH {_TOKS_CTE},
+tok AS MATERIALIZED (
+  SELECT d.source, u.tok
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) u
+  JOIN documents d USING (doc_id)
+),
+vocab AS MATERIALIZED (
+  SELECT tok AS token FROM (
+    SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {int(vocab_size)})
+),
+per_src AS (
+  SELECT t.source,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens,
+         CAST(count(*) AS BIGINT) AS total_tokens
+  FROM tok t LEFT JOIN vocab v ON v.token = t.tok
+  GROUP BY t.source
+),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       GROUP BY source)
+SELECT nd.source, nd.n_docs,
+       coalesce(p.oov_tokens, 0) AS oov_tokens,
+       coalesce(p.total_tokens, 0) AS total_tokens,
+       CAST(coalesce(p.oov_tokens, 0) AS DOUBLE)
+         / greatest(coalesce(p.total_tokens, 0), 1) AS oov_share
+FROM nd LEFT JOIN per_src p ON p.source = nd.source
+"""

@@ -453,3 +453,42 @@ def test_run_job_corpus_cli_sink_and_gates(ray_session, tmp_path):
     expect = sorted(set(base["doc_id"]) - rep_fail)
     assert list(got["doc_id"]) == expect
     assert "lm_score" in got.columns
+
+
+def test_oov_rate_brute_force(ray_session):
+    """OOV share vs the top-k vocabulary, incl. the count-desc/token-asc
+    boundary tie-break and an empty-text doc (counts toward n_docs only)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import oov_rate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "b", "c"],
+            "text": [
+                "x x x y y z",      # x:3 y:2 z:1
+                "x y q",            # q rare → OOV for vocab_size=3
+                "x y z",
+                "q r s",
+                "",                 # empty doc
+                "x q q q",
+            ],
+        }
+    )
+    out = (
+        oov_rate(ray.data.from_pandas(docs).repartition(3), vocab_size=3)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    # corpus counts: x:6 q:5 y:4 z:2 r:1 s:1 → vocab (k=3) = {x, q, y}
+    assert out.loc["a", "n_docs"] == 2
+    assert out.loc["a", "oov_tokens"] == 1          # z
+    assert out.loc["a", "total_tokens"] == 9
+    assert out.loc["b", "n_docs"] == 3              # empty doc counted
+    assert out.loc["b", "oov_tokens"] == 3          # z r s
+    assert out.loc["b", "total_tokens"] == 6
+    assert out.loc["c", "oov_tokens"] == 0
+    assert out.loc["c", "oov_share"] == 0.0
+    assert out.loc["b", "oov_share"] == pytest.approx(0.5)

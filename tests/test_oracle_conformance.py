@@ -147,6 +147,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_segment_dedup": so.segment_dedup_sql,
         "doc_source_overlap": so.source_overlap_sql,
         "events_heavy_hitters": so.heavy_hitters_sql,
+        "doc_oov_rate": so.oov_rate_sql,
         "tpch_best_supplier": so.min_cost_supplier_sql,
         "tpch_product_profit": so.product_type_profit_sql,
         "tpch_important_parts": so.important_parts_sql,
@@ -346,6 +347,7 @@ QUERY_NAMES = [
     "emb_stratified_sample",
     "doc_source_overlap",
     "events_heavy_hitters",
+    "doc_oov_rate",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
