@@ -1234,6 +1234,16 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_spectral_scores(sf_dir: str):
+    """Second eigen-direction of the normalized adjacency (deflated
+    fixed-step power iteration on the dense BSP engine; Fiedler-style
+    partitioning scores)."""
+    from asterixdb_analytics_ray.pipelines.spectral import spectral_scores
+
+    views = _graph(sf_dir)
+    return spectral_scores(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_doc_oov_rate(sf_dir: str):
     """Vocabulary coverage per source: OOV share vs the broadcast top-20
     corpus vocabulary (integer-exact folds, one closing division)."""
@@ -2205,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_overlap": _q_doc_source_overlap,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_oov_rate": _q_doc_oov_rate,
+        "spectral_scores": _q_spectral_scores,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2277,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": so.out_degrees_sql(p),
         "top_degree": so.top_degree_sql(p),
         "pagerank": so.pagerank_sql(p),
+        "spectral_scores": so.spectral_scores_sql(p),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

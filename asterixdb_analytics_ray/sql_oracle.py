@@ -3705,3 +3705,58 @@ SELECT nd.source, nd.n_docs,
          / greatest(coalesce(p.total_tokens, 0), 1) AS oov_share
 FROM nd LEFT JOIN per_src p ON p.source = nd.source
 """
+
+
+def spectral_scores_sql(
+    p: str, iters: int = 20, decimals: int = 6
+) -> str:
+    """Second eigen-direction of Â = D^-1/2 A D^-1/2
+    (``pipelines/spectral.py``): the engine's exact fixed-step deflated
+    power iteration unrolled — parity start minus its √d-component, per
+    step one Â-apply (edge join + sum) and one s-projection, final
+    max-|x| scale + round. No eigensolver on either side."""
+    parts = [prelude(p)]
+    parts.append(
+        """, udeg AS MATERIALIZED (
+  SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY src),
+snrm AS (SELECT sqrt(sum(d)) AS z FROM udeg),
+svec AS MATERIALIZED (
+  SELECT v, sqrt(d) / (SELECT z FROM snrm) AS s, 1.0 / sqrt(d) AS isd
+  FROM udeg),
+pvec AS MATERIALIZED (
+  SELECT verts.v,
+         CASE WHEN verts.v % 2 = 0 THEN 1.0 ELSE -1.0 END AS x
+  FROM verts),
+c0 AS (SELECT sum(p.x * s.s) AS c FROM pvec p JOIN svec s USING (v)),
+x0 AS MATERIALIZED (
+  SELECT p.v, p.x - (SELECT c FROM c0) * coalesce(s.s, 0.0) AS x
+  FROM pvec p LEFT JOIN svec s USING (v))
+"""
+    )
+    for t in range(1, iters + 1):
+        prev = t - 1
+        parts.append(
+            f""", y{t} AS MATERIALIZED (
+  SELECT u.dst AS v, sum(x.x * sa.isd * sb.isd) AS y
+  FROM und u
+  JOIN x{prev} x ON u.src = x.v
+  JOIN svec sa ON sa.v = u.src
+  JOIN svec sb ON sb.v = u.dst
+  GROUP BY u.dst),
+c{t} AS (SELECT sum(y.y * s.s) AS c FROM y{t} y JOIN svec s ON s.v = y.v),
+x{t} AS MATERIALIZED (
+  SELECT verts.v,
+         coalesce(y.y, 0.0) - (SELECT c FROM c{t}) * coalesce(s.s, 0.0) AS x
+  FROM verts
+  LEFT JOIN y{t} y ON y.v = verts.v
+  LEFT JOIN svec s ON s.v = verts.v)
+"""
+        )
+    parts.append(
+        f""", mx AS (SELECT max(abs(x)) AS m FROM x{iters})
+SELECT x.v, round(x.x / (CASE WHEN mx.m > 0 THEN mx.m ELSE 1.0 END),
+                  {decimals}) AS score
+FROM x{iters} x, mx
+"""
+    )
+    return "".join(parts)

@@ -61,6 +61,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "out_degrees": so.out_degrees_sql,
         "top_degree": so.top_degree_sql,
         "pagerank": so.pagerank_sql,
+        "spectral_scores": so.spectral_scores_sql,
         "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
         "modularity": so.modularity_sql,
@@ -348,6 +349,7 @@ QUERY_NAMES = [
     "doc_source_overlap",
     "events_heavy_hitters",
     "doc_oov_rate",
+    "spectral_scores",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -1,0 +1,77 @@
+"""Spectral second-eigenvector scores: eigensolver ground truth on small
+graphs (the DuckDB parity check on the real graph lives in
+test_oracle_conformance.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _und_ds(pairs, reps=3):
+    import ray.data
+
+    src = np.array([a for a, b in pairs] + [b for a, b in pairs], np.int64)
+    dst = np.array([b for a, b in pairs] + [a for a, b in pairs], np.int64)
+    return ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst})
+    ).repartition(reps)
+
+
+def test_spectral_matches_eigensolver_two_cliques(ray_session):
+    """Two K5 cliques joined by one bridge edge: the second eigenvector of
+    Â separates the cliques by sign — compare direction against
+    np.linalg.eigh ground truth."""
+    from asterixdb_analytics_ray.pipelines.spectral import spectral_scores
+
+    import itertools
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(5, 10), 2))
+    pairs = c1 + c2 + [(4, 5)]
+    n = 10
+    out = (
+        spectral_scores(_und_ds(pairs), n, iters=60, decimals=9)
+        .to_pandas()
+        .sort_values("v")
+    )
+    x = out["score"].to_numpy()
+
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = A[b, a] = 1.0
+    d = A.sum(1)
+    Ahat = A / np.sqrt(np.outer(d, d))
+    w, V = np.linalg.eigh(Ahat)
+    v2 = V[:, np.argsort(w)[-2]]  # second-largest eigenvalue's vector
+    cos = abs(x @ v2) / (np.linalg.norm(x) * np.linalg.norm(v2))
+    assert cos > 0.9999
+    # sign pattern splits the cliques
+    assert len(set(np.sign(x[:5]))) == 1
+    assert len(set(np.sign(x[5:]))) == 1
+    assert np.sign(x[0]) != np.sign(x[9])
+
+
+def test_spectral_isolated_vertices_score_zero(ray_session):
+    from asterixdb_analytics_ray.pipelines.spectral import spectral_scores
+
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    out = (
+        spectral_scores(_und_ds(pairs, reps=2), 5)
+        .to_pandas()
+        .set_index("v")
+    )
+    assert out.loc[3, "score"] == 0.0
+    assert out.loc[4, "score"] == 0.0
+
+
+def test_spectral_deterministic_across_partitionings(ray_session):
+    from asterixdb_analytics_ray.pipelines.spectral import spectral_scores
+
+    rng = np.random.default_rng(3)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 40, (150, 2)) if p[0] != p[1]}
+    a = spectral_scores(_und_ds(sorted(pairs), reps=2), 40).to_pandas()
+    b = spectral_scores(_und_ds(sorted(pairs), reps=7), 40).to_pandas()
+    assert a.sort_values("v").reset_index(drop=True).equals(
+        b.sort_values("v").reset_index(drop=True)
+    )
