@@ -1234,6 +1234,21 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_emb_ivf_recall(sf_dir: str):
+    """ANN quality gate: per-query recall@10 of the IVF path vs the exact
+    brute-force ground truth (tune nprobe until this clears the bar)."""
+    import numpy as np
+
+    from asterixdb_analytics_ray.pipelines.embeddings import ivf_recall
+
+    ds = _emb_ds(sf_dir)
+    qt = ds.filter(
+        expr=f"vec_id in {list(_KNN_QUERY_IDS)}"
+    ).to_pandas().sort_values("vec_id")
+    queries = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    return ivf_recall(ds, queries, qt["vec_id"].to_numpy())
+
+
 def _q_spectral_scores(sf_dir: str):
     """Second eigen-direction of the normalized adjacency (deflated
     fixed-step power iteration on the dense BSP engine; Fiedler-style
@@ -2216,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "doc_oov_rate": _q_doc_oov_rate,
         "spectral_scores": _q_spectral_scores,
+        "emb_ivf_recall": _q_emb_ivf_recall,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2404,6 +2420,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_stratified_sample": so.stratified_sample_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet")
+        ),
+        "emb_ivf_recall": so.ivf_recall_sql(
+            os.path.join(_SF_ORACLE, "embeddings.parquet"),
+            query_ids=_KNN_QUERY_IDS,
         ),
         "emb_ivf_knn": so.ivf_knn_sql(
             os.path.join(_SF_ORACLE, "embeddings.parquet"),

@@ -1291,3 +1291,50 @@ def stratified_cell_sample(
         .groupby("cell")
         .map_groups(close, batch_format="pandas")
     )
+
+
+def ivf_recall(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+) -> pa.Table:
+    """ANN quality evaluation as a first-class operator: per-query
+    recall@k of the IVF path against the exact brute-force ground truth —
+    the measurement a pipeline runs before trusting an approximate index
+    at scale (tune nprobe/n_clusters until recall clears the bar).
+
+    → (query_id, n_hits: int64, recall), one row per query.
+
+    Both paths stream the corpus once each (the brute-force pass is the
+    ground-truth cost you pay at evaluation time, on a SAMPLE of queries,
+    not in production); the overlap count is a tiny driver-side set
+    intersection over 2·k ids per query."""
+    exact = knn_brute_force(embeddings, queries, query_ids, k=k)
+    approx = knn_ivf(
+        embeddings, queries, query_ids,
+        k=k, n_clusters=n_clusters, nprobe=nprobe,
+    )
+
+    def per_query(t: pa.Table) -> dict[int, set]:
+        out: dict[int, set] = {}
+        q = t["query_id"].to_numpy()
+        v = t["vec_id"].to_numpy()
+        for qi, vi in zip(q, v):
+            out.setdefault(int(qi), set()).add(int(vi))
+        return out
+
+    e, a = per_query(exact), per_query(approx)
+    qids = sorted(e)
+    hits = np.array(
+        [len(e[q] & a.get(q, set())) for q in qids], dtype=np.int64
+    )
+    return pa.table(
+        {
+            "query_id": np.array(qids, dtype=np.int64),
+            "n_hits": hits,
+            "recall": hits.astype(np.float64) / float(k),
+        }
+    )

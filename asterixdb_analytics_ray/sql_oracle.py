@@ -3760,3 +3760,34 @@ FROM x{iters} x, mx
 """
     )
     return "".join(parts)
+
+
+def ivf_recall_sql(
+    emb_path: str,
+    query_ids: tuple = (0, 1, 2),
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+) -> str:
+    """Per-query recall@k of IVF vs brute force
+    (``embeddings.ivf_recall``): both existing oracles as subqueries,
+    joined on (query_id, vec_id)."""
+    exact = knn_sql(query_ids=query_ids, k=k)
+    approx = ivf_knn_sql(
+        emb_path, query_ids=query_ids, k=k,
+        n_clusters=n_clusters, nprobe=nprobe,
+    )
+    return f"""
+WITH exact_knn AS MATERIALIZED ({exact}),
+approx_knn AS MATERIALIZED ({approx}),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact_knn e JOIN approx_knn a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {int(k)} AS recall
+FROM (SELECT DISTINCT query_id FROM exact_knn) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""

@@ -404,3 +404,31 @@ def test_stratified_cell_sample_deterministic_and_bounded(ray_session):
             ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
         )[:per]
         assert sorted(a[a.cell == c]["vec_id"]) == sorted(want)
+
+
+def test_ivf_recall_bounds_and_perfect_probe(ray_session):
+    """recall ∈ [0,1]; probing ALL cells makes IVF exhaustive → recall 1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import ivf_recall
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 6
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.standard_normal((n, d))),
+        }
+    )
+    ds = ray.data.from_pandas(emb).repartition(4)
+    q = np.stack(emb["embedding"].to_numpy()[:2]).astype(np.float64)
+    qi = np.array([0, 1], dtype=np.int64)
+
+    part = ivf_recall(ds, q, qi, k=5, n_clusters=4, nprobe=1).to_pandas()
+    assert ((part.recall >= 0) & (part.recall <= 1)).all()
+    assert (part.n_hits <= 5).all()
+
+    full = ivf_recall(ds, q, qi, k=5, n_clusters=4, nprobe=4).to_pandas()
+    assert (full.recall == 1.0).all()

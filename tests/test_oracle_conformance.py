@@ -199,6 +199,10 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_stratified_sample": lambda: so.stratified_sample_sql(
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
+        "emb_ivf_recall": lambda: so.ivf_recall_sql(
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
+        ),
         "emb_ivf_knn": lambda: so.ivf_knn_sql(
             os.path.join(SF_DIR, "embeddings.parquet"),
             query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
@@ -350,6 +354,7 @@ QUERY_NAMES = [
     "events_heavy_hitters",
     "doc_oov_rate",
     "spectral_scores",
+    "emb_ivf_recall",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
