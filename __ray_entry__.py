@@ -1234,6 +1234,15 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_graph_coloring(sf_dir: str):
+    """Greedy coloring by iterated priority-maxima peeling (color = round
+    index; proper by construction, MAX-combine only)."""
+    from asterixdb_analytics_ray.pipelines.coloring import coloring_table
+
+    views = _graph(sf_dir)
+    return coloring_table(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_emb_ivf_recall(sf_dir: str):
     """ANN quality gate: per-query recall@10 of the IVF path vs the exact
     brute-force ground truth (tune nprobe until this clears the bar)."""
@@ -2232,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": _q_doc_oov_rate,
         "spectral_scores": _q_spectral_scores,
         "emb_ivf_recall": _q_emb_ivf_recall,
+        "graph_coloring": _q_graph_coloring,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2305,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "top_degree": so.top_degree_sql(p),
         "pagerank": so.pagerank_sql(p),
         "spectral_scores": so.spectral_scores_sql(p),
+        "graph_coloring": so.coloring_sql(p),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

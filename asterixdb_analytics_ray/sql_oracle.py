@@ -3791,3 +3791,40 @@ SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
 FROM (SELECT DISTINCT query_id FROM exact_knn) q
 LEFT JOIN hits h ON h.query_id = q.query_id
 """
+
+
+def coloring_sql(p: str, rounds: int = 40) -> str:
+    """Greedy coloring by iterated priority-maxima peeling
+    (``pipelines/coloring.py``): each unrolled round colors the uncolored
+    vertices beating every uncolored neighbor's priority with the round
+    index; −1 marks vertices uncolored within ``rounds`` (never at the
+    asserted margin). Priority shared with the MIS oracle."""
+    parts = [prelude(p)]
+    parts.append(
+        """, pri AS MATERIALIZED (
+  SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT >> 11 AS BIGINT) AS h
+  FROM verts),
+k0 AS MATERIALIZED (SELECT v, CAST(-1 AS BIGINT) AS color FROM verts)
+"""
+    )
+    for i in range(1, rounds + 1):
+        prev = f"k{i - 1}"
+        parts.append(
+            f""", mx{i} AS (
+  SELECT u.dst AS v, max(ph.h) AS mh
+  FROM und u
+  JOIN {prev} a ON u.src = a.v AND a.color < 0
+  JOIN {prev} b ON u.dst = b.v AND b.color < 0
+  JOIN pri ph ON ph.v = u.src
+  GROUP BY u.dst),
+k{i} AS MATERIALIZED (
+  SELECT s.v,
+         CASE WHEN s.color < 0 AND p2.h > coalesce(m.mh, -1)
+              THEN CAST({i} AS BIGINT) ELSE s.color END AS color
+  FROM {prev} s
+  JOIN pri p2 ON p2.v = s.v
+  LEFT JOIN mx{i} m ON m.v = s.v)
+"""
+        )
+    parts.append(f"SELECT v, color FROM k{rounds}")
+    return "".join(parts)

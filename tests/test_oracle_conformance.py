@@ -62,6 +62,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "top_degree": so.top_degree_sql,
         "pagerank": so.pagerank_sql,
         "spectral_scores": so.spectral_scores_sql,
+        "graph_coloring": so.coloring_sql,
         "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
         "modularity": so.modularity_sql,
@@ -355,6 +356,7 @@ QUERY_NAMES = [
     "doc_oov_rate",
     "spectral_scores",
     "emb_ivf_recall",
+    "graph_coloring",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -75,3 +75,37 @@ def test_spectral_deterministic_across_partitionings(ray_session):
     assert a.sort_values("v").reset_index(drop=True).equals(
         b.sort_values("v").reset_index(drop=True)
     )
+
+
+def test_coloring_proper_and_deterministic(ray_session):
+    """Coloring is PROPER on a random graph (no edge joins same colors),
+    every vertex is colored within the round margin, and the result is
+    partitioning-independent."""
+    from asterixdb_analytics_ray.pipelines.coloring import coloring_table
+
+    rng = np.random.default_rng(7)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in rng.integers(0, 60, (300, 2)) if p[0] != p[1]}
+    )
+    n = 60
+    a = coloring_table(_und_ds(pairs, reps=3), n).to_pandas()
+    b = coloring_table(_und_ds(pairs, reps=8), n).to_pandas()
+    assert a.sort_values("v").reset_index(drop=True).equals(
+        b.sort_values("v").reset_index(drop=True)
+    )
+    color = a.sort_values("v")["color"].to_numpy()
+    assert (color >= 1).all()  # margin: everything colored
+    for x, y in pairs:
+        assert color[x] != color[y]
+
+
+def test_coloring_clique_uses_k_colors(ray_session):
+    """A K6 needs exactly 6 rounds (one vertex per round by priority)."""
+    import itertools
+
+    from asterixdb_analytics_ray.pipelines.coloring import coloring_table
+
+    pairs = list(itertools.combinations(range(6), 2))
+    out = coloring_table(_und_ds(pairs, reps=2), 6).to_pandas()
+    colors = sorted(out["color"])
+    assert colors == [1, 2, 3, 4, 5, 6]
