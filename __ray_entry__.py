@@ -1234,6 +1234,16 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_conv_turn_latency(sf_dir: str):
+    """Reply-latency per role transition over the raw transcripts
+    (conversation-bucket lexsort pairing; roles²-bounded rollup)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import turn_latency
+
+    return turn_latency(ray.data.read_parquet(_transcripts_path(sf_dir)))
+
+
 def _q_graph_coloring(sf_dir: str):
     """Greedy coloring by iterated priority-maxima peeling (color = round
     index; proper by construction, MAX-combine only)."""
@@ -2242,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_scores": _q_spectral_scores,
         "emb_ivf_recall": _q_emb_ivf_recall,
         "graph_coloring": _q_graph_coloring,
+        "conv_turn_latency": _q_conv_turn_latency,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2316,6 +2327,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": so.pagerank_sql(p),
         "spectral_scores": so.spectral_scores_sql(p),
         "graph_coloring": so.coloring_sql(p),
+        "conv_turn_latency": so.turn_latency_sql(p),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

@@ -302,3 +302,96 @@ def role_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def turn_latency(
+    transcripts: ray.data.Dataset, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """Reply-latency stats per role transition: for every pair of
+    CONSECUTIVE turns in a conversation (by turn_idx), the gap between
+    their timestamps, rolled up per (role_from, role_to) → how long each
+    speaker takes to respond to each other speaker.
+
+    → (role_from, role_to, n: int64, total_gap_us: int64, mean_gap_us)
+    — integer-exact folds, one closing division.
+
+    Consecutive turns can span block boundaries, so the pairing uses the
+    sessionize/tool_paths bucket pattern: hash-bucket by conversation
+    (md5-prefix, vectorized), ONE lexsort per bucket pairs every
+    conversation's turns at once (never a per-conversation UDF), per-bucket
+    partial (role_from, role_to, n, gap) sums → a roles²-bounded groupby.
+    Timestamps normalize to µs explicitly (parquet-resolution-independent,
+    the conv_stats lesson)."""
+    nb = np.uint64(n_buckets)
+
+    def project_bucket(t: pa.Table) -> pa.Table:
+        bucket = (fasthash.md5_prefix_u64(t["conv_id"]) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                # normalize to µs BEFORE the int cast (resolution-proof)
+                "tsu": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def per_bucket_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        same = df["conv_id"].to_numpy()[1:] == df["conv_id"].to_numpy()[:-1]
+        if not same.any():
+            return pd.DataFrame(
+                {
+                    "role_from": pd.Series([], dtype=object),
+                    "role_to": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "gap": pd.Series([], dtype=np.int64),
+                }
+            )
+        ts = df["tsu"].to_numpy()
+        role = df["role"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "role_from": role[:-1][same],
+                    "role_to": role[1:][same],
+                    "gap": (ts[1:] - ts[:-1])[same],
+                }
+            )
+            .groupby(["role_from", "role_to"], sort=False)
+            .agg(n=("gap", "size"), gap=("gap", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["gap"] = g["gap"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "ts"])
+        .map_batches(project_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket_gaps, batch_format="pandas")
+        .groupby(["role_from", "role_to"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("gap", alias_name="total_gap_us"),
+        )
+    )
+
+    def close(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        g = t["total_gap_us"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "role_from": t["role_from"],
+                "role_to": t["role_to"],
+                "n": n,
+                "total_gap_us": g,
+                "mean_gap_us": g.astype(np.float64) / n.astype(np.float64),
+            }
+        )
+
+    return agg.map_batches(close, batch_format="pyarrow")

@@ -3828,3 +3828,24 @@ k{i} AS MATERIALIZED (
         )
     parts.append(f"SELECT v, color FROM k{rounds}")
     return "".join(parts)
+
+
+def turn_latency_sql(transcripts_path: str) -> str:
+    """Reply-latency per role transition (``convs.turn_latency``): lag
+    window over (conv_id, turn_idx), integer-exact µs folds, one closing
+    division."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT * FROM read_parquet('{transcripts_path}')),
+seq AS (
+  SELECT conv_id, role, epoch_us(ts) AS tsu,
+         lag(role) OVER w AS role_from,
+         lag(epoch_us(ts)) OVER w AS prev_tsu
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT role_from, role AS role_to,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(tsu - prev_tsu) AS BIGINT) AS total_gap_us,
+       CAST(sum(tsu - prev_tsu) AS DOUBLE) / count(*) AS mean_gap_us
+FROM seq WHERE role_from IS NOT NULL
+GROUP BY role_from, role
+"""

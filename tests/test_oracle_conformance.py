@@ -63,6 +63,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "pagerank": so.pagerank_sql,
         "spectral_scores": so.spectral_scores_sql,
         "graph_coloring": so.coloring_sql,
+        "conv_turn_latency": so.turn_latency_sql,
         "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
         "modularity": so.modularity_sql,
@@ -357,6 +358,7 @@ QUERY_NAMES = [
     "spectral_scores",
     "emb_ivf_recall",
     "graph_coloring",
+    "conv_turn_latency",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -65,3 +65,54 @@ def test_distributed_generation_matches_local(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_turn_latency_brute_force_cross_block(ray_session):
+    """Consecutive-turn pairing survives conversations split across
+    blocks; gaps and role transitions match a pandas lag computation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import turn_latency
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for c in range(12):
+        n = rng.integers(2, 8)
+        ts = np.cumsum(rng.integers(1, 500, n)) * 1_000_000
+        for i in range(n):
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": np.int32(i),
+                    "role": ["user", "assistant", "tool"][
+                        int(rng.integers(0, 3))
+                    ],
+                    "text": "x",
+                    "tool": None,
+                    "ts": pd.Timestamp(ts[i], unit="us"),
+                }
+            )
+    df = pd.DataFrame(rows).sample(frac=1, random_state=4).reset_index(drop=True)
+    out = (
+        turn_latency(ray.data.from_pandas(df).repartition(6))
+        .to_pandas()
+        .set_index(["role_from", "role_to"])
+        .sort_index()
+    )
+
+    sdf = df.sort_values(["conv_id", "turn_idx"])
+    sdf["tsu"] = sdf["ts"].astype("datetime64[us]").astype("int64")
+    sdf["pf"] = sdf.groupby("conv_id")["role"].shift()
+    sdf["pt"] = sdf.groupby("conv_id")["tsu"].shift()
+    pairs = sdf[sdf.pf.notna()]
+    want = (
+        pairs.assign(gap=(pairs.tsu - pairs.pt).astype(np.int64))
+        .groupby(["pf", "role"])
+        .agg(n=("gap", "size"), total=("gap", "sum"))
+    )
+    assert len(out) == len(want)
+    for (rf, rt), r in want.iterrows():
+        assert out.loc[(rf, rt), "n"] == r["n"]
+        assert out.loc[(rf, rt), "total_gap_us"] == r["total"]
