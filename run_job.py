@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
             "reachability",
             "graph_sample",
             "corpus_pipeline",
+            "spectral",
+            "coloring",
         ],
     )
     ap.add_argument("--input", help="transcript parquet path (conv_id, turn_idx, role, text, tool, ts)")
@@ -352,6 +354,21 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
         summary["rounds"] = len(res.rounds)
+    elif args.algorithm == "spectral":
+        from asterixdb_analytics_ray.graph import undirected_from_oriented
+        from asterixdb_analytics_ray.pipelines.spectral import spectral_scores
+
+        und = undirected_from_oriented(g.oriented().materialize()).materialize()
+        result_table = spectral_scores(und, g.n_nodes)
+    elif args.algorithm == "coloring":
+        from asterixdb_analytics_ray.graph import undirected_from_oriented
+        from asterixdb_analytics_ray.pipelines.coloring import coloring_table
+
+        und = undirected_from_oriented(g.oriented().materialize()).materialize()
+        result_table = coloring_table(und, g.n_nodes)
+        colors = result_table["color"].to_numpy()
+        summary["n_colors"] = int(colors.max())
+        summary["uncolored"] = int((colors < 0).sum())
     elif args.algorithm == "graph_sample":
         from asterixdb_analytics_ray.graph import undirected_from_oriented
         from asterixdb_analytics_ray.stages.sharded import ShardedSample
