@@ -1881,9 +1881,7 @@ def source_overlap(
         texts = t["text"].to_pandas()
         hashes, lens = fasthash.shingle_hashes_batch(texts, k=k, unique=True)
         src = t["source"].to_numpy(zero_copy_only=False)
-        si = np.fromiter(
-            (idx[s] for s in src), dtype=np.int64, count=len(src)
-        )
+        si = pd.Series(src).map(idx).to_numpy(np.int64)  # vectorized lookup
         h = hashes.astype(np.int64)  # reinterpret for arrow transport
         rows = pd.DataFrame(
             {"h": h, "sidx": np.repeat(si, lens)}
