@@ -1234,6 +1234,25 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_doc_chunks(sf_dir: str):
+    """RAG-prep chunking: overlapping 16-token windows (stride 12) with
+    provenance — pure map-side, no shuffle."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import chunk_documents
+
+    return chunk_documents(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        chunk_tokens=16,
+        overlap=4,
+    )
+
+
 def _q_conv_turn_latency(sf_dir: str):
     """Reply-latency per role transition over the raw transcripts
     (conversation-bucket lexsort pairing; roles²-bounded rollup)."""
@@ -2253,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_recall": _q_emb_ivf_recall,
         "graph_coloring": _q_graph_coloring,
         "conv_turn_latency": _q_conv_turn_latency,
+        "doc_chunks": _q_doc_chunks,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2395,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_overlap": so.source_overlap_sql(),
         "events_heavy_hitters": so.heavy_hitters_sql(),
         "doc_oov_rate": so.oov_rate_sql(),
+        "doc_chunks": so.chunk_documents_sql(16, 4),
         "tpch_best_supplier": so.min_cost_supplier_sql(),
         "tpch_product_profit": so.product_type_profit_sql(),
         "tpch_important_parts": so.important_parts_sql(),

@@ -1119,3 +1119,84 @@ def oov_rate(
         )
 
     return agg.map_batches(close, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> ray.data.Dataset:
+    """RAG-prep chunking: split every document into overlapping
+    ``chunk_tokens``-token windows at stride ``chunk_tokens − overlap``,
+    carrying provenance — the map-side pass that feeds embedding/indexing
+    stages downstream.
+
+    → (doc_id, chunk_idx: int64, chunk_text, n_tokens: int64).
+
+    Window rule (shared with the oracle): starts at 0, s, 2s, … with
+    W = 1 if n ≤ chunk else ⌈(n − chunk)/s⌉ + 1 windows, so the LAST
+    window always covers the tail with length in (chunk − s, chunk] —
+    no degenerate tiny tails. Docs shorter than one chunk yield exactly
+    one window; empty docs yield none.
+
+    Purely map-side (no shuffle at all): each doc is one row, its chunks
+    are assembled from one ``str.split`` with numpy window arithmetic —
+    embarrassingly parallel at any corpus size."""
+    s = chunk_tokens - overlap
+    if s <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "chunk_idx": pd.Series([], dtype=np.int64),
+                "chunk_text": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype=np.int64),
+            }
+        )
+        toks = df["text"].str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        if not len(flat):
+            return empty
+        doc = np.repeat(df["doc_id"].to_numpy().astype(np.int64), n)
+        # windows per doc: W = 1 if n ≤ chunk else ⌈(n−chunk)/s⌉+1
+        W = np.where(
+            n <= chunk_tokens, 1, -(-(n - chunk_tokens) // s) + 1
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n)
+        # token at pos belongs to windows w_lo..w_hi (overlap fan-out),
+        # all computed vectorized; each token is repeated per membership
+        w_lo = np.maximum(0, -(-(pos - chunk_tokens + 1) // s))
+        w_hi = np.minimum(np.repeat(W, n) - 1, pos // s)
+        cnt = w_hi - w_lo + 1
+        rep_tok = np.repeat(flat, cnt)
+        rep_doc = np.repeat(doc, cnt)
+        rep_pos = np.repeat(pos, cnt)
+        # window id sequence w_lo, w_lo+1, … per token, arange-style
+        offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+        )
+        rep_w = np.repeat(w_lo, cnt) + offs
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": rep_doc,
+                    "chunk_idx": rep_w,
+                    "pos": rep_pos,
+                    "tok": rep_tok,
+                }
+            )
+            .sort_values(["doc_id", "chunk_idx", "pos"], kind="stable")
+            .groupby(["doc_id", "chunk_idx"], sort=False)
+            .agg(chunk_text=("tok", " ".join), n_tokens=("tok", "size"))
+            .reset_index()
+        )
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return g
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        chunks, batch_format="pandas"
+    )

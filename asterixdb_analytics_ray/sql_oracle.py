@@ -3849,3 +3849,36 @@ SELECT role_from, role AS role_to,
 FROM seq WHERE role_from IS NOT NULL
 GROUP BY role_from, role
 """
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Overlapping RAG chunk windows (``corpus.chunk_documents``): same
+    window rule (starts 0, s, 2s, …; W = 1 if n ≤ chunk else
+    ⌈(n−chunk)/s⌉+1), token membership by range join on the window list."""
+    s = chunk_tokens - overlap
+    return f"""
+WITH {_TOKS_CTE},
+docn AS MATERIALIZED (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= {chunk_tokens} THEN 1
+              ELSE CAST(ceil(CAST(len(ws) - {chunk_tokens} AS DOUBLE)
+                        / {s}) AS BIGINT) + 1 END AS w
+  FROM toks WHERE len(ws) > 0
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, CAST(unnest(range(0, w)) AS BIGINT) AS chunk_idx
+  FROM docn
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) - 1 AS pos
+  FROM docn
+)
+SELECT w.doc_id, w.chunk_idx,
+       string_agg(tok.t, ' ' ORDER BY tok.pos) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM wins w JOIN tok
+  ON tok.doc_id = w.doc_id
+ AND tok.pos >= w.chunk_idx * {s}
+ AND tok.pos < w.chunk_idx * {s} + {chunk_tokens}
+GROUP BY w.doc_id, w.chunk_idx
+"""

@@ -492,3 +492,50 @@ def test_oov_rate_brute_force(ray_session):
     assert out.loc["c", "oov_tokens"] == 0
     assert out.loc["c", "oov_share"] == 0.0
     assert out.loc["b", "oov_share"] == pytest.approx(0.5)
+
+
+def test_chunk_documents_window_rule(ray_session):
+    """Window starts/lengths for short, exact-fit, and tail cases; overlap
+    fan-out reconstructs each window's tokens exactly."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.corpus import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b c",                                   # short: 1 window
+                " ".join(f"t{i}" for i in range(8)),        # exact chunk
+                " ".join(f"u{i}" for i in range(13)),       # tail window
+                "",                                        # empty: none
+            ],
+        }
+    )
+    out = (
+        chunk_documents(
+            ray.data.from_pandas(docs).repartition(3),
+            chunk_tokens=8, overlap=3,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 0: one short window
+    d0 = out[out.doc_id == 0]
+    assert list(d0.chunk_text) == ["a b c"] and list(d0.n_tokens) == [3]
+    # doc 1: n == chunk → exactly one window
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.n_tokens.iloc[0] == 8
+    # doc 2: n=13, s=5 → W = ceil(5/5)+1 = 2; windows [0:8], [5:13]
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 2
+    assert d2.chunk_text.iloc[0] == " ".join(f"u{i}" for i in range(8))
+    assert d2.chunk_text.iloc[1] == " ".join(f"u{i}" for i in range(5, 13))
+    # doc 3 absent
+    assert 3 not in set(out.doc_id)
+
+    with pytest.raises(ValueError):
+        chunk_documents(
+            ray.data.from_pandas(docs), chunk_tokens=4, overlap=4
+        )

@@ -151,6 +151,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "doc_source_overlap": so.source_overlap_sql,
         "events_heavy_hitters": so.heavy_hitters_sql,
         "doc_oov_rate": so.oov_rate_sql,
+        "doc_chunks": lambda: so.chunk_documents_sql(16, 4),
         "tpch_best_supplier": so.min_cost_supplier_sql,
         "tpch_product_profit": so.product_type_profit_sql,
         "tpch_important_parts": so.important_parts_sql,
@@ -359,6 +360,7 @@ QUERY_NAMES = [
     "emb_ivf_recall",
     "graph_coloring",
     "conv_turn_latency",
+    "doc_chunks",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
