@@ -1234,6 +1234,18 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_tool_pair_weights(sf_dir: str):
+    """Weighted tool co-occurrence (conversations sharing each tool pair;
+    the weighted form of the graph build's distinct-only tool_cooc)."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_pair_weights
+
+    return tool_pair_weights(
+        ray.data.read_parquet(_transcripts_path(sf_dir))
+    )
+
+
 def _q_doc_chunks(sf_dir: str):
     """RAG-prep chunking: overlapping 16-token windows (stride 12) with
     provenance — pure map-side, no shuffle."""
@@ -2273,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring": _q_graph_coloring,
         "conv_turn_latency": _q_conv_turn_latency,
         "doc_chunks": _q_doc_chunks,
+        "tool_pair_weights": _q_tool_pair_weights,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2348,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_scores": so.spectral_scores_sql(p),
         "graph_coloring": so.coloring_sql(p),
         "conv_turn_latency": so.turn_latency_sql(p),
+        "tool_pair_weights": so.tool_pair_weights_sql(p),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

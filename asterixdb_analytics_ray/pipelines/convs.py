@@ -395,3 +395,69 @@ def turn_latency(
         )
 
     return agg.map_batches(close, batch_format="pyarrow")
+
+
+def tool_pair_weights(
+    transcripts: ray.data.Dataset, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """WEIGHTED tool co-occurrence: for every unordered tool pair, the
+    number of conversations invoking BOTH — the weighted form of the
+    ``tool_cooc`` edge kind the link-graph build derives distinct-only
+    (``graph.py``), and the edge-weight table a weighted projection /
+    association analysis runs on.
+
+    → (tool_a, tool_b, n_convs: int64), tool_a < tool_b.
+
+    Same plan as ``events.session_type_pairs`` with the conversation as
+    the natural session: hash-bucket by conv, per-bucket (conv, tool)
+    dedup + tiny per-conv self-join (conversations hold ≤ |tools|
+    distinct tools), partial counts → a tools²-bounded closing groupby."""
+    from ray.data.aggregate import Sum
+
+    nb = np.uint64(n_buckets)
+
+    def project_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_valid(t["tool"]))
+        bucket = (fasthash.md5_prefix_u64(t["conv_id"]) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "tool": t["tool"],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[["conv_id", "tool"]].drop_duplicates()
+        pairs = st.merge(st, on="conv_id")
+        pairs = pairs[pairs["tool_x"] < pairs["tool_y"]]
+        res = (
+            pairs.groupby(["tool_x", "tool_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"tool_x": "tool_a", "tool_y": "tool_b"})
+        )
+        res["n"] = res["n"].astype(np.int64)
+        return res
+
+    agg = (
+        transcripts.select_columns(["conv_id", "tool"])
+        .map_batches(project_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["tool_a", "tool_b"])
+        .aggregate(Sum("n", alias_name="n_convs"))
+    )
+
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "tool_a": t["tool_a"],
+                "tool_b": t["tool_b"],
+                "n_convs": t["n_convs"].to_numpy().astype(np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -3882,3 +3882,16 @@ FROM wins w JOIN tok
  AND tok.pos < w.chunk_idx * {s} + {chunk_tokens}
 GROUP BY w.doc_id, w.chunk_idx
 """
+
+
+def tool_pair_weights_sql(transcripts_path: str) -> str:
+    """Weighted tool co-occurrence (``convs.tool_pair_weights``)."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT * FROM read_parquet('{transcripts_path}')),
+ct AS MATERIALIZED (
+  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY a.tool, b.tool
+"""

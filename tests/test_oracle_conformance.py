@@ -64,6 +64,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "spectral_scores": so.spectral_scores_sql,
         "graph_coloring": so.coloring_sql,
         "conv_turn_latency": so.turn_latency_sql,
+        "tool_pair_weights": so.tool_pair_weights_sql,
         "pagerank_top_nodes": so.pagerank_top_nodes_sql,
         "connected_components": so.connected_components_sql,
         "modularity": so.modularity_sql,
@@ -361,6 +362,7 @@ QUERY_NAMES = [
     "graph_coloring",
     "conv_turn_latency",
     "doc_chunks",
+    "tool_pair_weights",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

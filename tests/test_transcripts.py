@@ -116,3 +116,33 @@ def test_turn_latency_brute_force_cross_block(ray_session):
     for (rf, rt), r in want.iterrows():
         assert out.loc[(rf, rt), "n"] == r["n"]
         assert out.loc[(rf, rt), "total_gap_us"] == r["total"]
+
+
+def test_tool_pair_weights_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.convs import tool_pair_weights
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b", "c", "c", "c"],
+            "turn_idx": np.arange(8, dtype=np.int32),
+            "role": ["user"] * 8,
+            "text": ["x"] * 8,
+            "tool": ["grep", "sed", "grep", "sed", "awk", "grep", "awk", None],
+            "ts": pd.to_datetime(np.arange(8), unit="s"),
+        }
+    )
+    out = (
+        tool_pair_weights(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["tool_a", "tool_b"])
+        .sort_index()
+    )
+    # a: {grep, sed}; b: {sed, awk}; c: {grep, awk}
+    assert out.loc[("grep", "sed"), "n_convs"] == 1
+    assert out.loc[("awk", "sed"), "n_convs"] == 1
+    assert out.loc[("awk", "grep"), "n_convs"] == 1
+    assert len(out) == 3
