@@ -1234,6 +1234,32 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_tpch_maintained_summary(sf_dir: str):
+    """Incremental view maintenance of the Q1 summary under TPC-H-style
+    refresh streams: deletes (orderkey%10==3) as NEGATIVE signed partials,
+    an insert batch (orderkey%10==7 re-inserted) as positive — one merged
+    groups-bounded groupby, no recompute of the combined table."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        maintained_pricing_summary,
+    )
+
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def ins_f(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ok % 10 == 7))
+
+    return maintained_pricing_summary(
+        li, li.map_batches(ins_f, batch_format="pyarrow")
+    )
+
+
 def _q_tool_pair_weights(sf_dir: str):
     """Weighted tool co-occurrence (conversations sharing each tool pair;
     the weighted form of the graph build's distinct-only tool_cooc)."""
@@ -2286,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_latency": _q_conv_turn_latency,
         "doc_chunks": _q_doc_chunks,
         "tool_pair_weights": _q_tool_pair_weights,
+        "tpch_maintained_summary": _q_tpch_maintained_summary,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2362,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": so.coloring_sql(p),
         "conv_turn_latency": so.turn_latency_sql(p),
         "tool_pair_weights": so.tool_pair_weights_sql(p),
+        "tpch_maintained_summary": so.maintained_pricing_summary_sql(),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

@@ -2873,3 +2873,128 @@ def waiting_suppliers(
         ),
         batch_format="pyarrow",
     )
+
+
+def maintained_pricing_summary(
+    lineitem: ray.data.Dataset,
+    inserts: ray.data.Dataset,
+    delete_mod: int = 10,
+    delete_rem: int = 3,
+    cutoff_us: int | None = None,
+    num_partitions: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H refresh-stream (RF1/RF2) analog: maintain the Q1 pricing
+    summary INCREMENTALLY under a delete predicate (``l_orderkey %
+    delete_mod == delete_rem`` — RF2's delete-by-orderkey shape) and an
+    insert batch, WITHOUT rescanning+regrouping the combined table: all
+    three streams fold through the SAME per-batch partial as
+    ``pricing_summary``, with deletes contributing NEGATIVE partials, and
+    one groups-bounded groupby merges them (classic incremental view
+    maintenance — sums/counts are self-maintainable because the fold is
+    exact integers; floats would drift under +/−).
+
+    → same schema as ``pricing_summary``; rows whose maintained count
+    reaches 0 drop out (their group no longer exists)."""
+    from ray.data.aggregate import Sum
+
+    cut = np.int64(cutoff_us if cutoff_us is not None else _CUTOFF_US)
+    mod = np.int64(delete_mod)
+    rem = np.int64(delete_rem)
+
+    def signed_partial(sign: int, deletes_only: bool):
+        sgn = np.int64(sign)
+
+        def partial(t: pa.Table) -> pa.Table:
+            ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+            keep = ship <= cut
+            if deletes_only:
+                ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                keep = keep & (ok % mod == rem)
+            qty = np.rint(t["l_quantity"].to_numpy()[keep]).astype(np.int64)
+            cents = np.rint(
+                t["l_extendedprice"].to_numpy()[keep] * 100
+            ).astype(np.int64)
+            dcents = np.rint(t["l_discount"].to_numpy()[keep] * 100).astype(
+                np.int64
+            )
+            df = pd.DataFrame(
+                {
+                    "l_returnflag": t["l_returnflag"].to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "l_linestatus": t["l_linestatus"].to_numpy(
+                        zero_copy_only=False
+                    )[keep],
+                    "q": sgn * qty,
+                    "c": sgn * cents,
+                    "u": sgn * cents * (100 - dcents),
+                    "one": np.full(int(keep.sum()), sgn, dtype=np.int64),
+                }
+            )
+            g = (
+                df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                .agg(
+                    sum_q=("q", "sum"),
+                    sum_c=("c", "sum"),
+                    sum_u=("u", "sum"),
+                    n=("one", "sum"),
+                )
+                .reset_index()
+            )
+            for col in ["sum_q", "sum_c", "sum_u", "n"]:
+                g[col] = g[col].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return partial
+
+    cols = [
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    ]
+    base = lineitem.select_columns(cols).map_batches(
+        signed_partial(+1, deletes_only=False), batch_format="pyarrow"
+    )
+    dels = lineitem.select_columns(cols).map_batches(
+        signed_partial(-1, deletes_only=True), batch_format="pyarrow"
+    )
+    ins = inserts.select_columns(cols).map_batches(
+        signed_partial(+1, deletes_only=False), batch_format="pyarrow"
+    )
+
+    agg = (
+        base.union(dels)
+        .union(ins)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sum_u", alias_name="sum_u"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        live = pa.array(n > 0)
+        t = t.filter(live)
+        q = t["sum_q"].to_numpy().astype(np.int64)
+        c = t["sum_c"].to_numpy().astype(np.float64)
+        u = t["sum_u"].to_numpy().astype(np.float64)
+        n = t["n"].to_numpy().astype(np.int64)
+        nd = n.astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": q,
+                "sum_base_price": c / 100.0,
+                "sum_disc_price": u / 10000.0,
+                "n": n,
+                "avg_qty": q.astype(np.float64) / nd,
+                "avg_price": c / 100.0 / nd,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

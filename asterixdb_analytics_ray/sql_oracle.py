@@ -3895,3 +3895,38 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
 FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY a.tool, b.tool
 """
+
+
+def maintained_pricing_summary_sql(
+    cutoff: str = "1998-09-02",
+    delete_mod: int = 10,
+    delete_rem: int = 3,
+    insert_rem: int = 7,
+) -> str:
+    """Incrementally maintained Q1 summary
+    (``relational.maintained_pricing_summary``): the oracle recomputes
+    directly over (base − deletes) ∪ inserts — the maintained signed-fold
+    result must equal the recompute exactly (integer folds)."""
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT * FROM lineitem WHERE l_orderkey % {delete_mod} <> {delete_rem}
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_orderkey % {delete_mod} = {insert_rem}
+),
+li AS MATERIALIZED (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS u
+  FROM src WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(u) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(c) AS DOUBLE) / 100.0 / count(*) AS avg_price
+FROM li GROUP BY 1, 2
+"""

@@ -148,6 +148,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "tpch_small_qty_revenue": so.small_quantity_revenue_sql,
         "tpch_supplier_part_counts": so.supplier_part_counts_sql,
         "tpch_sales_opportunity": so.sales_opportunity_sql,
+        "tpch_maintained_summary": so.maintained_pricing_summary_sql,
         "doc_segment_dedup": so.segment_dedup_sql,
         "doc_source_overlap": so.source_overlap_sql,
         "events_heavy_hitters": so.heavy_hitters_sql,
@@ -363,6 +364,7 @@ QUERY_NAMES = [
     "conv_turn_latency",
     "doc_chunks",
     "tool_pair_weights",
+    "tpch_maintained_summary",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

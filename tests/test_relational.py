@@ -784,3 +784,48 @@ def test_waiting_suppliers_brute_force(ray_session):
     assert len(got) == len(want)
     for sk, n in want.items():
         assert got[f"Supplier#{sk:09d}"] == n
+
+
+def test_maintained_summary_equals_recompute(ray_session):
+    """The signed-partial maintained result equals a direct recompute over
+    (base − deletes) ∪ inserts, and a group fully deleted drops out."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.relational import (
+        maintained_pricing_summary, pricing_summary,
+    )
+
+    li, orders, *_ = _synthetic6(seed=29, n_li=3000)
+    li = li.copy()
+    li["l_orderkey"] = np.arange(len(li), dtype=np.int64)
+    # make one (flag, status) group exist ONLY in deleted rows
+    li["l_linestatus"] = np.where(
+        li.l_orderkey % 10 == 3, "D", "O"
+    )
+    ds = _ds(li)
+
+    def ins_f(df):
+        return df[df.l_orderkey % 10 == 7]
+
+    ins = _ds(li[li.l_orderkey % 10 == 7])
+    got = (
+        maintained_pricing_summary(ds, ins, cutoff_us=2**62)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+    manual = pd.concat(
+        [li[li.l_orderkey % 10 != 3], li[li.l_orderkey % 10 == 7]]
+    )
+    want = (
+        pricing_summary(_ds(manual), cutoff_us=2**62)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape
+    assert (got["sum_qty"].to_numpy() == want["sum_qty"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["sum_disc_price"], want["sum_disc_price"])
+    assert "D" not in set(got["l_linestatus"])  # fully-deleted group gone
