@@ -1249,7 +1249,13 @@ def _q_tpch_maintained_summary(sf_dir: str):
         maintained_pricing_summary,
     )
 
-    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
 
     def ins_f(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
