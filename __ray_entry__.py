@@ -1234,6 +1234,52 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_mst(sf_dir: str):
+    """Borůvka minimum spanning forest over the weighted link graph
+    (unique under the (w, a, b) total order). No SQL oracle: the round
+    count is data-dependent and the merge is iterate-to-fixpoint — the
+    documented non-SQL-expressible category; uniqueness + the Kruskal
+    ground-truth tests pin correctness instead."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from asterixdb_analytics_ray.graph import build_link_graph
+    from asterixdb_analytics_ray.pipelines.mst import minimum_spanning_forest
+
+    g = build_link_graph(
+        ray.data.read_parquet(_transcripts_path(sf_dir)), weighted=True
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        a = np.minimum(src, dst)[keep]
+        b = np.maximum(src, dst)[keep]
+        w = np.rint(
+            t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)[keep]
+        g_ = (
+            pd.DataFrame({"a": a, "b": b, "w": w})
+            .groupby(["a", "b"], sort=False)["w"]
+            .min()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g_, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    wori = (
+        g.weighted_directed()
+        .map_batches(orient, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("w", alias_name="w"))
+    )
+    return minimum_spanning_forest(wori, g.n_nodes)
+
+
 def _q_tpch_maintained_summary(sf_dir: str):
     """Incremental view maintenance of the Q1 summary under TPC-H-style
     refresh streams: deletes (orderkey%10==3) as NEGATIVE signed partials,
@@ -2319,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "tool_pair_weights": _q_tool_pair_weights,
         "tpch_maintained_summary": _q_tpch_maintained_summary,
+        "mst": _q_mst,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
