@@ -285,6 +285,16 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             _C2.corpus_pipeline(docs).materialize()
             q["corpus_pipeline"] = time.perf_counter() - t0
+        if _want("doc_segment_dedup"):
+            t0 = time.perf_counter()
+            _T.segment_dedup(docs).materialize()
+            q["doc_segment_dedup"] = time.perf_counter() - t0
+        if _want("doc_chunks"):
+            from asterixdb_analytics_ray.pipelines import corpus as _C3
+
+            t0 = time.perf_counter()
+            _C3.chunk_documents(docs, chunk_tokens=16, overlap=4).materialize()
+            q["doc_chunks"] = time.perf_counter() - t0
 
     events_path = os.path.join(SF_DIR, "events.parquet")
     if os.path.exists(events_path) and BENCH_GRAPH != "conv_share":
