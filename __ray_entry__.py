@@ -1234,6 +1234,14 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_emb_silhouette(sf_dir: str):
+    """Exact squared-euclidean silhouette per point from sufficient
+    statistics (no pairwise pass; one stats shuffle + one broadcast map)."""
+    from asterixdb_analytics_ray.pipelines.embeddings import silhouette_scores
+
+    return silhouette_scores(_emb_ds(sf_dir))
+
+
 def _q_mst(sf_dir: str):
     """Borůvka minimum spanning forest over the weighted link graph
     (unique under the (w, a, b) total order). No SQL oracle: the round
@@ -2366,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_pair_weights": _q_tool_pair_weights,
         "tpch_maintained_summary": _q_tpch_maintained_summary,
         "mst": _q_mst,
+        "emb_silhouette": _q_emb_silhouette,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2443,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_turn_latency": so.turn_latency_sql(p),
         "tool_pair_weights": so.tool_pair_weights_sql(p),
         "tpch_maintained_summary": so.maintained_pricing_summary_sql(),
+        "emb_silhouette": so.silhouette_sql(),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

@@ -1338,3 +1338,133 @@ def ivf_recall(
             "recall": hits.astype(np.float64) / float(k),
         }
     )
+
+
+def silhouette_scores(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """EXACT per-point silhouette under SQUARED-euclidean distance — the
+    cluster-quality score usually approximated by sampling, computed here
+    precisely from sufficient statistics: mean_{y∈C}‖x−y‖² = ‖x‖² −
+    2·x·μ_C + Q_C/n_C (with Q_C = Σ‖y‖²), so a(x) (own cluster, self
+    excluded) and b(x) (min over other clusters) need only the tiny
+    per-label (n, Σy, Σ‖y‖²) table — no pairwise pass, O(n·L·d) total.
+
+    → (vec_id, label, a, b, s) with s = (b − a)/max(a, b), rounded 1e-6
+    (Σ order differs from SQL; the grid absorbs it — cohesion precedent).
+    Singleton clusters score s = 0 by the standard convention.
+
+    Plan: one mergeable stats pass (labels×blocks-bounded shuffle) + one
+    broadcast map pass. The squared-euclidean variant is what makes the
+    sufficient-statistic identity EXACT (plain euclidean needs pairwise
+    distances)."""
+    import pandas as pd
+
+    from ..functions.fasthash import round_like_sql
+    from ray.data.aggregate import Sum
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.float64()),
+                    "sum_vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        sums, ns, qs = [], [], []
+        for j in range(len(labs)):
+            rows = order[
+                starts[j] : starts[j + 1] if j + 1 < len(labs) else None
+            ]
+            sums.append(m[rows].sum(axis=0))
+            ns.append(len(rows))
+            qs.append(float((m[rows] ** 2).sum()))
+        return pa.table(
+            {
+                "label": pa.array(labs.astype(np.int64)),
+                "n": pa.array(ns, type=pa.int64()),
+                "q": pa.array(qs, type=pa.float64()),
+                "sum_vec": _list_col(np.stack(sums)),
+            }
+        )
+
+    def merge_stats(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["sum_vec"].to_numpy())
+        g = df.groupby("label", sort=True)
+        out = pd.DataFrame(
+            {
+                "label": sorted(df["label"].unique()),
+                "n": g["n"].sum().to_numpy().astype(np.int64),
+                "q": g["q"].sum().to_numpy(),
+            }
+        )
+        sums = np.stack(
+            [
+                vecs[df["label"].to_numpy() == l].sum(axis=0)
+                for l in out["label"]
+            ]
+        )
+        out["sum_vec"] = list(sums)
+        return out
+
+    stats = (
+        emb.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    labels = stats["label"].to_numpy(np.int64)
+    n_c = stats["n"].to_numpy(np.int64).astype(np.float64)
+    Q_c = stats["q"].to_numpy(np.float64)
+    S_c = np.stack(stats["sum_vec"].to_numpy()).astype(np.float64)
+    pack = ray.put((labels, n_c, Q_c, S_c))
+
+    def score(t: pa.Table) -> pa.Table:
+        labs_arr, nc, qc, sc = ray.get(pack)
+        ids, m = _batch_matrix(t)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.float64()),
+                    "b": pa.array([], pa.float64()),
+                    "s": pa.array([], pa.float64()),
+                }
+            )
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(labs_arr, lab)
+        x2 = (m**2).sum(axis=1)  # (N,)
+        xs = m @ sc.T  # (N, L)
+        # mean sq dist from x to cluster C: x² − 2·x·S_C/n_C + Q_C/n_C
+        md = x2[:, None] - 2.0 * xs / nc[None, :] + (qc / nc)[None, :]
+        own = md[np.arange(len(m)), li]
+        # own-cluster mean EXCLUDING self: (n·mean − 0)/(n − 1)
+        n_own = nc[li]
+        a = np.where(n_own > 1, own * n_own / np.maximum(n_own - 1, 1), 0.0)
+        md[np.arange(len(m)), li] = np.inf
+        if md.shape[1] > 1:
+            b = md.min(axis=1)
+        else:  # single cluster: no "other" — b = 0, s = 0 by convention
+            b = np.zeros(len(m))
+        denom = np.maximum(a, b)
+        s = np.where(
+            (n_own > 1) & (md.shape[1] > 1) & (denom > 0),
+            (b - a) / np.where(denom > 0, denom, 1.0),
+            0.0,
+        )
+        return pa.table(
+            {
+                "vec_id": ids.astype(np.int64),
+                "label": lab,
+                "a": round_like_sql(a, 6),
+                "b": round_like_sql(b, 6),
+                "s": round_like_sql(s, 6),
+            }
+        )
+
+    return emb.map_batches(score, batch_format="pyarrow")

@@ -3930,3 +3930,55 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(c) AS DOUBLE) / 100.0 / count(*) AS avg_price
 FROM li GROUP BY 1, 2
 """
+
+
+def silhouette_sql() -> str:
+    """Exact squared-euclidean silhouette
+    (``embeddings.silhouette_scores``): the sufficient-statistic identity
+    mean‖x−y‖² = x² − 2·x·S/n + Q/n replayed per (point, label);
+    own-cluster mean excludes self via n/(n−1); round-6 grid absorbs
+    summation order."""
+    return """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+st AS MATERIALIZED (
+  SELECT label, i, sum(x) AS s FROM e GROUP BY label, i
+),
+nq AS MATERIALIZED (
+  SELECT label, CAST(count(DISTINCT vec_id) AS DOUBLE) AS n,
+         sum(x * x) AS q
+  FROM e GROUP BY label
+),
+x2 AS MATERIALIZED (SELECT vec_id, sum(x * x) AS x2 FROM e GROUP BY vec_id),
+xs AS MATERIALIZED (
+  SELECT e.vec_id, st.label, sum(e.x * st.s) AS xs
+  FROM e JOIN st ON st.i = e.i
+  GROUP BY e.vec_id, st.label
+),
+md AS MATERIALIZED (
+  SELECT xs.vec_id, xs.label,
+         x2.x2 - 2 * xs.xs / nq.n + (nq.q / nq.n) AS md
+  FROM xs JOIN x2 ON x2.vec_id = xs.vec_id
+  JOIN nq ON nq.label = xs.label
+),
+pt AS MATERIALIZED (SELECT DISTINCT vec_id, label FROM e),
+ab AS (
+  SELECT p.vec_id, p.label,
+         CASE WHEN nq.n > 1
+              THEN own.md * nq.n / greatest(nq.n - 1, 1) ELSE 0.0 END AS a,
+         coalesce((SELECT min(o.md) FROM md o
+                   WHERE o.vec_id = p.vec_id AND o.label <> p.label),
+                  0.0) AS b,
+         nq.n AS n_own
+  FROM pt p
+  JOIN md own ON own.vec_id = p.vec_id AND own.label = p.label
+  JOIN nq ON nq.label = p.label
+)
+SELECT vec_id, label, round(a, 6) AS a, round(b, 6) AS b,
+       round(CASE WHEN n_own > 1 AND greatest(a, b) > 0
+                  THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
+FROM ab
+"""

@@ -432,3 +432,47 @@ def test_ivf_recall_bounds_and_perfect_probe(ray_session):
 
     full = ivf_recall(ds, q, qi, k=5, n_clusters=4, nprobe=4).to_pandas()
     assert (full.recall == 1.0).all()
+
+
+def test_silhouette_matches_pairwise_brute_force(ray_session):
+    """The sufficient-statistic identity equals the direct pairwise
+    squared-distance silhouette; singletons score 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.embeddings import silhouette_scores
+
+    rng = np.random.default_rng(31)
+    n, d = 120, 5
+    m = rng.standard_normal((n, d))
+    lab = rng.integers(0, 4, n)
+    lab[0] = 9  # singleton cluster
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(m),
+            "label": lab.astype(np.int64),
+        }
+    )
+    out = (
+        silhouette_scores(ray.data.from_pandas(emb).repartition(4))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
+    for i in range(n):
+        own = lab == lab[i]
+        if own.sum() == 1:
+            assert out.loc[i, "s"] == 0.0
+            continue
+        a = d2[i][own].sum() / (own.sum() - 1)
+        b = min(
+            d2[i][lab == c].mean() for c in set(lab) if c != lab[i]
+        )
+        s = (b - a) / max(a, b)
+        assert out.loc[i, "a"] == pytest.approx(a, abs=2e-6)
+        assert out.loc[i, "b"] == pytest.approx(b, abs=2e-6)
+        assert out.loc[i, "s"] == pytest.approx(s, abs=2e-6)

@@ -204,6 +204,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "emb_stratified_sample": lambda: so.stratified_sample_sql(
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
+        "emb_silhouette": so.silhouette_sql,
         "emb_ivf_recall": lambda: so.ivf_recall_sql(
             os.path.join(SF_DIR, "embeddings.parquet"),
             query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
@@ -365,6 +366,7 @@ QUERY_NAMES = [
     "doc_chunks",
     "tool_pair_weights",
     "tpch_maintained_summary",
+    "emb_silhouette",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",
