@@ -1234,6 +1234,23 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_doc_source_dup_rates(sf_dir: str):
+    """Duplication hotspots by source (full MinHash near-dup composition
+    → involved-doc set → sources-bounded rollup)."""
+    import os
+
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import source_dup_rates
+
+    return source_dup_rates(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        )
+    )
+
+
 def _q_emb_silhouette(sf_dir: str):
     """Exact squared-euclidean silhouette per point from sufficient
     statistics (no pairwise pass; one stats shuffle + one broadcast map)."""
@@ -2375,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_maintained_summary": _q_tpch_maintained_summary,
         "mst": _q_mst,
         "emb_silhouette": _q_emb_silhouette,
+        "doc_source_dup_rates": _q_doc_source_dup_rates,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2453,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_pair_weights": so.tool_pair_weights_sql(p),
         "tpch_maintained_summary": so.maintained_pricing_summary_sql(),
         "emb_silhouette": so.silhouette_sql(),
+        "doc_source_dup_rates": so.source_dup_rates_sql(),
         "pagerank_top_nodes": so.pagerank_top_nodes_sql(p),
         "connected_components": so.connected_components_sql(p),
         "modularity": so.modularity_sql(p),

@@ -1959,3 +1959,105 @@ def source_overlap(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def source_dup_rates(
+    docs: ray.data.Dataset,
+    threshold: float = 0.4,
+) -> ray.data.Dataset:
+    """Duplication hotspots by SOURCE: for every source, the count and
+    fraction of its documents that participate in at least one MinHash
+    near-duplicate pair — which dumps/providers need the aggressive dedup
+    pass.
+
+    → (source, n_docs: int64, dup_docs: int64, dup_rate), one closing
+    division.
+
+    Composition (no new shuffle machinery): the full banded-MinHash
+    near-dup pipeline (``minhash_lsh_pairs``, salting and verification
+    included) → the involved-doc set (both pair sides, combiner-deduped)
+    → one join back to (doc_id, source) → a sources-bounded rollup
+    against per-source totals."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.blocks import partitions_for, safe_join
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                t["doc_a"].cast(pa.int64()).combine_chunks(),
+                t["doc_b"].cast(pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.table({"doc_id": pc.unique(ids)})
+
+    involved = (
+        pairs.map_batches(both_sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )
+
+    flagged = safe_join(
+        docs.select_columns(["doc_id", "source"]),
+        involved,
+        "inner",
+        partitions_for(docs.count()),
+        on=("doc_id",),
+    )
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        g = pd.Series(src).value_counts()
+        return pa.table(
+            {
+                "source": pa.array(g.index.to_numpy()),
+                "dup_docs": g.to_numpy().astype(np.int64),
+            }
+        )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        g = pd.Series(src).value_counts()
+        return pa.table(
+            {
+                "source": pa.array(g.index.to_numpy()),
+                "n_docs": g.to_numpy().astype(np.int64),
+            }
+        )
+
+    dups = (
+        flagged.map_batches(dup_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("dup_docs", alias_name="dup_docs"))
+    )
+    totals = (
+        docs.select_columns(["source"])
+        .map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .materialize()
+    )
+
+    joined = safe_join(
+        totals, dups, "left_outer", 2, on=("source",)
+    )
+
+    def close(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy().astype(np.int64)
+        d = t["dup_docs"].to_numpy(zero_copy_only=False)
+        d = np.where(np.isnan(d.astype(np.float64)), 0, d).astype(np.int64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": n,
+                "dup_docs": d,
+                "dup_rate": d.astype(np.float64) / n.astype(np.float64),
+            }
+        )
+
+    return joined.map_batches(close, batch_format="pyarrow")

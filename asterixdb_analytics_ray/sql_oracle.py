@@ -3982,3 +3982,27 @@ SELECT vec_id, label, round(a, 6) AS a, round(b, 6) AS b,
                   THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
 FROM ab
 """
+
+
+def source_dup_rates_sql(threshold: float = 0.4) -> str:
+    """Per-source near-duplication rates (``textops.source_dup_rates``):
+    the full MinHash pipeline SQL as a subquery, involved docs = both
+    pair sides distinct, joined back to sources."""
+    return f"""
+WITH pairs AS MATERIALIZED ({minhash_lsh_sql(threshold)}),
+involved AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs)
+),
+dups AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS dup_docs
+  FROM involved i JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source)
+SELECT t.source, t.n_docs, coalesce(du.dup_docs, 0) AS dup_docs,
+       CAST(coalesce(du.dup_docs, 0) AS DOUBLE) / t.n_docs AS dup_rate
+FROM tot t LEFT JOIN dups du ON du.source = t.source
+"""

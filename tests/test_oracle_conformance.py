@@ -205,6 +205,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
             os.path.join(SF_DIR, "embeddings.parquet")
         ),
         "emb_silhouette": so.silhouette_sql,
+        "doc_source_dup_rates": so.source_dup_rates_sql,
         "emb_ivf_recall": lambda: so.ivf_recall_sql(
             os.path.join(SF_DIR, "embeddings.parquet"),
             query_ids=__import__("__ray_entry__")._KNN_QUERY_IDS,
@@ -367,6 +368,7 @@ QUERY_NAMES = [
     "tool_pair_weights",
     "tpch_maintained_summary",
     "emb_silhouette",
+    "doc_source_dup_rates",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -542,3 +542,34 @@ def test_source_overlap_brute_force(ray_session):
     )
     with pytest.raises(ValueError, match="max_sources"):
         source_overlap(ray.data.from_pandas(many))
+
+
+def test_source_dup_rates_brute_force(ray_session):
+    """Planted near-dup docs in one source; a clean source reports 0."""
+    import ray.data
+
+    from asterixdb_analytics_ray.pipelines.textops import source_dup_rates
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    rng = np.random.default_rng(41)
+    clean = [
+        " ".join(rng.choice([f"u{j}" for j in range(500)], 40))
+        for _ in range(6)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "source": ["dirty", "dirty"] + ["clean"] * 6,
+            "text": [base, near] + clean,
+        }
+    )
+    out = (
+        source_dup_rates(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["dirty", "dup_docs"] == 2
+    assert out.loc["dirty", "dup_rate"] == pytest.approx(1.0)
+    assert out.loc["clean", "dup_docs"] == 0
+    assert out.loc["clean", "dup_rate"] == 0.0
