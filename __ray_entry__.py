@@ -1234,6 +1234,17 @@ def _q_tpch_sales_opportunity(sf_dir: str):
     )
 
 
+def _q_spectral_cut(sf_dir: str):
+    """Normalized cut of the spectral sign partition (Shi–Malik ncut
+    composed from spectral_scores + one integer edge pass)."""
+    from asterixdb_analytics_ray.pipelines.spectral import (
+        spectral_cut_quality,
+    )
+
+    views = _graph(sf_dir)
+    return spectral_cut_quality(views["undirected"], views["graph"].n_nodes)
+
+
 def _q_doc_source_dup_rates(sf_dir: str):
     """Duplication hotspots by source (full MinHash near-dup composition
     → involved-doc set → sources-bounded rollup)."""
@@ -2393,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst": _q_mst,
         "emb_silhouette": _q_emb_silhouette,
         "doc_source_dup_rates": _q_doc_source_dup_rates,
+        "spectral_cut": _q_spectral_cut,
         "tpch_best_supplier": _q_tpch_best_supplier,
         "tpch_product_profit": _q_tpch_product_profit,
         "tpch_important_parts": _q_tpch_important_parts,
@@ -2466,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "top_degree": so.top_degree_sql(p),
         "pagerank": so.pagerank_sql(p),
         "spectral_scores": so.spectral_scores_sql(p),
+        "spectral_cut": so.spectral_cut_sql(p),
         "graph_coloring": so.coloring_sql(p),
         "conv_turn_latency": so.turn_latency_sql(p),
         "tool_pair_weights": so.tool_pair_weights_sql(p),

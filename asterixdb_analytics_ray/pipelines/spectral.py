@@ -126,3 +126,60 @@ def spectral_scores(
             "score": np.round(x / m, decimals),
         }
     )
+
+
+def spectral_cut_quality(
+    undirected: ray.data.Dataset,
+    n: int,
+    iters: int = SPECTRAL_ITERS,
+    cfg: BSPConfig | None = None,
+) -> pa.Table:
+    """Quality of the spectral sign partition: the NORMALIZED CUT of the
+    bipartition A = {score > 0}, B = {score ≤ 0} — ncut = cut(A,B)·(1/vol A
+    + 1/vol B) over the undirected simple graph (Shi–Malik objective the
+    second eigenvector approximately minimizes).
+
+    → one row (cut_edges: int64, vol_a: int64, vol_b: int64, ncut).
+
+    Composition: the ``spectral_scores`` table (already rounded — the
+    sign is taken from the SAME rounded score the oracle sees, so the
+    partition is bit-identical on both sides) broadcast once; ONE
+    distributed pass over the both-direction edge set counts crossing
+    half-edges and per-side volumes as integer partials (each undirected
+    edge appears twice, so cut = crossing rows / 2 and vol sums are
+    degree sums exactly)."""
+    scores = spectral_scores(undirected, n, iters=iters, cfg=cfg)
+    side = (scores["score"].to_numpy() > 0).astype(np.int8)
+    sref = ray.put(side)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        cross = int((s[src] != s[dst]).sum())
+        va = int((s[src] > 0).sum())   # half-edge volume of side A
+        vb = int((s[src] == 0).sum())
+        return pa.table(
+            {
+                "cross": pa.array([cross], pa.int64()),
+                "va": pa.array([va], pa.int64()),
+                "vb": pa.array([vb], pa.int64()),
+            }
+        )
+
+    # one int64 row per BLOCK → the driver sums a blocks-bounded table
+    agg = undirected.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cross = int(agg["cross"].sum()) // 2
+    va = int(agg["va"].sum())
+    vb = int(agg["vb"].sum())
+    ncut = (
+        float(cross) / va + float(cross) / vb if va > 0 and vb > 0 else 0.0
+    )
+    return pa.table(
+        {
+            "cut_edges": pa.array([cross], pa.int64()),
+            "vol_a": pa.array([va], pa.int64()),
+            "vol_b": pa.array([vb], pa.int64()),
+            "ncut": pa.array([round(ncut, 9)], pa.float64()),
+        }
+    )

@@ -4006,3 +4006,33 @@ SELECT t.source, t.n_docs, coalesce(du.dup_docs, 0) AS dup_docs,
        CAST(coalesce(du.dup_docs, 0) AS DOUBLE) / t.n_docs AS dup_rate
 FROM tot t LEFT JOIN dups du ON du.source = t.source
 """
+
+
+def spectral_cut_sql(p: str, iters: int = 20, decimals: int = 6) -> str:
+    """Normalized cut of the spectral sign partition
+    (``spectral.spectral_cut_quality``): the full spectral CTE chain as a
+    subquery, partition by sign of the SAME rounded score, cut/volumes as
+    integer folds over und."""
+    inner = spectral_scores_sql(p, iters=iters, decimals=decimals)
+    return f"""
+WITH sc AS MATERIALIZED ({inner}),
+side AS MATERIALIZED (
+  SELECT v, CASE WHEN score > 0 THEN 1 ELSE 0 END AS s FROM sc),
+und2 AS MATERIALIZED (
+  SELECT u.src, u.dst, sa.s AS ssrc, sb.s AS sdst
+  FROM ({prelude(p)} SELECT src, dst FROM und) u
+  JOIN side sa ON sa.v = u.src
+  JOIN side sb ON sb.v = u.dst),
+agg AS (
+  SELECT CAST(sum(CASE WHEN ssrc <> sdst THEN 1 ELSE 0 END) / 2 AS BIGINT)
+           AS cut_edges,
+         CAST(sum(CASE WHEN ssrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vol_a,
+         CAST(sum(CASE WHEN ssrc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vol_b
+  FROM und2)
+SELECT cut_edges, vol_a, vol_b,
+       round(CASE WHEN vol_a > 0 AND vol_b > 0
+             THEN CAST(cut_edges AS DOUBLE) / vol_a
+                  + CAST(cut_edges AS DOUBLE) / vol_b
+             ELSE 0.0 END, 9) AS ncut
+FROM agg
+"""

@@ -62,6 +62,7 @@ def _oracle_sql_for(entrymod, name: str) -> str:
         "top_degree": so.top_degree_sql,
         "pagerank": so.pagerank_sql,
         "spectral_scores": so.spectral_scores_sql,
+        "spectral_cut": so.spectral_cut_sql,
         "graph_coloring": so.coloring_sql,
         "conv_turn_latency": so.turn_latency_sql,
         "tool_pair_weights": so.tool_pair_weights_sql,
@@ -369,6 +370,7 @@ QUERY_NAMES = [
     "tpch_maintained_summary",
     "emb_silhouette",
     "doc_source_dup_rates",
+    "spectral_cut",
     "tpch_best_supplier",
     "tpch_product_profit",
     "tpch_important_parts",

@@ -109,3 +109,21 @@ def test_coloring_clique_uses_k_colors(ray_session):
     out = coloring_table(_und_ds(pairs, reps=2), 6).to_pandas()
     colors = sorted(out["color"])
     assert colors == [1, 2, 3, 4, 5, 6]
+
+
+def test_spectral_cut_two_cliques_bridge(ray_session):
+    """On two K5s joined by one edge, the sign partition separates the
+    cliques → cut_edges == 1 and ncut == 1/21 + 1/21."""
+    import itertools
+
+    from asterixdb_analytics_ray.pipelines.spectral import (
+        spectral_cut_quality,
+    )
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(5, 10), 2))
+    pairs = c1 + c2 + [(4, 5)]
+    out = spectral_cut_quality(_und_ds(pairs), 10, iters=60).to_pandas()
+    assert out["cut_edges"].iloc[0] == 1
+    assert out["vol_a"].iloc[0] + out["vol_b"].iloc[0] == 2 * len(pairs)
+    assert out["ncut"].iloc[0] == pytest.approx(1 / 21 + 1 / 21, abs=1e-9)
